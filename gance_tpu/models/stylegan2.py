@@ -1,0 +1,513 @@
+"""
+StyleGAN2 (config-f family) in functional JAX — mapping, synthesis, discriminator.
+
+Replaces the reference submodule's pickled TF1 graphs (SURVEY.md §2.9:
+training/networks_stylegan2.py — `G_mapping`, `G_synthesis_stylegan2`, `D_stylegan2`)
+with a params pytree + jitted apply functions. Weight semantics (equalized-LR "unit"
+parameterization, modulation/demodulation, binomial resampling FIR, noise injection,
+skip-connection ToRGB chain, resnet D) are kept identical so weights converted from
+the same `.pkl` files reproduce outputs; the execution model is TPU-native:
+
+  * activations NHWC, weights HWIO (MXU-friendly; TF checkpoints are HWIO already),
+  * the whole synthesis stack traces into ONE XLA program — no per-layer Python,
+  * batch is the leading axis everywhere and is the natural `Mesh` sharding axis,
+  * optional bfloat16 compute with fp32 accumulation (`compute_dtype`),
+  * per-layer constant noise buffers live in the params pytree (randomize_noise=False
+    semantics, the reference's load-bearing inference config at
+    network_functions.py:125).
+
+Naming mirrors the TF variable tree (e.g. params["synthesis"]["64x64"]["Conv0_up"]
+["weight"]) so the .pkl loader is a mechanical re-keying, documented in
+models/pickle_loader.py.
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gance_tpu.ops.bias_act import bias_act
+from gance_tpu.ops.modulated_conv import (
+    conv2d_layer,
+    dense_layer,
+    modulated_conv2d,
+    runtime_weight_coef,
+)
+from gance_tpu.ops.upfirdn2d import upsample_2d
+
+Params = Dict[str, Any]
+
+# The reference's inference-time truncation (network_functions.py:124): psi > 1
+# EXPANDS deviation from the average dlatent for extra variety.
+DEFAULT_TRUNCATION_PSI = 1.2
+
+
+@dataclass(frozen=True)
+class GeneratorConfig:
+    """Static architecture hyperparameters (config-f defaults at 1024px)."""
+
+    resolution: int = 1024
+    latent_size: int = 512
+    dlatent_size: int = 512
+    num_channels: int = 3
+    fmap_base: int = 32768  # config-f doubles config-e's 16384 at high res
+    fmap_decay: float = 1.0
+    fmap_min: int = 1
+    fmap_max: int = 512
+    mapping_layers: int = 8
+    mapping_fmaps: int = 512
+    mapping_lrmul: float = 0.01
+    resample_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+    # mbstd settings only matter for the discriminator / training.
+    mbstd_group_size: int = 4
+    mbstd_num_features: int = 1
+
+    @property
+    def resolution_log2(self) -> int:
+        return int(math.log2(self.resolution))
+
+    @property
+    def num_style_rows(self) -> int:
+        """18 at 1024px — the reference's blend-depth upper bound."""
+        return self.resolution_log2 * 2 - 2
+
+    def nf(self, stage: int) -> int:
+        """Feature-map count at a stage (NVlabs nf())."""
+        return int(
+            np.clip(
+                int(self.fmap_base / (2.0 ** (stage * self.fmap_decay))),
+                self.fmap_min,
+                self.fmap_max,
+            )
+        )
+
+    def block_resolutions(self) -> Tuple[int, ...]:
+        """Synthesis block output resolutions above 4: (8, 16, ..., resolution)."""
+        return tuple(2**res for res in range(3, self.resolution_log2 + 1))
+
+
+# --------------------------------------------------------------------------------
+# Initialization (matches the TF "unit" parameterization: weights ~ N(0, 1/lrmul),
+# runtime equalized-LR scaling applied in the ops).
+# --------------------------------------------------------------------------------
+
+
+def _conv_layer_params(
+    key: jax.Array,
+    kernel: int,
+    cin: int,
+    cout: int,
+    dlatent_size: int,
+    with_noise: bool,
+) -> Params:
+    keys = jax.random.split(key, 3)
+    params: Params = {
+        "weight": jax.random.normal(keys[0], (kernel, kernel, cin, cout), jnp.float32),
+        "mod_weight": jax.random.normal(keys[1], (dlatent_size, cin), jnp.float32),
+        "mod_bias": jnp.zeros((cin,), jnp.float32),
+        "bias": jnp.zeros((cout,), jnp.float32),
+    }
+    if with_noise:
+        params["noise_strength"] = jnp.zeros((), jnp.float32)
+    return params
+
+
+def init_generator_params(key: jax.Array, config: GeneratorConfig) -> Params:
+    """Random init of the full generator pytree (mapping + synthesis + noise)."""
+    k_map, k_syn = jax.random.split(key)
+
+    # --- mapping ---
+    mapping: Params = {}
+    fan_in = config.latent_size
+    init_std = 1.0 / config.mapping_lrmul
+    for i in range(config.mapping_layers):
+        k_map, sub = jax.random.split(k_map)
+        fmaps = (
+            config.dlatent_size
+            if i == config.mapping_layers - 1
+            else config.mapping_fmaps
+        )
+        mapping[f"Dense{i}"] = {
+            "weight": jax.random.normal(sub, (fan_in, fmaps), jnp.float32) * init_std,
+            "bias": jnp.zeros((fmaps,), jnp.float32),
+        }
+        fan_in = fmaps
+
+    # --- synthesis ---
+    synthesis: Params = {}
+    k_syn, sub = jax.random.split(k_syn)
+    synthesis["4x4"] = {
+        "Const": {"const": jax.random.normal(sub, (1, 4, 4, config.nf(1)), jnp.float32)},
+    }
+    k_syn, sub = jax.random.split(k_syn)
+    synthesis["4x4"]["Conv"] = _conv_layer_params(
+        sub, 3, config.nf(1), config.nf(1), config.dlatent_size, with_noise=True
+    )
+    k_syn, sub = jax.random.split(k_syn)
+    synthesis["4x4"]["ToRGB"] = _conv_layer_params(
+        sub, 1, config.nf(1), config.num_channels, config.dlatent_size, with_noise=False
+    )
+
+    for res in range(3, config.resolution_log2 + 1):
+        name = f"{2**res}x{2**res}"
+        cin, cout = config.nf(res - 2), config.nf(res - 1)
+        k_syn, s0 = jax.random.split(k_syn)
+        k_syn, s1 = jax.random.split(k_syn)
+        k_syn, s2 = jax.random.split(k_syn)
+        synthesis[name] = {
+            "Conv0_up": _conv_layer_params(s0, 3, cin, cout, config.dlatent_size, True),
+            "Conv1": _conv_layer_params(s1, 3, cout, cout, config.dlatent_size, True),
+            "ToRGB": _conv_layer_params(
+                s2, 1, cout, config.num_channels, config.dlatent_size, False
+            ),
+        }
+
+    # --- per-layer constant noise buffers (NHWC: (1, H, W, 1)) ---
+    noise: Params = {}
+    for layer_idx in range(config.num_style_rows - 1):
+        res = (layer_idx + 5) // 2  # noise0 -> 4x4, noise1/2 -> 8x8, ...
+        size = 2**res
+        k_syn, sub = jax.random.split(k_syn)
+        noise[f"noise{layer_idx}"] = jax.random.normal(sub, (1, size, size, 1), jnp.float32)
+    synthesis["noise"] = noise
+
+    return {
+        "mapping": mapping,
+        "synthesis": synthesis,
+        "dlatent_avg": jnp.zeros((config.dlatent_size,), jnp.float32),
+    }
+
+
+def init_discriminator_params(key: jax.Array, config: GeneratorConfig) -> Params:
+    """Random init of the resnet discriminator pytree (config-f D_stylegan2)."""
+    params: Params = {}
+    top = config.resolution_log2
+
+    def conv_p(k, kernel, cin, cout, with_bias=True):
+        p = {"weight": jax.random.normal(k, (kernel, kernel, cin, cout), jnp.float32)}
+        if with_bias:
+            p["bias"] = jnp.zeros((cout,), jnp.float32)
+        return p
+
+    key, sub = jax.random.split(key)
+    params[f"{2**top}x{2**top}"] = {
+        "FromRGB": conv_p(sub, 1, config.num_channels, config.nf(top - 1))
+    }
+    for res in range(top, 2, -1):
+        name = f"{2**res}x{2**res}"
+        block = params.setdefault(name, {})
+        key, s0 = jax.random.split(key)
+        key, s1 = jax.random.split(key)
+        key, s2 = jax.random.split(key)
+        block["Conv0"] = conv_p(s0, 3, config.nf(res - 1), config.nf(res - 1))
+        block["Conv1_down"] = conv_p(s1, 3, config.nf(res - 1), config.nf(res - 2))
+        block["Skip"] = conv_p(s2, 1, config.nf(res - 1), config.nf(res - 2), with_bias=False)
+
+    key, s0 = jax.random.split(key)
+    key, s1 = jax.random.split(key)
+    key, s2 = jax.random.split(key)
+    cin_4x4 = config.nf(1) + config.mbstd_num_features
+    params["4x4"] = {
+        "Conv": conv_p(s0, 3, cin_4x4, config.nf(1)),
+        "Dense0": {
+            "weight": jax.random.normal(s1, (config.nf(1) * 16, config.nf(0)), jnp.float32),
+            "bias": jnp.zeros((config.nf(0),), jnp.float32),
+        },
+        "Output": {
+            "weight": jax.random.normal(s2, (config.nf(0), 1), jnp.float32),
+            "bias": jnp.zeros((1,), jnp.float32),
+        },
+    }
+    return params
+
+
+def config_from_params(params: Params) -> GeneratorConfig:
+    """Infer the architecture config from a loaded generator pytree."""
+    synthesis = params["synthesis"]
+    resolutions = [
+        int(k.split("x")[0]) for k in synthesis.keys() if "x" in k and k[0].isdigit()
+    ]
+    resolution = max(resolutions)
+    latent_size = params["mapping"]["Dense0"]["weight"].shape[0]
+    dlatent_size = synthesis["4x4"]["Conv"]["mod_weight"].shape[0]
+    mapping_layers = len([k for k in params["mapping"] if k.startswith("Dense")])
+    # fmap_base from the highest-resolution block's output channels:
+    top_log2 = int(math.log2(resolution))
+    top_channels = synthesis[f"{resolution}x{resolution}"]["Conv1"]["weight"].shape[-1]
+    fmap_base = top_channels * (2 ** (top_log2 - 1))
+    # fmap_max equals the 4x4 channel count for all practical configs (512 @ config-f).
+    fmap_max = synthesis["4x4"]["Conv"]["weight"].shape[-1]
+    mapping_fmaps = params["mapping"]["Dense0"]["weight"].shape[1]
+    return GeneratorConfig(
+        resolution=resolution,
+        latent_size=int(latent_size),
+        dlatent_size=int(dlatent_size),
+        mapping_layers=int(mapping_layers),
+        mapping_fmaps=int(mapping_fmaps),
+        fmap_base=int(fmap_base),
+        fmap_max=int(fmap_max),
+    )
+
+
+# --------------------------------------------------------------------------------
+# Forward passes
+# --------------------------------------------------------------------------------
+
+
+def mapping_apply(
+    params: Params,
+    z: jax.Array,
+    config: GeneratorConfig,
+    lrmul: Optional[float] = None,
+) -> jax.Array:
+    """
+    G_mapping: pixel-norm the latent, 8 equalized-LR dense+lrelu layers (lrmul 0.01).
+    :param z: (B, latent_size).
+    :return: w (B, dlatent_size).
+    """
+    lrmul = config.mapping_lrmul if lrmul is None else lrmul
+    x = z.astype(jnp.float32)
+    # normalize_latents (pixel norm over the latent dim)
+    x = x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + 1e-8)
+    mapping = params["mapping"]
+    for i in sorted(
+        (k for k in mapping if k.startswith("Dense")), key=lambda s: int(s[5:])
+    ):
+        layer = mapping[i]
+        x = dense_layer(x, layer["weight"], lrmul=lrmul)
+        x = bias_act(x, layer["bias"] * lrmul, act="lrelu")
+    return x
+
+
+def broadcast_dlatents(w: jax.Array, config: GeneratorConfig) -> jax.Array:
+    """Tile (B, 512) -> w+ (B, num_style_rows, 512)."""
+    return jnp.tile(w[:, None, :], (1, config.num_style_rows, 1))
+
+
+def truncate_dlatents(
+    dlatents: jax.Array,
+    dlatent_avg: jax.Array,
+    psi: float = DEFAULT_TRUNCATION_PSI,
+    cutoff: Optional[int] = None,
+) -> jax.Array:
+    """
+    Truncation trick: w' = w_avg + (w - w_avg) * psi, optionally only for style rows
+    below `cutoff`. The reference runs psi=1.2 (network_functions.py:124).
+    """
+    avg = dlatent_avg.astype(dlatents.dtype)
+    if cutoff is None:
+        return avg + (dlatents - avg) * psi
+    rows = np.arange(dlatents.shape[1])
+    layer_psi = jnp.where(jnp.asarray(rows < cutoff), psi, 1.0)[None, :, None]
+    return avg + (dlatents - avg) * layer_psi.astype(dlatents.dtype)
+
+
+def _synthesis_layer(
+    x: jax.Array,
+    layer_params: Params,
+    dlatent_row: jax.Array,
+    noise_const: Optional[jax.Array],
+    rng: Optional[jax.Array],
+    up: bool,
+    config: GeneratorConfig,
+    compute_dtype: jnp.dtype,
+) -> jax.Array:
+    """conv (maybe up) -> noise inject -> bias+lrelu. NVlabs `layer()`."""
+    x = modulated_conv2d(
+        x,
+        dlatent_row,
+        layer_params["weight"],
+        layer_params["mod_weight"],
+        layer_params["mod_bias"],
+        up=up,
+        demodulate=True,
+        resample_kernel=config.resample_kernel,
+        compute_dtype=compute_dtype,
+    )
+    if rng is not None:
+        noise = jax.random.normal(rng, (x.shape[0], x.shape[1], x.shape[2], 1), x.dtype)
+        x = x + noise * layer_params["noise_strength"].astype(x.dtype)
+    elif noise_const is not None:
+        x = x + noise_const.astype(x.dtype) * layer_params["noise_strength"].astype(x.dtype)
+    return bias_act(x, layer_params["bias"], act="lrelu")
+
+
+def _torgb(
+    x: jax.Array,
+    layer_params: Params,
+    dlatent_row: jax.Array,
+    y: Optional[jax.Array],
+    config: GeneratorConfig,
+    compute_dtype: jnp.dtype,
+) -> jax.Array:
+    """1x1 modulated conv (no demod) + bias; skip-add the upsampled RGB trunk."""
+    t = modulated_conv2d(
+        x,
+        dlatent_row,
+        layer_params["weight"],
+        layer_params["mod_weight"],
+        layer_params["mod_bias"],
+        demodulate=False,
+        resample_kernel=config.resample_kernel,
+        compute_dtype=compute_dtype,
+    )
+    t = bias_act(t, layer_params["bias"], act="linear")
+    return t if y is None else y + t
+
+
+def synthesis_apply(
+    params: Params,
+    dlatents: jax.Array,
+    config: GeneratorConfig,
+    noise_mode: str = "const",
+    rng: Optional[jax.Array] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """
+    G_synthesis (skip architecture): w+ (B, num_style_rows, 512) -> image
+    (B, resolution, resolution, 3) float in approx [-1, 1].
+
+    :param noise_mode: 'const' (buffers from params — the reference's
+        randomize_noise=False), 'random' (needs `rng`), or 'none'.
+    """
+    if noise_mode not in ("const", "random", "none"):
+        raise ValueError(f"bad noise_mode {noise_mode!r}")
+    if noise_mode == "random" and rng is None:
+        raise ValueError("noise_mode='random' requires rng")
+
+    synthesis = params["synthesis"]
+    noise_buffers = synthesis.get("noise", {})
+    batch = dlatents.shape[0]
+
+    def layer_noise(layer_idx: int) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
+        if noise_mode == "random":
+            return None, jax.random.fold_in(rng, layer_idx)
+        if noise_mode == "const":
+            return noise_buffers.get(f"noise{layer_idx}"), None
+        return None, None
+
+    x = jnp.tile(
+        synthesis["4x4"]["Const"]["const"].astype(compute_dtype), (batch, 1, 1, 1)
+    )
+    nc, nr = layer_noise(0)
+    x = _synthesis_layer(
+        x, synthesis["4x4"]["Conv"], dlatents[:, 0], nc, nr, False, config, compute_dtype
+    )
+    y = _torgb(x, synthesis["4x4"]["ToRGB"], dlatents[:, 1], None, config, compute_dtype)
+
+    for res in range(3, config.resolution_log2 + 1):
+        block = synthesis[f"{2**res}x{2**res}"]
+        nc, nr = layer_noise(res * 2 - 5)
+        x = _synthesis_layer(
+            x, block["Conv0_up"], dlatents[:, res * 2 - 5], nc, nr, True, config,
+            compute_dtype,
+        )
+        nc, nr = layer_noise(res * 2 - 4)
+        x = _synthesis_layer(
+            x, block["Conv1"], dlatents[:, res * 2 - 4], nc, nr, False, config,
+            compute_dtype,
+        )
+        y = upsample_2d(y, kernel=config.resample_kernel)
+        y = _torgb(x, block["ToRGB"], dlatents[:, res * 2 - 3], y, config, compute_dtype)
+
+    return y.astype(jnp.float32)
+
+
+def generator_apply(
+    params: Params,
+    z: jax.Array,
+    config: GeneratorConfig,
+    truncation_psi: Optional[float] = DEFAULT_TRUNCATION_PSI,
+    noise_mode: str = "const",
+    rng: Optional[jax.Array] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Full G: z -> mapping -> broadcast -> truncation -> synthesis."""
+    w = mapping_apply(params, z, config)
+    dlatents = broadcast_dlatents(w, config)
+    if truncation_psi is not None and truncation_psi != 1.0:
+        dlatents = truncate_dlatents(dlatents, params["dlatent_avg"], truncation_psi)
+    return synthesis_apply(
+        params, dlatents, config, noise_mode=noise_mode, rng=rng,
+        compute_dtype=compute_dtype,
+    )
+
+
+def images_to_uint8(images: jax.Array, drange: Tuple[float, float] = (-1.0, 1.0)) -> jax.Array:
+    """
+    Float NHWC -> uint8 NHWC output transform — the
+    `tflib.convert_images_to_uint8(nchw_to_nhwc=True)` epilogue the reference applies
+    to every synthesized frame (network_functions.py:122,156). Fused into the jitted
+    synthesis program here instead of running as a separate graph op.
+    """
+    lo, hi = drange
+    scale = 255.0 / (hi - lo)
+    x = images * scale + (0.5 - lo * scale)
+    return jnp.clip(jnp.floor(x), 0.0, 255.0).astype(jnp.uint8)
+
+
+# --------------------------------------------------------------------------------
+# Discriminator (resnet arch) — needed for the training capability
+# --------------------------------------------------------------------------------
+
+
+def minibatch_stddev(
+    x: jax.Array, group_size: int = 4, num_new_features: int = 1
+) -> jax.Array:
+    """Append the cross-minibatch stddev feature map (NHWC)."""
+    n, h, w, c = x.shape
+    g = min(group_size, n)
+    if n % g != 0:
+        g = 1
+    y = x.reshape(g, n // g, h, w, num_new_features, c // num_new_features)
+    y = y.astype(jnp.float32)
+    y = y - jnp.mean(y, axis=0, keepdims=True)
+    y = jnp.mean(jnp.square(y), axis=0)
+    y = jnp.sqrt(y + 1e-8)
+    y = jnp.mean(y, axis=(1, 2, 4), keepdims=True)  # over H, W, channel-split
+    y = jnp.squeeze(y, axis=4)  # (n//g, 1, 1, F)
+    y = jnp.tile(y, (g, h, w, 1)).astype(x.dtype)
+    return jnp.concatenate([x, y], axis=-1)
+
+
+def discriminator_apply(
+    params: Params,
+    images: jax.Array,
+    config: GeneratorConfig,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """
+    D_stylegan2 (resnet): image (B, R, R, 3) -> logits (B, 1).
+    """
+    top = config.resolution_log2
+    x = images.astype(compute_dtype)
+    frgb = params[f"{2**top}x{2**top}"]["FromRGB"]
+    x = conv2d_layer(x, frgb["weight"])
+    x = bias_act(x, frgb["bias"], act="lrelu")
+
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    for res in range(top, 2, -1):
+        block = params[f"{2**res}x{2**res}"]
+        t = x
+        x = conv2d_layer(x, block["Conv0"]["weight"])
+        x = bias_act(x, block["Conv0"]["bias"], act="lrelu")
+        x = conv2d_layer(x, block["Conv1_down"]["weight"], down=True,
+                         resample_kernel=config.resample_kernel)
+        x = bias_act(x, block["Conv1_down"]["bias"], act="lrelu")
+        t = conv2d_layer(t, block["Skip"]["weight"], down=True,
+                         resample_kernel=config.resample_kernel)
+        x = (x + t) * jnp.asarray(inv_sqrt2, x.dtype)
+
+    block = params["4x4"]
+    x = minibatch_stddev(x, config.mbstd_group_size, config.mbstd_num_features)
+    x = conv2d_layer(x, block["Conv"]["weight"])
+    x = bias_act(x, block["Conv"]["bias"], act="lrelu")
+    x = x.reshape(x.shape[0], -1)
+    x = dense_layer(x, block["Dense0"]["weight"])
+    x = bias_act(x, block["Dense0"]["bias"], act="lrelu")
+    x = dense_layer(x, block["Output"]["weight"])
+    x = bias_act(x, block["Output"]["bias"], act="linear")
+    return x.astype(jnp.float32)
