@@ -1,0 +1,368 @@
+"""
+Batched synthesis runtime.
+
+Replaces the reference's process-hosted `NetworkInterface` / `MultiNetwork`
+(network_functions.py:66-640) with resident param pytrees + one compiled apply
+function shared by every network of the same architecture. The public surface keeps
+the reference's API shape (expected_vector_length, create_image_vector/matrix/
+generic, indexed_* variants, context-manager load/unload) and adds the batched
+entry points that the TPU pipeline actually uses.
+
+Load-bearing inference constants preserved from the reference
+(network_functions.py:122-168): truncation_psi=1.2, randomize_noise=False (const
+noise buffers), matrix inputs skip the mapping network (synthesis-only), output is
+uint8 NHWC.
+"""
+
+import functools
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gance_tpu.models.pickle_loader import load_generator, parse_network_paths
+from gance_tpu.models.stylegan2 import (
+    DEFAULT_TRUNCATION_PSI,
+    GeneratorConfig,
+    broadcast_dlatents,
+    config_from_params,
+    generator_apply,
+    images_to_uint8,
+    mapping_apply,
+    synthesis_apply,
+    truncate_dlatents,
+)
+from gance_tpu.types import is_vector
+from gance_tpu.utils.logging import LOGGER
+
+Params = Dict[str, Any]
+
+DEFAULT_BATCH_SIZE = 4
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "truncation_psi", "compute_dtype")
+)
+def _jit_images_from_z(
+    params: Params,
+    z: jax.Array,
+    config: GeneratorConfig,
+    truncation_psi: Optional[float],
+    compute_dtype: Any = jnp.float32,
+) -> jax.Array:
+    images = generator_apply(
+        params, z, config, truncation_psi=truncation_psi, noise_mode="const",
+        compute_dtype=compute_dtype,
+    )
+    return images_to_uint8(images)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "compute_dtype"))
+def _jit_images_from_dlatents(
+    params: Params,
+    dlatents: jax.Array,
+    config: GeneratorConfig,
+    compute_dtype: Any = jnp.float32,
+) -> jax.Array:
+    images = synthesis_apply(
+        params, dlatents, config, noise_mode="const", compute_dtype=compute_dtype
+    )
+    return images_to_uint8(images)
+
+
+def _pad_batch(data: np.ndarray, batch_size: int) -> Tuple[np.ndarray, int]:
+    """Pad the leading axis up to `batch_size`; return (padded, real_count)."""
+    real = data.shape[0]
+    if real == batch_size:
+        return data, real
+    pad = [(0, batch_size - real)] + [(0, 0)] * (data.ndim - 1)
+    return np.pad(data, pad), real
+
+
+@dataclass
+class SynthesisNetwork:
+    """
+    A loaded generator: params + config + compiled batched apply.
+
+    Mirrors the reference `NetworkInterface` NT (network_functions.py:66-78) plus
+    batched entry points.
+    """
+
+    params: Params
+    config: GeneratorConfig
+    path: Optional[Path] = None
+    truncation_psi: Optional[float] = DEFAULT_TRUNCATION_PSI
+    compute_dtype: Any = jnp.float32
+
+    @classmethod
+    def from_pkl(
+        cls,
+        path: Path,
+        truncation_psi: Optional[float] = DEFAULT_TRUNCATION_PSI,
+        compute_dtype: Any = jnp.float32,
+    ) -> "SynthesisNetwork":
+        params, config = load_generator(Path(path))
+        return cls(
+            params=params,
+            config=config,
+            path=Path(path),
+            truncation_psi=truncation_psi,
+            compute_dtype=compute_dtype,
+        )
+
+    @property
+    def expected_vector_length(self) -> int:
+        """Input z length (reference network_functions.py:191)."""
+        return self.config.latent_size
+
+    @property
+    def resolution(self) -> int:
+        return self.config.resolution
+
+    # ---- batched (the TPU-native path) ----
+
+    def images_from_vectors(self, z_batch: np.ndarray) -> np.ndarray:
+        """(B, latent) z batch -> (B, R, R, 3) uint8."""
+        out = _jit_images_from_z(
+            self.params,
+            jnp.asarray(z_batch, jnp.float32),
+            self.config,
+            self.truncation_psi,
+            self.compute_dtype,
+        )
+        return np.asarray(out)
+
+    def images_from_matrices(self, dlatent_batch: np.ndarray) -> np.ndarray:
+        """
+        (B, num_style_rows, dlatent) w+ batch -> (B, R, R, 3) uint8. Skips the
+        mapping network AND truncation — projection latents are final
+        (reference network_functions.py:160-168).
+        """
+        out = _jit_images_from_dlatents(
+            self.params,
+            jnp.asarray(dlatent_batch, jnp.float32),
+            self.config,
+            self.compute_dtype,
+        )
+        return np.asarray(out)
+
+    def images_generic(self, batch: np.ndarray) -> np.ndarray:
+        """Dispatch on input rank: (B, V) -> vectors, (B, R, V) -> matrices."""
+        batch = np.asarray(batch)
+        if batch.ndim == 2:
+            return self.images_from_vectors(batch)
+        if batch.ndim == 3:
+            return self.images_from_matrices(batch)
+        raise ValueError(f"Cannot dispatch batch of shape {batch.shape}")
+
+    # ---- single-image compatibility surface (reference ImageFunction protocol) ----
+
+    def create_image_vector(self, data: np.ndarray) -> np.ndarray:
+        return self.images_from_vectors(np.asarray(data).reshape(1, -1))[0]
+
+    def create_image_matrix(self, data: np.ndarray) -> np.ndarray:
+        return self.images_from_matrices(np.asarray(data)[None, ...])[0]
+
+    def create_image_generic(self, data: np.ndarray) -> np.ndarray:
+        return (
+            self.create_image_vector(data)
+            if is_vector(data)
+            else self.create_image_matrix(data)
+        )
+
+
+class FakeSynthesisNetwork:
+    """
+    Deterministic fake backend for tests — the reference's mock-NetworkInterface
+    pattern (test_network_functions.py:29-99) promoted to a first-class fake. Images
+    encode the mean of the input so tests can assert data flow without a real model.
+    """
+
+    def __init__(self, resolution: int = 64, expected_vector_length: int = 512) -> None:
+        self.config = GeneratorConfig(resolution=resolution)
+        self._vector_length = expected_vector_length
+        self.path: Optional[Path] = None
+        self.resolution = resolution
+
+    @property
+    def expected_vector_length(self) -> int:
+        return self._vector_length
+
+    def _render(self, batch: np.ndarray) -> np.ndarray:
+        flat = batch.reshape(batch.shape[0], -1)
+        mean = flat.mean(axis=1)
+        value = np.clip((mean * 37 + 128), 0, 255).astype(np.uint8)
+        return np.broadcast_to(
+            value[:, None, None, None], (batch.shape[0], self.resolution, self.resolution, 3)
+        ).copy()
+
+    def images_from_vectors(self, z_batch: np.ndarray) -> np.ndarray:
+        return self._render(np.asarray(z_batch))
+
+    def images_from_matrices(self, dlatent_batch: np.ndarray) -> np.ndarray:
+        return self._render(np.asarray(dlatent_batch))
+
+    def images_generic(self, batch: np.ndarray) -> np.ndarray:
+        return self._render(np.asarray(batch))
+
+    def create_image_vector(self, data: np.ndarray) -> np.ndarray:
+        return self._render(np.asarray(data).reshape(1, -1))[0]
+
+    def create_image_matrix(self, data: np.ndarray) -> np.ndarray:
+        return self._render(np.asarray(data)[None])[0]
+
+    def create_image_generic(self, data: np.ndarray) -> np.ndarray:
+        return self._render(np.asarray(data).reshape(1, *np.asarray(data).shape))[0]
+
+
+NetworkLike = Union[SynthesisNetwork, FakeSynthesisNetwork]
+
+
+class MultiNetwork:
+    """
+    Multiple candidate networks addressed by index (reference MultiNetwork,
+    network_functions.py:484-640). All params stay resident (HBM) once loaded;
+    context-manager enter/exit maps to load/drop of the param arrays.
+    """
+
+    def __init__(
+        self,
+        network_paths: Sequence[Path],
+        load: bool = False,
+        truncation_psi: Optional[float] = DEFAULT_TRUNCATION_PSI,
+        compute_dtype: Any = jnp.float32,
+        _preloaded: Optional[List[NetworkLike]] = None,
+    ) -> None:
+        self.network_paths = [Path(p) for p in network_paths]
+        self._truncation_psi = truncation_psi
+        self._compute_dtype = compute_dtype
+        self._networks: Optional[List[NetworkLike]] = _preloaded
+        if load and self._networks is None:
+            self.load()
+
+    @classmethod
+    def from_networks(cls, networks: Sequence[NetworkLike]) -> "MultiNetwork":
+        """Build from already-constructed networks (incl. fakes, for tests)."""
+        return cls(
+            network_paths=[n.path or Path(f"fake_{i}") for i, n in enumerate(networks)],
+            _preloaded=list(networks),
+        )
+
+    def load(self) -> None:
+        if self._networks is None:
+            LOGGER.info("Loading %d networks", len(self.network_paths))
+            self._networks = [
+                SynthesisNetwork.from_pkl(
+                    p,
+                    truncation_psi=self._truncation_psi,
+                    compute_dtype=self._compute_dtype,
+                )
+                for p in self.network_paths
+            ]
+
+    def unload(self) -> None:
+        """Drop all param arrays (frees HBM; the reference kills child processes)."""
+        self._networks = None
+
+    def __enter__(self) -> "MultiNetwork":
+        self.load()
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.unload()
+
+    def _require_loaded(self) -> List[NetworkLike]:
+        if self._networks is None:
+            raise ValueError("Networks are not loaded; call load() or use as a context manager.")
+        return self._networks
+
+    def __len__(self) -> int:
+        return len(self.network_paths)
+
+    @property
+    def network_indices(self) -> List[int]:
+        return list(range(len(self.network_paths)))
+
+    @property
+    def expected_vector_length(self) -> int:
+        return self._require_loaded()[0].expected_vector_length
+
+    @property
+    def resolution(self) -> int:
+        return self._require_loaded()[0].resolution
+
+    def network(self, index: int) -> NetworkLike:
+        return self._require_loaded()[index]
+
+    # ---- single-image compatibility surface ----
+
+    def indexed_create_image_vector(self, index: int, data: np.ndarray) -> np.ndarray:
+        return self._require_loaded()[index].create_image_vector(data)
+
+    def indexed_create_image_matrix(self, index: int, data: np.ndarray) -> np.ndarray:
+        return self._require_loaded()[index].create_image_matrix(data)
+
+    def indexed_create_image_generic(self, index: int, data: np.ndarray) -> np.ndarray:
+        return self._require_loaded()[index].create_image_generic(data)
+
+    # ---- batched streaming synthesis (the hot path) ----
+
+    def synthesize_stream(
+        self,
+        frame_data: np.ndarray,
+        network_indices: Optional[np.ndarray] = None,
+        batch_size: int = DEFAULT_BATCH_SIZE,
+    ) -> Iterator[np.ndarray]:
+        """
+        Synthesize frames in order, yielding uint8 (H, W, 3) images one at a time
+        while computing in fixed-size batches.
+
+        The per-frame index stream is segmented into runs of equal network index
+        (indices come from smoothed+quantized audio, so runs are long); each run is
+        batched and dispatched to that network. Because every network's params are
+        resident, "switching" is free — this supersedes the reference's
+        sort-by-index + HDF5-spill reordering (network_visualization.py:631-674).
+
+        :param frame_data: (N, V) vectors or (N, R, V) matrices.
+        :param network_indices: (N,) ints into this MultiNetwork; None -> all zeros.
+        """
+        networks = self._require_loaded()
+        frame_data = np.asarray(frame_data)
+        n = frame_data.shape[0]
+        if network_indices is None:
+            network_indices = np.zeros((n,), dtype=int)
+        network_indices = np.asarray(network_indices).astype(int)
+        if network_indices.shape[0] < n:
+            n = network_indices.shape[0]
+            frame_data = frame_data[:n]
+
+        start = 0
+        while start < n:
+            index = int(network_indices[start])
+            end = start
+            while (
+                end < n
+                and int(network_indices[end]) == index
+                and (end - start) < batch_size
+            ):
+                end += 1
+            chunk = frame_data[start:end]
+            padded, real = _pad_batch(chunk, batch_size)
+            images = networks[index].images_generic(padded)
+            for i in range(real):
+                yield images[i]
+            start = end
+
+    def synthesize_all(
+        self,
+        frame_data: np.ndarray,
+        network_indices: Optional[np.ndarray] = None,
+        batch_size: int = DEFAULT_BATCH_SIZE,
+    ) -> np.ndarray:
+        """Materialize the full (N, R, R, 3) uint8 stack (small runs / tests)."""
+        return np.stack(
+            list(self.synthesize_stream(frame_data, network_indices, batch_size))
+        )

@@ -1,0 +1,211 @@
+"""
+Synthesis runtime tests: real tiny networks (batched z/matrix paths, index-run
+segmentation, streaming order) + the fake backend, + orchestration and input
+synthesis contracts. Mirrors the reference's mock-interface test pattern
+(test_network_functions.py:29-99).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from gance_tpu.models.pickle_loader import save_generator_pickle
+from gance_tpu.models.stylegan2 import GeneratorConfig, init_generator_params
+from gance_tpu.synthesis.inputs import (
+    alpha_blend_projection_file,
+    alpha_blend_vectors_max_rms_power_audio,
+)
+from gance_tpu.synthesis.orchestration import frame_inputs, vector_synthesis
+from gance_tpu.synthesis.runtime import FakeSynthesisNetwork, MultiNetwork, SynthesisNetwork
+from gance_tpu.types import MatricesLabel
+
+TINY = GeneratorConfig(resolution=16, fmap_base=256, fmap_max=32, latent_size=16,
+                       dlatent_size=16, mapping_layers=2, mapping_fmaps=16)
+
+
+@pytest.fixture(scope="module")
+def two_networks(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nets")
+    paths = []
+    for i in range(2):
+        params = init_generator_params(jax.random.PRNGKey(i), TINY)
+        path = d / f"{i}_net.pkl"
+        save_generator_pickle(params, path)
+        paths.append(path)
+    return paths
+
+
+def test_synthesis_network_from_pkl(two_networks):
+    net = SynthesisNetwork.from_pkl(two_networks[0])
+    assert net.expected_vector_length == 16
+    assert net.resolution == 16
+
+    z = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    imgs = net.images_from_vectors(z)
+    assert imgs.shape == (3, 16, 16, 3)
+    assert imgs.dtype == np.uint8
+
+    mats = np.random.RandomState(1).randn(2, TINY.num_style_rows, 16).astype(np.float32)
+    imgs_m = net.images_from_matrices(mats)
+    assert imgs_m.shape == (2, 16, 16, 3)
+
+    # generic dispatch: single-image API
+    one = net.create_image_generic(z[0])
+    np.testing.assert_array_equal(one, net.images_from_vectors(z[:1])[0])
+    one_m = net.create_image_generic(mats[0])
+    np.testing.assert_array_equal(one_m, net.images_from_matrices(mats[:1])[0])
+
+
+def test_batching_consistency(two_networks):
+    """Batched output must equal single-frame output regardless of batch segmentation."""
+    net = SynthesisNetwork.from_pkl(two_networks[0])
+    z = np.random.RandomState(2).randn(5, 16).astype(np.float32)
+    full = net.images_from_vectors(z)
+    singles = np.stack([net.create_image_vector(v) for v in z])
+    # XLA conv reduction order varies with batch size -> float jitter ~1e-6, which
+    # can flip a uint8 value sitting exactly on a rounding boundary by 1.
+    diff = np.abs(full.astype(int) - singles.astype(int))
+    assert diff.max() <= 1
+
+
+def test_multi_network_context_and_errors(two_networks):
+    multi = MultiNetwork(two_networks)
+    with pytest.raises(ValueError, match="not loaded"):
+        multi.indexed_create_image_vector(0, np.zeros(16))
+    with multi:
+        assert len(multi) == 2
+        assert multi.expected_vector_length == 16
+        img = multi.indexed_create_image_vector(1, np.zeros(16, np.float32))
+        assert img.shape == (16, 16, 3)
+    with pytest.raises(ValueError, match="not loaded"):
+        multi.expected_vector_length  # pylint: disable=pointless-statement
+
+
+def test_multi_network_stream_order_and_switching(two_networks):
+    multi = MultiNetwork(two_networks, load=True)
+    rng = np.random.RandomState(3)
+    frames = rng.randn(7, 16).astype(np.float32)
+    indices = np.array([0, 0, 1, 1, 1, 0, 1])
+    out = multi.synthesize_all(frames, indices, batch_size=3)
+    assert out.shape == (7, 16, 16, 3)
+    # each frame must match the single-image render through its selected network
+    # (uint8 +/-1 tolerance for batch-size-dependent float reduction order)
+    for i in range(7):
+        want = multi.indexed_create_image_vector(int(indices[i]), frames[i])
+        assert np.abs(out[i].astype(int) - want.astype(int)).max() <= 1
+
+
+def test_fake_network_stream():
+    fake_a = FakeSynthesisNetwork(resolution=8)
+    fake_b = FakeSynthesisNetwork(resolution=8)
+    multi = MultiNetwork.from_networks([fake_a, fake_b])
+    frames = np.ones((4, 16), np.float32)
+    out = multi.synthesize_all(frames, np.array([0, 1, 0, 1]), batch_size=2)
+    assert out.shape == (4, 8, 8, 3)
+
+
+# ------------------------------------------------------------------ orchestration
+
+
+def _small_audio(num_frames: int, vector_length: int) -> np.ndarray:
+    rng = np.random.RandomState(7)
+    return rng.randn(num_frames * vector_length).astype(np.float32) * 0.1
+
+
+def test_alpha_blend_vectors_contract():
+    vl = 512
+    audio = _small_audio(20, vl)
+    viz_input = alpha_blend_vectors_max_rms_power_audio(
+        alpha=0.25,
+        fft_roll_enabled=True,
+        fft_amplitude_range=(-1.0, 1.0),
+        time_series_audio_vectors=audio,
+        vector_length=vl,
+        network_indices=[0, 1, 2],
+    )
+    n = viz_input.combined.data.shape[0] // vl
+    assert n == 20
+    idx = viz_input.network_indices.result.data
+    assert idx.min() >= 0 and idx.max() <= 2
+    # alpha math: combined = noise*(1-a) + spec*a
+    want = (
+        np.asarray(viz_input.b_vectors.data) * 0.75
+        + np.asarray(viz_input.a_vectors.data) * 0.25
+    )
+    np.testing.assert_allclose(np.asarray(viz_input.combined.data), want, rtol=1e-5)
+
+
+def test_alpha_blend_projection_file_contract():
+    vl, rows = 512, 8
+    audio = _small_audio(20, vl)
+    rng = np.random.RandomState(11)
+    # 10 identical-row matrices, duplicated x2 to 20 frames
+    row = rng.randn(10 * vl).astype(np.float32)
+    mats = np.tile(row, (rows, 1))
+    label = MatricesLabel(data=mats, vector_length=vl, label="proj")
+
+    blend_depth = 3
+    viz_input = alpha_blend_projection_file(
+        final_latents_matrices_label=label,
+        alpha=0.5,
+        fft_roll_enabled=False,
+        fft_amplitude_range=(-1.0, 1.0),
+        blend_depth=blend_depth,
+        time_series_audio_vectors=audio,
+        vector_length=vl,
+        network_indices=[0],
+    )
+    combined = viz_input.combined.data
+    assert combined.shape == (rows, 20 * vl)
+    # rows >= blend_depth are pure projection latents
+    proj = viz_input.b_vectors.data
+    np.testing.assert_allclose(combined[blend_depth:], proj[blend_depth:], rtol=1e-6)
+    # rows < blend_depth are the blend
+    want = proj[0] * 0.5 + np.asarray(viz_input.a_vectors.data) * 0.5
+    np.testing.assert_allclose(combined[0], want, rtol=1e-5)
+    np.testing.assert_allclose(combined[blend_depth - 1], want, rtol=1e-5)
+
+
+def test_frame_inputs_windows():
+    vl = 512
+    audio = _small_audio(12, vl)
+    viz_input = alpha_blend_vectors_max_rms_power_audio(
+        alpha=0.5, fft_roll_enabled=False, fft_amplitude_range=(-1.0, 1.0),
+        time_series_audio_vectors=audio, vector_length=vl, network_indices=[0, 1],
+    )
+    frames = frame_inputs(viz_input, network_index_window_width=4)
+    assert len(frames) == 12
+    assert frames[0].index_window_start == 0
+    assert frames[6].index_window_start == 4
+    assert frames[0].a_sample.shape == (vl,)
+
+
+def test_vector_synthesis_with_fakes():
+    vl = 512
+    audio = _small_audio(10, vl)
+    viz_input = alpha_blend_vectors_max_rms_power_audio(
+        alpha=0.5, fft_roll_enabled=False, fft_amplitude_range=(-1.0, 1.0),
+        time_series_audio_vectors=audio, vector_length=vl, network_indices=[0, 1],
+    )
+    multi = MultiNetwork.from_networks(
+        [FakeSynthesisNetwork(resolution=8, expected_vector_length=vl) for _ in range(2)]
+    )
+    output = vector_synthesis(multi, viz_input, batch_size=4)
+    images = list(output.synthesized_images)
+    assert len(images) == 10
+    assert images[0].shape == (8, 8, 3)
+    assert output.visualization_images is None
+
+
+def test_vector_synthesis_frames_cap():
+    vl = 512
+    audio = _small_audio(10, vl)
+    viz_input = alpha_blend_vectors_max_rms_power_audio(
+        alpha=0.5, fft_roll_enabled=False, fft_amplitude_range=(-1.0, 1.0),
+        time_series_audio_vectors=audio, vector_length=vl, network_indices=[0],
+    )
+    multi = MultiNetwork.from_networks(
+        [FakeSynthesisNetwork(resolution=8, expected_vector_length=vl)]
+    )
+    output = vector_synthesis(multi, viz_input, frames_to_visualize=4)
+    assert len(list(output.synthesized_images)) == 4
