@@ -1,0 +1,170 @@
+"""
+ctypes bindings for the native media components (native/avi_muxer.cpp).
+
+The shared library is built on demand with `make` (g++ is a baked-in dependency);
+the build happens at most once per checkout and is cached as
+native/libgance_media.so.
+"""
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from gance_tpu.utils.logging import LOGGER
+
+_NATIVE_DIR = Path(__file__).resolve().parents[3] / "native"
+_LIB_PATH = _NATIVE_DIR / "libgance_media.so"
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        LOGGER.info("Building native media library in %s", _NATIVE_DIR)
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.avi_create.restype = ctypes.c_void_p
+    lib.avi_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.avi_write_video_frame.restype = ctypes.c_int
+    lib.avi_write_video_frame.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int
+    ]
+    lib.avi_write_audio.restype = ctypes.c_int
+    lib.avi_write_audio.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int
+    ]
+    lib.avi_finalize.restype = ctypes.c_int
+    lib.avi_finalize.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+class AviWriter:
+    """Streaming MJPEG+PCM16 AVI writer over the native muxer."""
+
+    def __init__(
+        self,
+        path: Path,
+        width: int,
+        height: int,
+        fps: float,
+        audio_rate: int = 0,
+        audio_channels: int = 0,
+        jpeg_quality: int = 95,
+    ) -> None:
+        self._lib = _load_library()
+        self._ctx = self._lib.avi_create(
+            str(path).encode(), width, height, float(fps), audio_rate, audio_channels
+        )
+        if not self._ctx:
+            raise ValueError(f"Couldn't create AVI file at {path}")
+        self._quality = jpeg_quality
+
+    def write_frame_rgb(self, frame: np.ndarray) -> None:
+        """Encode an RGB uint8 frame as JPEG and append it."""
+        import cv2
+
+        ok, jpeg = cv2.imencode(
+            ".jpg",
+            cv2.cvtColor(np.asarray(frame, np.uint8), cv2.COLOR_RGB2BGR),
+            [cv2.IMWRITE_JPEG_QUALITY, self._quality],
+        )
+        if not ok:
+            raise ValueError("JPEG encode failed")
+        data = np.ascontiguousarray(jpeg.reshape(-1))
+        self._lib.avi_write_video_frame(
+            self._ctx, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), data.size
+        )
+
+    def write_audio(self, samples: np.ndarray) -> None:
+        """Append interleaved int16 PCM samples."""
+        data = np.ascontiguousarray(np.asarray(samples, np.int16).reshape(-1))
+        self._lib.avi_write_audio(
+            self._ctx, data.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), data.size
+        )
+
+    def finalize(self) -> None:
+        if self._ctx:
+            self._lib.avi_finalize(self._ctx)
+            self._ctx = None
+
+
+def _audio_as_int16(path: Path) -> tuple:
+    from scipy.io import wavfile
+
+    rate, data = wavfile.read(str(path))
+    if data.dtype == np.int16:
+        pcm = data
+    elif data.dtype == np.int32:
+        pcm = (data / 65536).astype(np.int16)
+    elif data.dtype in (np.float32, np.float64):
+        pcm = np.clip(data * 32767.0, -32768, 32767).astype(np.int16)
+    elif data.dtype == np.uint8:
+        pcm = ((data.astype(np.int16) - 128) * 256).astype(np.int16)
+    else:
+        raise ValueError(f"Unsupported wav dtype {data.dtype}")
+    return rate, pcm
+
+
+def mux_video_with_audio(
+    video_path: Path, audio_paths: List[Path], output_path: Path
+) -> None:
+    """
+    Re-mux an existing video file with concatenated audio tracks into an MJPEG+PCM
+    AVI. The ffmpeg-less fallback for `add_wavs_to_video` — frames are re-encoded
+    as JPEG (quality 95), audio as PCM16, interleaved one frame's worth at a time.
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(str(video_path))
+    if not cap.isOpened():
+        raise ValueError(f"Couldn't open {video_path}")
+    fps = float(cap.get(cv2.CAP_PROP_FPS))
+    width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+
+    rates_pcm = [_audio_as_int16(p) for p in audio_paths]
+    rates = {r for r, _ in rates_pcm}
+    if len(rates) > 1:
+        raise ValueError("Audio tracks must share a sample rate for native muxing")
+    rate = rates.pop() if rates else 0
+    pcm = (
+        np.concatenate([p if p.ndim > 1 else p[:, None] for _, p in rates_pcm])
+        if rates_pcm
+        else np.zeros((0, 1), np.int16)
+    )
+    channels = pcm.shape[1] if pcm.size else 0
+
+    out = Path(output_path)
+    if out.suffix.lower() != ".avi":
+        LOGGER.warning(
+            "Native mux writes AVI content; output %s keeps its requested name.", out
+        )
+    writer = AviWriter(out, width, height, fps, audio_rate=rate, audio_channels=channels)
+
+    samples_per_frame = int(round(rate / fps)) if rate else 0
+    cursor = 0
+    try:
+        while True:
+            ret, frame = cap.read()
+            if not ret:
+                break
+            writer.write_frame_rgb(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if samples_per_frame and cursor < pcm.shape[0]:
+                chunk = pcm[cursor : cursor + samples_per_frame]
+                writer.write_audio(chunk)
+                cursor += samples_per_frame
+        if cursor < pcm.shape[0]:
+            writer.write_audio(pcm[cursor:])
+    finally:
+        cap.release()
+        writer.finalize()

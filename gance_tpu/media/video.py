@@ -1,0 +1,324 @@
+"""
+Streaming video read/write + audio muxing.
+
+Reference: gance/image_sources/video_common.py (SURVEY.md §2.6 row 1). Behavior kept:
+  * `frames_in_video` yields RGB frames with fps override, exact integer fps
+    reduction, optional resize (:229-298);
+  * writers come in a fast profile (cv2 mp4v, resolution-guarded) and a
+    "high quality" profile (ffmpeg libx264 crf 18, yuv422p, +faststart — the
+    YouTube-tuned settings at :108-140), the latter only when an ffmpeg binary is
+    present (this machine has none; cv2 mp4v is the fallback);
+  * `write_source_to_disk_forward` writes while re-yielding frames (the tee-through
+    streaming primitive, :301-368) and muxes audio at the end when audio paths are
+    given;
+  * audio muxing prefers ffmpeg, falls back to the native C++ MJPEG+PCM AVI muxer.
+"""
+
+import shutil
+import subprocess
+import tempfile
+from itertools import islice
+from pathlib import Path
+from typing import Iterator, List, NamedTuple, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from gance_tpu.types import ImageResolution, ImageSourceType, image_resolution
+from gance_tpu.utils.divisor import divide_no_remainder
+from gance_tpu.utils.logging import LOGGER
+
+
+class VideoFrames(NamedTuple):
+    """Metadata + lazy frame iterator (reference video_common.py:198-206)."""
+
+    original_fps: float
+    total_frame_count: int
+    original_resolution: ImageResolution
+    frames: ImageSourceType
+
+
+def reduce_fps_take_every(original_fps: float, new_fps: Optional[float]) -> Optional[int]:
+    """
+    How many frames to skip for an exact integer fps reduction; None when no
+    reduction requested (reference :209-226; raises unless divisible).
+    """
+    if new_fps is None:
+        return None
+    return divide_no_remainder(int(round(original_fps)), int(round(new_fps)))
+
+
+def frames_in_video(
+    video_path: Path,
+    video_fps: Optional[float] = None,
+    reduce_fps_to: Optional[float] = None,
+    width_height: Optional[Tuple[int, int]] = None,
+) -> VideoFrames:
+    """
+    Open a video and expose its RGB frames as a lazy iterator.
+
+    :param video_fps: override the container's fps metadata.
+    :param reduce_fps_to: keep every Nth frame for an exact fps reduction.
+    :param width_height: optional resize of each frame (cubic).
+    """
+    video = cv2.VideoCapture(str(video_path))
+    if not video.isOpened():
+        raise ValueError(f"Couldn't open video file: {video_path}")
+
+    fps = video_fps if video_fps is not None else float(video.get(cv2.CAP_PROP_FPS))
+    frame_count = int(video.get(cv2.CAP_PROP_FRAME_COUNT))
+    resolution = ImageResolution(
+        width=int(video.get(cv2.CAP_PROP_FRAME_WIDTH)),
+        height=int(video.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+    )
+    take_every = reduce_fps_take_every(fps, reduce_fps_to)
+
+    def iterate() -> Iterator[np.ndarray]:
+        while True:
+            ret, frame = video.read()
+            if not ret:
+                break
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if width_height is not None:
+                frame = cv2.resize(frame, width_height, interpolation=cv2.INTER_CUBIC)
+            yield frame
+        video.release()
+
+    frames: Iterator[np.ndarray] = iterate()
+    if take_every is not None:
+        frames = islice(frames, 0, None, take_every)
+        fps = reduce_fps_to
+        frame_count = frame_count // take_every
+
+    return VideoFrames(
+        original_fps=fps,
+        total_frame_count=frame_count,
+        original_resolution=resolution,
+        frames=frames,
+    )
+
+
+class VideoWriterHandle(NamedTuple):
+    """write(frame)/finish() pair (reference VideoOutputController, :82-93)."""
+
+    write: "callable"
+    finish: "callable"
+
+
+def _ffmpeg_binary() -> Optional[str]:
+    return shutil.which("ffmpeg")
+
+
+def create_video_writer(
+    video_path: Path,
+    video_fps: float,
+    resolution: ImageResolution,
+    high_quality: bool = False,
+) -> VideoWriterHandle:
+    """
+    Create a frame sink. `high_quality` selects the ffmpeg libx264 crf-18 profile
+    (reference :108-140) when ffmpeg exists; otherwise cv2 mp4v (:143-163) with the
+    reference's resolution guard semantics (frames must match the declared size).
+    """
+    video_path = Path(video_path)
+    video_path.parent.mkdir(parents=True, exist_ok=True)
+
+    if high_quality and _ffmpeg_binary():
+        proc = subprocess.Popen(
+            [
+                _ffmpeg_binary(),
+                "-y",
+                "-f", "rawvideo",
+                "-pix_fmt", "rgb24",
+                "-s", f"{resolution.width}x{resolution.height}",
+                "-r", str(video_fps),
+                "-i", "-",
+                "-vcodec", "libx264",
+                "-crf", "18",
+                "-pix_fmt", "yuv422p",
+                "-movflags", "+faststart",
+                str(video_path),
+            ],
+            stdin=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+
+        def write_ffmpeg(frame: np.ndarray) -> None:
+            proc.stdin.write(np.ascontiguousarray(frame, np.uint8).tobytes())
+
+        def finish_ffmpeg() -> None:
+            proc.stdin.close()
+            proc.wait()
+
+        return VideoWriterHandle(write=write_ffmpeg, finish=finish_ffmpeg)
+
+    if high_quality:
+        LOGGER.warning(
+            "high_quality writer requested but no ffmpeg binary found; using cv2 mp4v."
+        )
+
+    writer = cv2.VideoWriter(
+        str(video_path),
+        cv2.VideoWriter_fourcc(*"mp4v"),
+        video_fps,
+        (resolution.width, resolution.height),
+    )
+    if not writer.isOpened():
+        raise ValueError(f"Couldn't open video writer at {video_path}")
+
+    def write_cv2(frame: np.ndarray) -> None:
+        if image_resolution(frame) != resolution:
+            raise ValueError(
+                f"Frame resolution {image_resolution(frame)} != writer resolution {resolution}"
+            )
+        writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+
+    def finish_cv2() -> None:
+        writer.release()
+
+    return VideoWriterHandle(write=write_cv2, finish=finish_cv2)
+
+
+def add_wavs_to_video(
+    video_path: Path, audio_paths: List[Path], output_path: Path
+) -> None:
+    """
+    Mux audio track(s) into a video (reference :24-79: ffmpeg concat of audio
+    streams, video stream copied). Preference order:
+      1. ffmpeg binary (stream copy + flac audio, as the reference does),
+      2. native C++ AVI muxer (re-encodes frames as MJPEG, audio as PCM16),
+      3. sidecar .wav copy next to the output + warning.
+    """
+    video_path, output_path = Path(video_path), Path(output_path)
+    ffmpeg = _ffmpeg_binary()
+    if ffmpeg:
+        inputs: List[str] = []
+        for p in [video_path] + list(audio_paths):
+            inputs.extend(["-i", str(p)])
+        n_audio = len(audio_paths)
+        concat = "".join(f"[{i + 1}:a]" for i in range(n_audio))
+        cmd = [ffmpeg, "-y", *inputs]
+        if n_audio > 1:
+            cmd += [
+                "-filter_complex", f"{concat}concat=n={n_audio}:v=0:a=1[a]",
+                "-map", "0:v", "-map", "[a]",
+            ]
+        else:
+            cmd += ["-map", "0:v", "-map", "1:a"]
+        cmd += ["-c:v", "copy", "-c:a", "flac", str(output_path)]
+        subprocess.run(cmd, check=True, capture_output=True)
+        return
+
+    try:
+        from gance_tpu.media.native import mux_video_with_audio
+
+        mux_video_with_audio(video_path, list(audio_paths), output_path)
+        return
+    except Exception as e:  # pragma: no cover - depends on native build
+        LOGGER.warning("Native AVI mux unavailable (%s); writing sidecar audio.", e)
+
+    shutil.copyfile(video_path, output_path)
+    for i, audio in enumerate(audio_paths):
+        sidecar = output_path.with_suffix(f".audio{i}.wav")
+        shutil.copyfile(audio, sidecar)
+        LOGGER.warning("Audio written as sidecar: %s", sidecar)
+
+
+def write_source_to_disk_forward(
+    source: ImageSourceType,
+    video_path: Path,
+    video_fps: float,
+    audio_paths: Optional[List[Path]] = None,
+    high_quality: bool = False,
+) -> ImageSourceType:
+    """
+    Write `source` to disk while re-yielding each frame — the key streaming
+    tee-through primitive (reference :301-368). The first frame is peeked to learn
+    the resolution; with audio, video goes to a temp file then gets muxed.
+    """
+    source = iter(source)
+    try:
+        first = next(source)
+    except StopIteration:
+        LOGGER.warning("write_source_to_disk_forward: empty source for %s", video_path)
+
+        def empty() -> Iterator[np.ndarray]:
+            return iter(())
+
+        return empty()
+
+    resolution = image_resolution(first)
+    mux_audio = bool(audio_paths)
+    if mux_audio:
+        tmp = tempfile.NamedTemporaryFile(suffix=Path(video_path).suffix, delete=False)
+        tmp.close()
+        target = Path(tmp.name)
+    else:
+        target = Path(video_path)
+
+    writer = create_video_writer(target, video_fps, resolution, high_quality=high_quality)
+
+    def forward() -> Iterator[np.ndarray]:
+        count = 0
+        try:
+            frame = first
+            while True:
+                writer.write(frame)
+                count += 1
+                if count % 100 == 0:
+                    LOGGER.info("Wrote frame %d to %s", count, video_path)
+                yield frame
+                frame = next(source)
+        except StopIteration:
+            pass
+        finally:
+            writer.finish()
+            if mux_audio:
+                add_wavs_to_video(target, list(audio_paths), Path(video_path))
+                target.unlink(missing_ok=True)
+
+    return forward()
+
+
+def write_source_to_disk_consume(
+    source: ImageSourceType,
+    video_path: Path,
+    video_fps: float,
+    audio_paths: Optional[List[Path]] = None,
+    high_quality: bool = False,
+) -> None:
+    """Write the whole source to disk, discarding frames (reference :371-396)."""
+    for _ in write_source_to_disk_forward(
+        source, video_path, video_fps, audio_paths, high_quality
+    ):
+        pass
+
+
+def resize_source(
+    source: ImageSourceType, width_height: Tuple[int, int]
+) -> ImageSourceType:
+    """Cubic-resize every frame (reference :399-429)."""
+    return (
+        cv2.resize(frame, width_height, interpolation=cv2.INTER_CUBIC) for frame in source
+    )
+
+
+def scale_square_source_duplicate(
+    source: ImageSourceType, output_side_length: int, frame_multiplier: int = 1
+) -> ImageSourceType:
+    """
+    Resize square frames + repeat each frame `frame_multiplier` times — the fps
+    up-conversion used when output fps > projection fps (reference :432-455).
+    """
+
+    def iterate() -> Iterator[np.ndarray]:
+        for frame in source:
+            resized = cv2.resize(
+                frame,
+                (output_side_length, output_side_length),
+                interpolation=cv2.INTER_CUBIC,
+            )
+            for _ in range(frame_multiplier):
+                yield resized
+
+    return iterate()

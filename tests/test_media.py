@@ -1,0 +1,161 @@
+"""
+Media IO tests (modeled on the reference's test_video_common.py /
+test_iterator_on_disk.py): write→read roundtrips preserving fps/resolution/frames,
+fps reduction, tee-through forwarding, audio mux (native AVI path), disk tee, images.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gance_tpu.media.disk_tee import HDF5_SERIALIZER, iterator_on_disk
+from gance_tpu.media.images import horizontal_concat_images, read_image, write_image
+from gance_tpu.media.video import (
+    add_wavs_to_video,
+    frames_in_video,
+    reduce_fps_take_every,
+    resize_source,
+    scale_square_source_duplicate,
+    write_source_to_disk_consume,
+    write_source_to_disk_forward,
+)
+
+CLAPS = Path("/root/reference/test/assets/claps.wav")
+
+
+def _frames(n: int, size: int = 32) -> list:
+    rng = np.random.RandomState(5)
+    return [
+        (rng.rand(size, size, 3) * 255).astype(np.uint8) for _ in range(n)
+    ]
+
+
+def test_write_read_roundtrip(tmp_path):
+    path = tmp_path / "out.mp4"
+    frames = _frames(10)
+    write_source_to_disk_consume(iter(frames), path, video_fps=30.0)
+    video = frames_in_video(path)
+    assert video.original_fps == 30.0
+    assert video.total_frame_count == 10
+    assert video.original_resolution == (32, 32)
+    read_back = list(video.frames)
+    assert len(read_back) == 10
+    assert read_back[0].shape == (32, 32, 3)
+
+
+def test_forward_re_yields(tmp_path):
+    path = tmp_path / "out.mp4"
+    frames = _frames(5)
+    forwarded = list(write_source_to_disk_forward(iter(frames), path, video_fps=30.0))
+    assert len(forwarded) == 5
+    for a, b in zip(forwarded, frames):
+        np.testing.assert_array_equal(a, b)
+    assert path.exists()
+
+
+def test_fps_reduction(tmp_path):
+    path = tmp_path / "out.mp4"
+    write_source_to_disk_consume(iter(_frames(12)), path, video_fps=30.0)
+    video = frames_in_video(path, reduce_fps_to=15.0)
+    assert video.original_fps == 15.0
+    assert len(list(video.frames)) == 6
+    with pytest.raises(ValueError):
+        frames_in_video(path, reduce_fps_to=7.0)  # 30/7 not exact
+
+
+def test_reduce_fps_take_every():
+    assert reduce_fps_take_every(60.0, 30.0) == 2
+    assert reduce_fps_take_every(60.0, None) is None
+    with pytest.raises(ValueError):
+        reduce_fps_take_every(60.0, 25.0)
+
+
+def test_fps_override(tmp_path):
+    path = tmp_path / "out.mp4"
+    write_source_to_disk_consume(iter(_frames(4)), path, video_fps=30.0)
+    video = frames_in_video(path, video_fps=99.0)
+    assert video.original_fps == 99.0
+
+
+def test_resize_and_duplicate():
+    frames = _frames(3, size=16)
+    resized = list(resize_source(iter(frames), (8, 8)))
+    assert resized[0].shape == (8, 8, 3)
+    duplicated = list(scale_square_source_duplicate(iter(frames), 24, frame_multiplier=2))
+    assert len(duplicated) == 6
+    assert duplicated[0].shape == (24, 24, 3)
+    np.testing.assert_array_equal(duplicated[0], duplicated[1])
+
+
+def test_audio_mux_native(tmp_path):
+    """No ffmpeg on this machine -> exercises the native C++ AVI muxer."""
+    import cv2
+
+    video_path = tmp_path / "silent.mp4"
+    write_source_to_disk_consume(iter(_frames(8)), video_path, video_fps=4.0)
+    out = tmp_path / "muxed.avi"
+    add_wavs_to_video(video_path, [CLAPS], out)
+    assert out.exists() and out.stat().st_size > 1000
+
+    cap = cv2.VideoCapture(str(out))
+    assert cap.isOpened()
+    n = 0
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        assert frame.shape == (32, 32, 3)
+        n += 1
+    cap.release()
+    assert n == 8
+
+
+def test_empty_source(tmp_path):
+    out = list(write_source_to_disk_forward(iter(()), tmp_path / "e.mp4", 30.0))
+    assert out == []
+
+
+def test_iterator_on_disk_roundtrip():
+    items = _frames(4)
+    primary, secondary = iterator_on_disk(iter(items), copies=1)
+    collected_p, collected_s = [], []
+    for p in primary:
+        collected_p.append(p)
+    for s in secondary:
+        collected_s.append(s)
+    assert len(collected_s) == 4
+    for a, b in zip(collected_p, collected_s):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_iterator_on_disk_lockstep():
+    items = list(range(6))
+    primary, s1, s2 = iterator_on_disk(iter(items), copies=2)
+    for value in primary:
+        assert next(s1) == value
+        assert next(s2) == value
+
+
+def test_iterator_on_disk_hdf5():
+    items = _frames(3)
+    primary, secondary = iterator_on_disk(iter(items), copies=1, serializer=HDF5_SERIALIZER)
+    list(primary)
+    out = list(secondary)
+    np.testing.assert_array_equal(out[1], items[1])
+
+
+def test_image_roundtrip(tmp_path):
+    img = _frames(1, size=16)[0]
+    path = tmp_path / "img.png"
+    write_image(img, path)
+    back = read_image(path)
+    np.testing.assert_array_equal(img, back)
+
+
+def test_horizontal_concat():
+    a, b = _frames(2, size=16)
+    out = horizontal_concat_images([a, b])
+    assert out.shape == (16, 32, 3)
+    with pytest.raises(ValueError):
+        horizontal_concat_images([])
