@@ -1,0 +1,162 @@
+"""
+Streaming projection-file reader (reference gance/projection/
+projection_file_reader.py; SURVEY.md §2.5 row 2).
+
+Ordering contract preserved: groups/datasets are sorted by the trailing `_<int>` in
+their names (:50-65 — the CHANGELOG 0.13.0 lexicographic-sort bug fix). v1 attr
+migration handled in ProjectionAttributes.from_attrs_dict.
+"""
+
+from contextlib import contextmanager
+from pathlib import Path
+from typing import Iterator, List, Optional
+
+import h5py
+import numpy as np
+
+from gance_tpu.projection.projection_types import (
+    ProjectionAttributes,
+    complete_latents_to_matrix,
+)
+from gance_tpu.types import MatricesLabel
+from gance_tpu.utils.logging import LOGGER
+
+TARGET_IMAGES_GROUP_NAME = "target_images"
+FINAL_LATENTS_GROUP_NAME = "final_latents"
+FINAL_IMAGE_GROUP_NAME = "final_images"
+LATENTS_HISTORIES_GROUP_NAME = "latents_histories"
+IMAGES_HISTORIES_GROUP_NAME = "images_histories"
+NOISES_HISTORIES_GROUP_NAME = "noises_histories"
+
+
+def _sorted_items(group: h5py.Group, h5_type) -> Iterator:
+    """Items of a type, ordered by the trailing _<int> of their names."""
+    members = [(name, item) for name, item in group.items() if isinstance(item, h5_type)]
+    for name, item in sorted(members, key=lambda kv: int(kv[0].split("_")[-1])):
+        yield item
+
+
+def _datasets_in_group(group: h5py.Group, inner_matrix: bool) -> Iterator[np.ndarray]:
+    for dataset in _sorted_items(group, h5py.Dataset):
+        array = np.array(dataset)
+        yield complete_latents_to_matrix(array) if inner_matrix else array
+
+
+def _double_iter(group: h5py.Group, inner_matrix: bool) -> Iterator[Iterator[np.ndarray]]:
+    for sub in _sorted_items(group, h5py.Group):
+        yield _datasets_in_group(sub, inner_matrix=inner_matrix)
+
+
+class ProjectionFileReader:
+    """Read-only view over a projection file; all iterators are lazy."""
+
+    def __init__(self, projection_file_path: Path) -> None:
+        self._file = h5py.File(str(projection_file_path), "r")
+        self.projection_attributes = ProjectionAttributes.from_attrs_dict(
+            dict(self._file.attrs)
+        )
+
+    def close(self) -> None:
+        self._file.close()
+
+    @property
+    def target_images(self) -> Iterator[np.ndarray]:
+        """The original frames that were projected."""
+        return _datasets_in_group(self._file[TARGET_IMAGES_GROUP_NAME], inner_matrix=False)
+
+    @property
+    def final_latents(self) -> Iterator[np.ndarray]:
+        """Final (R, 512) latents per frame (inner matrix pulled from (1, R, 512))."""
+        return _datasets_in_group(self._file[FINAL_LATENTS_GROUP_NAME], inner_matrix=True)
+
+    @property
+    def final_images(self) -> Iterator[np.ndarray]:
+        """The synthesized images at the final latents."""
+        return _datasets_in_group(self._file[FINAL_IMAGE_GROUP_NAME], inner_matrix=False)
+
+    @property
+    def latents_histories(self) -> Iterator[Iterator[np.ndarray]]:
+        return _double_iter(self._file[LATENTS_HISTORIES_GROUP_NAME], inner_matrix=True)
+
+    @property
+    def noises_histories(self) -> Iterator[Iterator[np.ndarray]]:
+        return _double_iter(self._file[NOISES_HISTORIES_GROUP_NAME], inner_matrix=False)
+
+    @property
+    def images_histories(self) -> Iterator[Iterator[np.ndarray]]:
+        return _double_iter(self._file[IMAGES_HISTORIES_GROUP_NAME], inner_matrix=False)
+
+    def final_latents_at_frame(self, frame_index: int) -> np.ndarray:
+        """Random access into the final latents (reference :437-455)."""
+        dataset = self._file[FINAL_LATENTS_GROUP_NAME][
+            f"{FINAL_LATENTS_GROUP_NAME}_{frame_index}"
+        ]
+        return complete_latents_to_matrix(np.array(dataset))
+
+
+@contextmanager
+def load_projection_file(projection_file_path: Path) -> Iterator[ProjectionFileReader]:
+    """Context-managed reader (reference :457-464)."""
+    reader = ProjectionFileReader(projection_file_path)
+    try:
+        yield reader
+    finally:
+        reader.close()
+
+
+def verify_projection_file_assumptions(projection_file_path: Path) -> None:
+    """
+    Assert the rows-identical invariant of projector outputs (reference :236-260):
+    every final latent's rows are equal (the projector optimizes a single w row
+    broadcast to all style rows), same for latent histories when present.
+    """
+
+    def verify_all_rows_same(latents: Iterator[np.ndarray]) -> None:
+        for matrix in latents:
+            first = matrix[0]
+            for row in matrix:
+                assert np.array_equal(first, row)
+
+    with load_projection_file(projection_file_path) as reader:
+        verify_all_rows_same(reader.final_latents)
+        if reader.projection_attributes.latents_histories_enabled:
+            for history in reader.latents_histories:
+                verify_all_rows_same(history)
+
+
+def _iterator_to_matrices_label(iterator: Iterator[np.ndarray], label: str) -> MatricesLabel:
+    try:
+        first = next(iterator)
+    except StopIteration as e:
+        raise StopIteration(f"Iterator labeled: {label} was empty!") from e
+    data = np.concatenate([first] + list(iterator), axis=-1)
+    return MatricesLabel(data=data, vector_length=first.shape[-1], label=label)
+
+
+def final_latents_matrices_label(reader: ProjectionFileReader) -> MatricesLabel:
+    """All final latents concatenated along time as a MatricesLabel (reference :287)."""
+    attrs = reader.projection_attributes
+    return _iterator_to_matrices_label(
+        reader.final_latents,
+        label=(
+            f"{Path(attrs.original_target_path).name} "
+            f"proj by {Path(attrs.original_network_path).name}"
+        ),
+    )
+
+
+def projection_history_step_matrices_label(
+    reader: ProjectionFileReader, step: int
+) -> MatricesLabel:
+    """Latents at a fixed history step across all frames (reference :322)."""
+    attrs = reader.projection_attributes
+
+    def at_step() -> Iterator[np.ndarray]:
+        for history in reader.latents_histories:
+            steps = list(history)
+            yield steps[step]
+
+    return _iterator_to_matrices_label(
+        at_step(),
+        label=f"{Path(attrs.original_target_path).name} history step {step}",
+    )

@@ -1,0 +1,307 @@
+"""
+Projection-file (HDF5 v2) writer + the video→projection-file pipeline.
+
+Schema kept bit-compatible with the reference (projector_file_writer.py:71-88,
+:726-884):
+  * root attrs = ProjectionAttributes (complete=False until the end — the per-frame
+    durability contract: a crash keeps every finished frame);
+  * per-frame datasets  /target_images/target_images_{i},
+                        /final_latents/final_latents_{i}   (shape (1, R, 512)),
+                        /final_images/final_images_{i};
+  * per-frame history groups /latents_histories/latents_histories_{i}/
+    latents_histories_{i}_step_{s} (same pattern for images/noises);
+  * every dataset gzip level 9 + shuffle;
+  * f.flush() after every frame.
+
+Divergence note: the reference writer zips history payloads against groups in the
+wrong order (projector_file_writer.py:750-760 + :869-880 — the `images_histories`
+group receives flattened noises and `noises_histories` receives images). This writer
+stores each payload in its correctly-named group. Files written by the reference
+with those (rarely-enabled) histories will read back swapped.
+
+The writer is decoupled from the projector: any producer can stream
+(step, latents, noises, image) tuples into `frame_writer()`. The reference instead
+hard-wires the TF child process + forwarding queue (SURVEY.md §2.10 row 2); on TPU
+the projector is a jitted loop in-process, so the queue/process machinery is gone
+while the watchdog + durability semantics live on (projector.py).
+"""
+
+import itertools
+from contextlib import contextmanager
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
+
+import h5py
+import numpy as np
+
+from gance_tpu.media.video import frames_in_video
+from gance_tpu.projection.projection_types import (
+    LATEST_VERSION,
+    CompleteLatentsType,
+    NoisesShapesType,
+    ProjectionAttributes,
+)
+from gance_tpu.utils.hashing import hash_file
+from gance_tpu.utils.logging import LOGGER
+
+DEFAULT_STEPS_PER_PROJECTION = 1000
+DEFAULT_EXPECTED_TIME_PER_STEP = 60.0
+COMPRESSION_LEVEL = 9
+
+TARGET_IMAGES_GROUP_NAME = "target_images"
+FINAL_LATENTS_GROUP_NAME = "final_latents"
+FINAL_IMAGE_GROUP_NAME = "final_images"
+LATENTS_HISTORIES_GROUP_NAME = "latents_histories"
+IMAGES_HISTORIES_GROUP_NAME = "images_histories"
+NOISES_HISTORIES_GROUP_NAME = "noises_histories"
+
+_PER_FRAME_DATASET_GROUP_NAMES = [
+    TARGET_IMAGES_GROUP_NAME,
+    FINAL_LATENTS_GROUP_NAME,
+    FINAL_IMAGE_GROUP_NAME,
+]
+_PER_FRAME_SUB_GROUP_GROUP_NAMES = [
+    LATENTS_HISTORIES_GROUP_NAME,
+    IMAGES_HISTORIES_GROUP_NAME,
+    NOISES_HISTORIES_GROUP_NAME,
+]
+
+
+def flatten_noises(noises: List[np.ndarray]) -> np.ndarray:
+    """Concat-flatten the (inconsistently shaped) noise buffers (reference :804-810)."""
+    return np.concatenate([np.asarray(n).flatten() for n in noises])
+
+
+def _write_dataset(group: h5py.Group, name: str, data: np.ndarray) -> None:
+    group.create_dataset(
+        name,
+        shape=np.asarray(data).shape,
+        dtype=np.asarray(data).dtype,
+        data=data,
+        compression="gzip",
+        compression_opts=COMPRESSION_LEVEL,
+        shuffle=True,
+    )
+
+
+class ProjectionFileWriter:
+    """
+    Incremental projection-file writer with the reference's durability semantics.
+
+    Usage:
+        with ProjectionFileWriter(path, attrs) as writer:
+            with writer.frame_writer() as frame:
+                frame.record_step(step, latents, noises, image)   # per history step
+                frame.finish(target_image, final_latents, final_image)
+        # on clean exit the `complete` attr flips to True
+    """
+
+    def __init__(self, path: Path, attributes: ProjectionAttributes) -> None:
+        self._path = Path(path)
+        self.attributes = attributes
+        self._file = h5py.File(str(self._path), "w")
+        self.attributes.complete = False
+        self._file.attrs.update(self.attributes.to_attrs_dict())
+        self._groups = {
+            name: self._file.create_group(name)
+            for name in _PER_FRAME_DATASET_GROUP_NAMES + _PER_FRAME_SUB_GROUP_GROUP_NAMES
+        }
+        self._frame_index = 0
+        self._noises_shapes: Optional[NoisesShapesType] = None
+
+    def __enter__(self) -> "ProjectionFileWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.close(complete=exc_type is None)
+
+    @property
+    def frame_index(self) -> int:
+        return self._frame_index
+
+    @contextmanager
+    def frame_writer(self):
+        """Context for writing one frame's history steps + final datasets."""
+        writer = _FrameWriter(self, self._frame_index)
+        yield writer
+        if not writer.finished:
+            raise ValueError("frame_writer exited without calling finish()")
+        self._frame_index += 1
+        self._file.flush()
+
+    def record_noises_shapes(self, shapes: NoisesShapesType) -> None:
+        if self._noises_shapes is None:
+            self._noises_shapes = list(shapes)
+        elif list(shapes) != list(self._noises_shapes):
+            LOGGER.warning(
+                "Noises shapes changed between projections. Was %s now %s",
+                self._noises_shapes,
+                shapes,
+            )
+
+    def close(self, complete: bool) -> None:
+        if self._file is None:
+            return
+        self.attributes.complete = complete
+        self.attributes.projection_frame_count = self._frame_index
+        if self._noises_shapes:
+            self.attributes.noises_shapes = self._noises_shapes
+        self._file.attrs.update(self.attributes.to_attrs_dict())
+        self._file.close()
+        self._file = None
+
+
+class _FrameWriter:
+    """Writes one frame's step history + final datasets (internal)."""
+
+    def __init__(self, parent: ProjectionFileWriter, index: int) -> None:
+        self._parent = parent
+        self._index = index
+        self.finished = False
+        attrs = parent.attributes
+        self._history_groups = {}
+        for name, enabled in [
+            (LATENTS_HISTORIES_GROUP_NAME, attrs.latents_histories_enabled),
+            (IMAGES_HISTORIES_GROUP_NAME, attrs.images_histories_enabled),
+            (NOISES_HISTORIES_GROUP_NAME, attrs.noises_histories_enabled),
+        ]:
+            self._history_groups[name] = (
+                parent._groups[name].create_group(f"{name}_{index}") if enabled else None
+            )
+
+    def record_step(
+        self,
+        step: int,
+        latents: CompleteLatentsType,
+        noises: List[np.ndarray],
+        image: np.ndarray,
+    ) -> None:
+        """Append one optimization step's intermediates to the enabled histories."""
+        payloads = {
+            LATENTS_HISTORIES_GROUP_NAME: np.asarray(latents),
+            IMAGES_HISTORIES_GROUP_NAME: np.asarray(image),
+            NOISES_HISTORIES_GROUP_NAME: flatten_noises(noises) if noises else None,
+        }
+        for name, group in self._history_groups.items():
+            if group is not None and payloads[name] is not None:
+                _write_dataset(group, f"{name}_{self._index}_step_{step}", payloads[name])
+        if noises:
+            self._parent.record_noises_shapes([tuple(np.asarray(n).shape) for n in noises])
+
+    def finish(
+        self,
+        target_image: np.ndarray,
+        final_latents: CompleteLatentsType,
+        final_image: np.ndarray,
+    ) -> None:
+        """Write the three per-frame final datasets."""
+        groups = self._parent._groups
+        _write_dataset(
+            groups[TARGET_IMAGES_GROUP_NAME],
+            f"{TARGET_IMAGES_GROUP_NAME}_{self._index}",
+            np.asarray(target_image),
+        )
+        _write_dataset(
+            groups[FINAL_LATENTS_GROUP_NAME],
+            f"{FINAL_LATENTS_GROUP_NAME}_{self._index}",
+            np.asarray(final_latents),
+        )
+        _write_dataset(
+            groups[FINAL_IMAGE_GROUP_NAME],
+            f"{FINAL_IMAGE_GROUP_NAME}_{self._index}",
+            np.asarray(final_image),
+        )
+        self.finished = True
+
+
+def project_video_to_file(
+    path_to_video: Path,
+    path_to_network: Path,
+    projection_file_path: Path,
+    video_fps: Optional[float] = None,
+    projection_fps: Optional[float] = None,
+    projection_width_height: Optional[Tuple[int, int]] = None,
+    steps_per_projection: int = DEFAULT_STEPS_PER_PROJECTION,
+    num_frames_to_project: Optional[int] = None,
+    latents_histories_enabled: bool = True,
+    noises_histories_enabled: bool = False,
+    images_histories_enabled: bool = False,
+    batch_number: Optional[int] = None,
+    expected_time_per_step: float = DEFAULT_EXPECTED_TIME_PER_STEP,
+) -> None:
+    """
+    Project every frame of a video into a network's latent space, streaming results
+    into a projection file (reference projector_file_writer.py:617-802).
+    """
+    from gance_tpu.projection.projector import TPUProjector  # local: heavy import
+
+    video = frames_in_video(
+        video_path=path_to_video,
+        video_fps=video_fps,
+        reduce_fps_to=projection_fps,
+        width_height=projection_width_height,
+    )
+
+    if projection_width_height is None:
+        projection_width_height = tuple(video.original_resolution)
+
+    num_projection_frames = (
+        min(video.total_frame_count, num_frames_to_project)
+        if num_frames_to_project is not None
+        else video.total_frame_count
+    )
+
+    projector = TPUProjector.from_pkl(
+        path_to_network,
+        num_steps=steps_per_projection,
+        expected_time_per_step=expected_time_per_step,
+    )
+
+    attributes = ProjectionAttributes(
+        version_number=LATEST_VERSION,
+        complete=False,
+        original_target_path=str(path_to_video),
+        original_width_height=tuple(video.original_resolution),
+        projection_width_height=tuple(projection_width_height),
+        target_md5_hash=hash_file(Path(path_to_video)),
+        original_network_path=str(path_to_network),
+        network_md5_hash=hash_file(Path(path_to_network)),
+        steps_in_projection=steps_per_projection,
+        noises_shapes=np.nan,
+        latents_histories_enabled=latents_histories_enabled,
+        noises_histories_enabled=noises_histories_enabled,
+        images_histories_enabled=images_histories_enabled,
+        original_fps=video.original_fps if projection_fps is None else video.original_fps,
+        projection_fps=projection_fps if projection_fps is not None else video.original_fps,
+        original_frame_count=video.total_frame_count,
+        projection_frame_count=num_projection_frames,
+    )
+
+    with ProjectionFileWriter(projection_file_path, attributes) as writer:
+        for index, frame in enumerate(
+            itertools.islice(video.frames, num_frames_to_project)
+        ):
+            LOGGER.info(
+                "Rendering projection %s%d/%d",
+                f"batch {batch_number} - " if batch_number is not None else "",
+                index,
+                num_projection_frames,
+            )
+            any_histories = (
+                latents_histories_enabled
+                or noises_histories_enabled
+                or images_histories_enabled
+            )
+            with writer.frame_writer() as frame_writer:
+                result = projector.project(
+                    frame,
+                    step_callback=frame_writer.record_step if any_histories else None,
+                    want_step_images=images_histories_enabled,
+                )
+                writer.record_noises_shapes(result.noises_shapes)
+                frame_writer.finish(
+                    target_image=frame,
+                    final_latents=result.final_latents,
+                    final_image=result.final_image,
+                )
+    LOGGER.info("Projection totally complete!")

@@ -1,0 +1,273 @@
+"""
+TPU latent projector: optimize (w, noise buffers) so the generator reproduces a
+target image — the reference submodule's `Projector` (SURVEY.md §2.9 row 5)
+re-implemented as a jitted optax loop.
+
+Behavioral contract kept from NVlabs projector.py:
+  * optimize a single (1, 512) w initialized at the sampled dlatent average,
+    broadcast to all style rows at synthesis time ⇒ final latents (1, R, 512) with
+    identical rows (the invariant `verify_projection_file_assumptions` checks);
+  * Adam with cosine ramp-down / linear ramp-up LR schedule (base 0.1);
+  * annealed gaussian jitter added to w (initial_noise_factor 0.05 × dlatent_std,
+    ramp 0.75);
+  * per-layer noise buffers optimized jointly, pyramid cross-correlation
+    regularizer (weight 1e5), re-normalized to zero-mean/unit-std every step;
+  * perceptual distance evaluated at ≤256px (average-pooled);
+  * default 1000 steps; a wall-clock watchdog per step replaces the reference's
+    child-process timeout (projector_file_writer.py:64,:311-329) — the failure
+    detection semantic survives, the process machinery doesn't.
+
+Where the reference runs TF in a watchdogged child process and ships step results
+over a bounded queue, this projector is a pure in-process jitted step; history
+streaming happens through a host callback per step (the HDF5 writer), which also
+preserves the per-frame durability contract.
+"""
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gance_tpu.models.pickle_loader import load_generator
+from gance_tpu.models.stylegan2 import (
+    GeneratorConfig,
+    images_to_uint8,
+    mapping_apply,
+    synthesis_apply,
+)
+from gance_tpu.projection.lpips import (
+    downsample_to,
+    lpips_distance,
+    load_vgg_params,
+    random_vgg_params,
+)
+from gance_tpu.utils.logging import LOGGER
+
+StepCallback = Callable[[int, np.ndarray, List[np.ndarray], np.ndarray], None]
+
+
+class ProjectionResult(NamedTuple):
+    """Final outputs of one frame's projection."""
+
+    final_latents: np.ndarray  # (1, R, 512), rows identical
+    final_image: np.ndarray  # (H, W, 3) uint8
+    noises: List[np.ndarray]
+    noises_shapes: List[Tuple[int, ...]]
+    final_distance: float
+
+
+@dataclass
+class ProjectorSettings:
+    """Hyperparameters (NVlabs projector.py defaults)."""
+
+    num_steps: int = 1000
+    dlatent_avg_samples: int = 10_000
+    initial_learning_rate: float = 0.1
+    initial_noise_factor: float = 0.05
+    lr_rampdown_length: float = 0.25
+    lr_rampup_length: float = 0.05
+    noise_ramp_length: float = 0.75
+    regularize_noise_weight: float = 1e5
+    perceptual_size: int = 256
+    seed: int = 303
+
+
+def _lr_schedule(t: jax.Array, s: ProjectorSettings) -> jax.Array:
+    ramp = jnp.minimum(1.0, (1.0 - t) / s.lr_rampdown_length)
+    ramp = 0.5 - 0.5 * jnp.cos(ramp * jnp.pi)
+    ramp = ramp * jnp.minimum(1.0, t / s.lr_rampup_length)
+    return s.initial_learning_rate * ramp
+
+
+def _noise_regularization(noises: List[jax.Array]) -> jax.Array:
+    """Pyramid shifted-correlation penalty (NVlabs reg_loss)."""
+    reg = jnp.asarray(0.0, jnp.float32)
+    for noise in noises:
+        v = noise  # (1, H, W, 1)
+        size = v.shape[1]
+        while True:
+            reg = reg + jnp.mean(v * jnp.roll(v, 1, axis=2)) ** 2
+            reg = reg + jnp.mean(v * jnp.roll(v, 1, axis=1)) ** 2
+            if size <= 8:
+                break
+            v = v.reshape(1, size // 2, 2, size // 2, 2, 1).mean(axis=(2, 4))
+            size //= 2
+    return reg
+
+
+def _normalize_noises(noises: List[jax.Array]) -> List[jax.Array]:
+    return [
+        (n - jnp.mean(n)) * jax.lax.rsqrt(jnp.mean(jnp.square(n - jnp.mean(n))) + 1e-8)
+        for n in noises
+    ]
+
+
+class TPUProjector:
+    """Projects images into a single generator's latent space."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        config: GeneratorConfig,
+        num_steps: int = 1000,
+        vgg_weights_path: Optional[Path] = None,
+        expected_time_per_step: Optional[float] = None,
+        settings: Optional[ProjectorSettings] = None,
+    ) -> None:
+        self.params = params
+        self.config = config
+        self.settings = settings or ProjectorSettings()
+        self.settings.num_steps = num_steps
+        self.expected_time_per_step = expected_time_per_step
+        self._perceptual_params = (
+            load_vgg_params(vgg_weights_path)
+            if vgg_weights_path is not None
+            else random_vgg_params(seed=0)
+        )
+        self._noise_names = sorted(
+            params["synthesis"].get("noise", {}).keys(), key=lambda n: int(n[5:])
+        )
+        self._optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=0.1)
+        self._compute_dlatent_stats()
+        self._step_fn = self._build_step()
+
+    @classmethod
+    def from_pkl(cls, path: Path, num_steps: int = 1000, **kwargs: Any) -> "TPUProjector":
+        params, config = load_generator(Path(path))
+        return cls(params, config, num_steps=num_steps, **kwargs)
+
+    def _compute_dlatent_stats(self) -> None:
+        """Sampled w average/std (NVlabs uses 10k z samples)."""
+        n = self.settings.dlatent_avg_samples
+        z = jax.random.normal(
+            jax.random.PRNGKey(self.settings.seed), (n, self.config.latent_size)
+        )
+        w = mapping_apply(self.params, z, self.config)
+        self.dlatent_avg = jnp.mean(w, axis=0, keepdims=True)  # (1, 512)
+        self.dlatent_std = float(
+            jnp.sqrt(jnp.mean(jnp.sum(jnp.square(w - self.dlatent_avg), axis=1)))
+        )
+
+    def _synthesis_from_w(self, w: jax.Array, noises: List[jax.Array]) -> jax.Array:
+        """(1, 512) + noise buffers -> (1, R, R, 3) float image."""
+        dlatents = jnp.tile(w[:, None, :], (1, self.config.num_style_rows, 1))
+        params = dict(self.params)
+        synthesis = dict(params["synthesis"])
+        synthesis["noise"] = {
+            name: noises[i] for i, name in enumerate(self._noise_names)
+        }
+        params["synthesis"] = synthesis
+        return synthesis_apply(params, dlatents, self.config, noise_mode="const")
+
+    def _build_step(self):
+        settings = self.settings
+
+        def loss_fn(w, noises, target_proc, w_jitter):
+            images = self._synthesis_from_w(w + w_jitter, noises)
+            proc = downsample_to(images, settings.perceptual_size)
+            dist = lpips_distance(self._perceptual_params, proc, target_proc)[0]
+            reg = _noise_regularization(noises) * settings.regularize_noise_weight
+            return dist + reg, (dist, images)
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+        def step(w, noises, opt_state, target_proc, t, rng):
+            noise_strength = (
+                self.dlatent_std
+                * settings.initial_noise_factor
+                * jnp.maximum(0.0, 1.0 - t / settings.noise_ramp_length) ** 2
+            )
+            w_jitter = jax.random.normal(rng, w.shape) * noise_strength
+            (_, (dist, images)), grads = grad_fn(w, noises, target_proc, w_jitter)
+            opt_state.hyperparams["learning_rate"] = _lr_schedule(t, settings)
+            updates, opt_state = self._optimizer.update(grads, opt_state, (w, noises))
+            w, noises = optax.apply_updates((w, noises), updates)
+            noises = _normalize_noises(noises)
+            # History image = this step's forward (pre-update), like the reference's
+            # get_images(); reusing it avoids a second synthesis pass per step.
+            image = images_to_uint8(images)[0]
+            return w, noises, opt_state, dist, image
+
+        return jax.jit(step)
+
+    def project(
+        self,
+        target_image: np.ndarray,
+        step_callback: Optional[StepCallback] = None,
+        want_step_images: bool = True,
+    ) -> ProjectionResult:
+        """
+        Optimize latents to reproduce `target_image` (uint8 (H, W, 3)); stream each
+        step through `step_callback(step, latents(1,R,512), noises, image_uint8)`.
+        """
+        settings = self.settings
+        resolution = self.config.resolution
+
+        target = jnp.asarray(target_image, jnp.float32) / 127.5 - 1.0
+        target = target[None, ...]
+        if target.shape[1] != resolution:
+            target = jax.image.resize(
+                target, (1, resolution, resolution, 3), method="linear"
+            )
+        target_proc = downsample_to(target, settings.perceptual_size)
+
+        rng = jax.random.PRNGKey(settings.seed)
+        w = jnp.asarray(self.dlatent_avg)
+        noise_rng, rng = jax.random.split(rng)
+        noises = [
+            jax.random.normal(jax.random.fold_in(noise_rng, i),
+                              self.params["synthesis"]["noise"][name].shape)
+            for i, name in enumerate(self._noise_names)
+        ]
+        opt_state = self._optimizer.init((w, noises))
+
+        dist = jnp.asarray(0.0)
+        image = np.zeros((resolution, resolution, 3), np.uint8)
+        for step_number in range(settings.num_steps):
+            start_time = time.monotonic()
+            t = jnp.asarray(step_number / max(settings.num_steps, 1), jnp.float32)
+            rng, step_rng = jax.random.split(rng)
+            w, noises, opt_state, dist, image_dev = self._step_fn(
+                w, noises, opt_state, target_proc, t, step_rng
+            )
+            if step_callback is not None:
+                latents = np.tile(
+                    np.asarray(w)[:, None, :], (1, self.config.num_style_rows, 1)
+                )
+                noises_np = [np.asarray(n) for n in noises]
+                image = (
+                    np.asarray(image_dev)
+                    if want_step_images
+                    else np.zeros((0, 0, 3), np.uint8)
+                )
+                step_callback(step_number, latents, noises_np, image)
+            elapsed = time.monotonic() - start_time
+            if (
+                self.expected_time_per_step is not None
+                and elapsed > self.expected_time_per_step
+            ):
+                raise RuntimeError(
+                    f"Projection step {step_number} took {elapsed:.1f}s > "
+                    f"expected {self.expected_time_per_step}s — assuming a hang "
+                    "(watchdog semantics from the reference's per-step timeout)."
+                )
+
+        image = np.asarray(
+            images_to_uint8(self._synthesis_from_w(w, noises))[0]
+        )
+        final_latents = np.tile(
+            np.asarray(w)[:, None, :], (1, self.config.num_style_rows, 1)
+        )
+        noises_np = [np.asarray(n) for n in noises]
+        return ProjectionResult(
+            final_latents=final_latents,
+            final_image=image,
+            noises=noises_np,
+            noises_shapes=[tuple(n.shape) for n in noises_np],
+            final_distance=float(dist),
+        )
