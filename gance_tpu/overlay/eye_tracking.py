@@ -1,0 +1,128 @@
+"""
+Eye-tracking overlay gating (reference gance/overlay/overlay_eye_tracking.py).
+
+Per frame pair (foreground = projection target, background = synthesized): find eye
+boxes in both; overlay iff the closest pair of eye boxes is nearer than
+`min_bbox_distance` AND the perceptual-hash distance of the two eye *crops* is at
+most `min_phash_distance` (the bbox-crop phash per CHANGELOG 0.19.0). Honors the
+per-frame `skip_mask`.
+"""
+
+import itertools
+from typing import Iterator, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from gance_tpu.overlay.common import (
+    BoundingBox,
+    DistanceBoxes,
+    OverlayResult,
+    bounding_box_distance,
+    convert_to_pil_box,
+    landmarks_to_bounding_boxes,
+)
+from gance_tpu.overlay.faces import FaceFinderProxy
+from gance_tpu.overlay.phash import phash_batch, phash_distance
+from gance_tpu.types import ImageSourceType
+from gance_tpu.utils.logging import LOGGER
+
+
+class OverlayContext(NamedTuple):
+    """Why a frame was or wasn't overlaid (reference overlay_visualization.py:19-39)."""
+
+    overlay_written: bool = False
+    bbox_distance: Optional[float] = None
+    bbox_perceptual_hash_distance: Optional[int] = None
+
+
+class _FrameOverlayResult(NamedTuple):
+    foreground_bounding_boxes: Optional[List[BoundingBox]] = None
+    context: OverlayContext = OverlayContext()
+
+
+def _crop(image: np.ndarray, box: BoundingBox) -> np.ndarray:
+    left, upper, right, lower = convert_to_pil_box(box)
+    h, w = image.shape[:2]
+    return image[max(upper, 0) : min(lower, h), max(left, 0) : min(right, w)]
+
+
+def compute_eye_tracking_overlay(
+    foreground_images: ImageSourceType,
+    background_images: ImageSourceType,
+    min_phash_distance: int,
+    min_bbox_distance: float,
+    skip_mask: Optional[List[bool]] = None,
+) -> OverlayResult:
+    """
+    Lazily compute per-frame overlay decisions; returns the two decision streams
+    (bbox lists to composite, contexts for visualization).
+    """
+    face_finder = FaceFinderProxy()
+    frame_counter = itertools.count()
+
+    def per_frame(
+        packed: Tuple[np.ndarray, np.ndarray, bool]
+    ) -> _FrameOverlayResult:
+        foreground_image, background_image, skip = packed
+        frame_number = next(frame_counter)
+
+        if skip:
+            LOGGER.info("Skipping eye tracking overlay for frame #%d", frame_number)
+            return _FrameOverlayResult()
+
+        foreground_boxes = landmarks_to_bounding_boxes(
+            face_finder.face_landmarks(face_image=foreground_image)
+        )
+        background_boxes = landmarks_to_bounding_boxes(
+            face_finder.face_landmarks(face_image=background_image)
+        )
+
+        distance_boxes: Optional[DistanceBoxes] = bounding_box_distance(
+            a_boxes=foreground_boxes, b_boxes=background_boxes
+        )
+        box_flag = distance_boxes is not None and (
+            distance_boxes.distance < min_bbox_distance
+        )
+
+        bbox_phash_dist: Optional[int] = None
+        if box_flag:
+            fg_crop = _crop(foreground_image, distance_boxes.a_box)
+            bg_crop = _crop(background_image, distance_boxes.b_box)
+            if fg_crop.size and bg_crop.size:
+                hashes = phash_batch([fg_crop, bg_crop])
+                bbox_phash_dist = phash_distance(hashes[0], hashes[1])
+            else:
+                box_flag = False
+
+        overlay_flag = box_flag and bbox_phash_dist <= min_phash_distance
+
+        LOGGER.info(
+            "Computed eye tracking overlay for frame #%d, content? %s",
+            frame_number,
+            overlay_flag,
+        )
+
+        return _FrameOverlayResult(
+            foreground_bounding_boxes=foreground_boxes if overlay_flag else None,
+            context=OverlayContext(
+                bbox_perceptual_hash_distance=bbox_phash_dist,
+                bbox_distance=distance_boxes.distance if distance_boxes else None,
+                overlay_written=overlay_flag,
+            ),
+        )
+
+    results: Iterator[_FrameOverlayResult] = map(
+        per_frame,
+        zip(
+            foreground_images,
+            background_images,
+            skip_mask if skip_mask is not None else itertools.cycle([False]),
+        ),
+    )
+
+    # Split the per-frame tuples into two lockstep streams without materializing.
+    primary, secondary = itertools.tee(results, 2)
+    return OverlayResult(
+        bbox_lists=(r.foreground_bounding_boxes for r in primary),
+        contexts=(r.context for r in secondary),
+    )
