@@ -23,3 +23,27 @@ Layers (mirrors SURVEY.md §1 layer map, rebuilt TPU-first):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+_platforms = _os.environ.get("JAX_PLATFORMS", "")
+if _platforms and _platforms.lower() != "axon":
+    # The axon TPU plugin pins jax_platforms to itself, which silently overrides a
+    # user's JAX_PLATFORMS (e.g. =cpu for tests/tools). Re-applying the user's value
+    # through the config API restores the documented env-var behavior. The plugin's
+    # own ambient value ("axon") is left alone.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platforms)
+
+if _os.environ.get("GANCE_TPU_COMPILE_CACHE", "1") != "0":
+    # XLA compiles are expensive (minutes over a tunneled TPU); persist them so CLI
+    # invocations after the first are fast. Opt out with GANCE_TPU_COMPILE_CACHE=0.
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "GANCE_TPU_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "gance_tpu_jax"),
+    )
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

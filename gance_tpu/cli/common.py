@@ -1,0 +1,103 @@
+"""
+Shared click option plumbing (reference music_into_networks.py:67-282 +
+gance/cli_common.py): the ~15 common options of the music-video commands, the
+network-source group, the all-or-none debug/overlay groups, and the --run-config
+provenance dump.
+"""
+
+import json
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import click
+
+from gance_tpu.models.pickle_loader import parse_network_paths
+from gance_tpu.utils.logging import add_log_file
+
+EXTENSION_HDF5 = ".hdf5"
+EXTENSION_MP4 = ".mp4"
+
+
+def common_command_options(func: Callable) -> Callable:
+    """The shared option block of `noise_blend` / `projection_file_blend`."""
+    options = [
+        click.option(
+            "--wav", type=click.Path(exists=True, dir_okay=False), multiple=True,
+            required=True, help="Path(s) to input audio, concatenated in order.",
+        ),
+        click.option(
+            "--output-path", type=click.Path(dir_okay=False), required=True,
+            help="Path to the output video.",
+        ),
+        click.option(
+            "--networks-directory", type=click.Path(file_okay=False), default=None,
+            help="Directory of network .pkl files (alphanumeric order).",
+        ),
+        click.option(
+            "--network-path", type=click.Path(dir_okay=False), multiple=True,
+            help="Explicit network .pkl path (repeatable).",
+        ),
+        click.option(
+            "--networks-json", type=click.Path(dir_okay=False), default=None,
+            help='JSON file: {"networks": [paths...]}.',
+        ),
+        click.option(
+            "--frames-to-visualize", type=click.IntRange(min=0), default=None,
+            help="Cap the number of output frames (smoke tests).",
+        ),
+        click.option("--output-fps", type=click.FloatRange(min=0), default=60.0),
+        click.option("--output-side-length", type=click.IntRange(min=1), default=1024),
+        click.option(
+            "--debug-path", type=click.Path(dir_okay=False), default=None,
+            help="Write the multi-tile debug video here.",
+        ),
+        click.option("--debug-window", type=click.IntRange(min=1), default=100),
+        click.option("--debug-side-length", type=click.IntRange(min=1), default=400),
+        click.option("--alpha", type=click.FloatRange(0, 1), default=0.25),
+        click.option("--fft-roll-enabled", is_flag=True, default=False),
+        click.option(
+            "--fft-amplitude-range", type=(float, float), default=(-1.0, 1.0)
+        ),
+        click.option(
+            "--run-config", type=click.Path(dir_okay=False), default=None,
+            help="Dump the resolved CLI arguments to this JSON path.",
+        ),
+        click.option("--log", type=click.Path(dir_okay=False), default=None),
+    ]
+    for option in reversed(options):
+        func = option(func)
+    return func
+
+
+def resolve_networks(
+    networks_directory: Optional[str],
+    network_path: tuple,
+    networks_json: Optional[str],
+) -> List[Path]:
+    """Merge the three network sources (reference network_functions.py:643-682)."""
+    return parse_network_paths(
+        networks_directory=Path(networks_directory) if networks_directory else None,
+        network_paths=[Path(p) for p in network_path] if network_path else None,
+        networks_json=Path(networks_json) if networks_json else None,
+    )
+
+
+def dump_run_config(run_config: Optional[str], arguments: Dict[str, Any]) -> None:
+    """--run-config: reproducibility dump (reference music_into_networks.py:265-282)."""
+    if run_config is None:
+        return
+    serializable = {
+        key: (
+            str(value)
+            if isinstance(value, Path)
+            else [str(v) for v in value]
+            if isinstance(value, (list, tuple))
+            else value
+        )
+        for key, value in arguments.items()
+    }
+    Path(run_config).write_text(json.dumps(serializable, indent=2))
+
+
+def setup_log(log: Optional[str]) -> None:
+    add_log_file(Path(log) if log else None)

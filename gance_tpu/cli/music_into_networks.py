@@ -1,0 +1,151 @@
+"""
+Main CLI: music (+ optional projection file) → StyleGAN2 music video
+(reference music_into_networks.py — command group with `noise-blend` and
+`projection-file-blend`, option names preserved).
+"""
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import click
+
+from gance_tpu.cli.common import (
+    common_command_options,
+    dump_run_config,
+    resolve_networks,
+    setup_log,
+)
+
+
+@click.group()
+def cli() -> None:
+    """Map music into the latent space of StyleGAN2 networks."""
+
+
+@cli.command(name="noise-blend")
+@common_command_options
+def noise_blend(  # pylint: disable=too-many-arguments
+    wav: Tuple[str, ...],
+    output_path: str,
+    networks_directory: Optional[str],
+    network_path: Tuple[str, ...],
+    networks_json: Optional[str],
+    frames_to_visualize: Optional[int],
+    output_fps: float,
+    output_side_length: int,
+    debug_path: Optional[str],
+    debug_window: int,
+    debug_side_length: int,
+    alpha: float,
+    fft_roll_enabled: bool,
+    fft_amplitude_range: Tuple[float, float],
+    run_config: Optional[str],
+    log: Optional[str],
+) -> None:
+    """Blend audio spectrogram with smoothed noise and synthesize a video."""
+    setup_log(log)
+    network_paths = resolve_networks(networks_directory, network_path, networks_json)
+    dump_run_config(run_config, dict(locals()))
+
+    from gance_tpu.pipelines.noise_blend import noise_blend_api
+
+    noise_blend_api(
+        wav=[Path(w) for w in wav],
+        output_path=Path(output_path),
+        network_paths=network_paths,
+        frames_to_visualize=frames_to_visualize,
+        output_fps=output_fps,
+        output_side_length=output_side_length,
+        debug_path=Path(debug_path) if debug_path else None,
+        debug_window=debug_window,
+        debug_side_length=debug_side_length,
+        alpha=alpha,
+        fft_roll_enabled=fft_roll_enabled,
+        fft_amplitude_range=fft_amplitude_range,
+    )
+
+
+@cli.command(name="projection-file-blend")
+@common_command_options
+@click.option(
+    "--projection-file-path", type=click.Path(exists=True, dir_okay=False),
+    required=True, help="Path to the projection file (HDF5).",
+)
+@click.option(
+    "--blend-depth", type=click.IntRange(0, 18), default=10,
+    help="Number of style rows that receive the audio blend.",
+)
+@click.option(
+    "--phash-distance", type=click.IntRange(min=0), default=None,
+    help="Overlay gate: max eye-crop perceptual hash distance.",
+)
+@click.option(
+    "--bbox-distance", type=click.FloatRange(min=0), default=None,
+    help="Overlay gate: max eye bbox center distance in px.",
+)
+@click.option(
+    "--track-length", type=click.IntRange(min=0), default=None,
+    help="Overlay gate: min consecutive overlay frames to keep a track.",
+)
+def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
+    wav: Tuple[str, ...],
+    output_path: str,
+    networks_directory: Optional[str],
+    network_path: Tuple[str, ...],
+    networks_json: Optional[str],
+    frames_to_visualize: Optional[int],
+    output_fps: float,
+    output_side_length: int,
+    debug_path: Optional[str],
+    debug_window: int,
+    debug_side_length: int,
+    alpha: float,
+    fft_roll_enabled: bool,
+    fft_amplitude_range: Tuple[float, float],
+    run_config: Optional[str],
+    log: Optional[str],
+    projection_file_path: str,
+    blend_depth: int,
+    phash_distance: Optional[int],
+    bbox_distance: Optional[float],
+    track_length: Optional[int],
+) -> None:
+    """Blend audio into projection-file latents and synthesize, with optional
+    eye-tracking overlay (all three overlay options must be given together)."""
+    overlay_params = (phash_distance, bbox_distance, track_length)
+    if any(p is not None for p in overlay_params) and not all(
+        p is not None for p in overlay_params
+    ):
+        raise click.UsageError(
+            "--phash-distance, --bbox-distance, --track-length must be given together."
+        )
+
+    setup_log(log)
+    network_paths = resolve_networks(networks_directory, network_path, networks_json)
+    dump_run_config(run_config, dict(locals()))
+
+    from gance_tpu.pipelines.projection_file_blend import projection_file_blend_api
+
+    projection_file_blend_api(
+        wav=[Path(w) for w in wav],
+        output_path=Path(output_path),
+        network_paths=network_paths,
+        frames_to_visualize=frames_to_visualize,
+        output_fps=output_fps,
+        output_side_length=output_side_length,
+        debug_path=Path(debug_path) if debug_path else None,
+        debug_window=debug_window,
+        debug_side_length=debug_side_length,
+        alpha=alpha,
+        fft_roll_enabled=fft_roll_enabled,
+        fft_amplitude_range=fft_amplitude_range,
+        projection_file_path=Path(projection_file_path),
+        blend_depth=blend_depth,
+        phash_distance=phash_distance,
+        bbox_distance=bbox_distance,
+        track_length=track_length,
+    )
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,150 @@
+"""
+CLI: project videos into network latent space → projection files, and visualize
+projection files (reference project_video_to_file.py — `videos`, `directory`,
+`visualize-final-latents` commands, option names preserved).
+"""
+
+from pathlib import Path
+from typing import Callable, List, Optional, Tuple
+
+import click
+
+from gance_tpu.utils.logging import LOGGER, add_log_file
+
+
+def projection_options(func: Callable) -> Callable:
+    """Shared projection options (reference :165-270)."""
+    options = [
+        click.option("--video-fps", type=click.FloatRange(min=0), default=None),
+        click.option(
+            "--path-to-network", type=click.Path(exists=True, dir_okay=False),
+            required=True,
+        ),
+        click.option("--projection-width-height", type=(int, int), default=None),
+        click.option("--projection-fps", type=click.FloatRange(min=0), default=None),
+        click.option("--steps-per-projection", type=click.IntRange(min=1), default=1000),
+        click.option("--num-frames-to-project", type=click.IntRange(min=1), default=None),
+        click.option("--latents-histories-enabled", is_flag=True, default=False),
+        click.option("--noises-histories-enabled", is_flag=True, default=False),
+        click.option("--images-histories-enabled", is_flag=True, default=False),
+        click.option("--log", type=click.Path(dir_okay=False), default=None),
+    ]
+    for option in reversed(options):
+        func = option(func)
+    return func
+
+
+@click.group()
+def cli() -> None:
+    """Project videos into the latent space of networks, creating projection files."""
+
+
+def _run_projection(
+    video_path: Path,
+    output_path: Path,
+    path_to_network: str,
+    video_fps: Optional[float],
+    projection_width_height: Optional[Tuple[int, int]],
+    projection_fps: Optional[float],
+    steps_per_projection: int,
+    num_frames_to_project: Optional[int],
+    latents_histories_enabled: bool,
+    noises_histories_enabled: bool,
+    images_histories_enabled: bool,
+    batch_number: Optional[int] = None,
+) -> None:
+    from gance_tpu.projection.file_writer import project_video_to_file
+
+    project_video_to_file(
+        path_to_video=video_path,
+        path_to_network=Path(path_to_network),
+        projection_file_path=output_path,
+        video_fps=video_fps,
+        projection_fps=projection_fps,
+        projection_width_height=projection_width_height,
+        steps_per_projection=steps_per_projection,
+        num_frames_to_project=num_frames_to_project,
+        latents_histories_enabled=latents_histories_enabled,
+        noises_histories_enabled=noises_histories_enabled,
+        images_histories_enabled=images_histories_enabled,
+        batch_number=batch_number,
+    )
+
+
+@cli.command()
+@projection_options
+@click.option(
+    "--video-output", type=(click.Path(exists=True, dir_okay=False), click.Path(dir_okay=False)),
+    multiple=True, required=True,
+    help="(input video, output projection file) pair; repeatable.",
+)
+def videos(video_output: Tuple[Tuple[str, str], ...], log: Optional[str], **kwargs) -> None:
+    """Project one or more (video, output) pairs."""
+    add_log_file(Path(log) if log else None)
+    for batch_number, (video_path, output_path) in enumerate(video_output):
+        _run_projection(
+            Path(video_path), Path(output_path), batch_number=batch_number, **kwargs
+        )
+
+
+@cli.command()
+@projection_options
+@click.option(
+    "--directory-of-videos", type=click.Path(exists=True, file_okay=False), required=True
+)
+@click.option("--video-extension", type=str, default=".mp4")
+@click.option(
+    "--output-file-directory", type=click.Path(file_okay=False), required=True
+)
+@click.option("--output-file-prefix", type=str, default="projection")
+def directory(
+    directory_of_videos: str,
+    video_extension: str,
+    output_file_directory: str,
+    output_file_prefix: str,
+    log: Optional[str],
+    **kwargs,
+) -> None:
+    """Project every video in a directory."""
+    add_log_file(Path(log) if log else None)
+    out_dir = Path(output_file_directory)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sources = sorted(Path(directory_of_videos).glob(f"*{video_extension}"))
+    if not sources:
+        raise click.UsageError(
+            f"No {video_extension} videos in {directory_of_videos}"
+        )
+    for batch_number, video_path in enumerate(sources):
+        output_path = out_dir / f"{output_file_prefix}_{video_path.stem}.hdf5"
+        _run_projection(video_path, output_path, batch_number=batch_number, **kwargs)
+
+
+@cli.command(name="visualize-final-latents")
+@click.option(
+    "--projection-file", type=click.Path(exists=True, dir_okay=False), required=True
+)
+@click.option("--output-path", type=click.Path(dir_okay=False), required=True)
+@click.option("--audio-path", type=click.Path(exists=True, dir_okay=False), multiple=True)
+@click.option("--video-height", type=click.IntRange(min=1), default=400)
+@click.option("--log", type=click.Path(dir_okay=False), default=None)
+def visualize_final_latents_command(
+    projection_file: str,
+    output_path: str,
+    audio_path: Tuple[str, ...],
+    video_height: int,
+    log: Optional[str],
+) -> None:
+    """Render [latents plot | target | final image] triptych video from a file."""
+    add_log_file(Path(log) if log else None)
+    from gance_tpu.projection.visualization import visualize_final_latents
+
+    visualize_final_latents(
+        projection_file_path=Path(projection_file),
+        output_video_path=Path(output_path),
+        audio_paths=[Path(p) for p in audio_path] or None,
+        video_height=video_height,
+    )
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,101 @@
+"""
+noise_blend — audio → spectrogram-vs-noise alpha blend → batched synthesis → video
+(reference music_into_networks.py:285-401).
+"""
+
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import more_itertools
+
+from gance_tpu.audio.io import read_wavs_scale_for_video
+from gance_tpu.media.images import horizontal_concat_images
+from gance_tpu.media.video import (
+    resize_source,
+    write_source_to_disk_consume,
+    write_source_to_disk_forward,
+)
+from gance_tpu.synthesis.inputs import alpha_blend_vectors_max_rms_power_audio
+from gance_tpu.synthesis.orchestration import vector_synthesis
+from gance_tpu.synthesis.runtime import MultiNetwork
+from gance_tpu.utils.logging import LOGGER
+
+
+def noise_blend_api(
+    wav: List[Path],
+    output_path: Path,
+    network_paths: List[Path],
+    frames_to_visualize: Optional[int],
+    output_fps: float,
+    output_side_length: int,
+    debug_path: Optional[Path],
+    debug_window: Optional[int],
+    debug_side_length: Optional[int],
+    alpha: float,
+    fft_roll_enabled: bool,
+    fft_amplitude_range: Tuple[float, float],
+    cache_path: Optional[Path] = None,
+) -> None:
+    """
+    Render a music video: audio features alpha-blended with smoothed gaussian noise,
+    network per frame selected by quantized RMS loudness.
+    """
+    create_debug_visualization = debug_path is not None
+    audio_paths = [Path(p) for p in wav]
+
+    with MultiNetwork(network_paths=network_paths) as multi_networks:
+        audio = read_wavs_scale_for_video(
+            wavs=audio_paths,
+            vector_length=multi_networks.expected_vector_length,
+            frames_per_second=output_fps,
+            cache_path=cache_path,
+        ).wav_data
+
+        visualizer = None
+        if create_debug_visualization:
+            from gance_tpu.viz.panels import synthesis_visualizer
+
+            visualizer = synthesis_visualizer(side_length=debug_side_length)
+
+        synthesis_output = vector_synthesis(
+            networks=multi_networks,
+            data=alpha_blend_vectors_max_rms_power_audio(
+                alpha=alpha,
+                fft_roll_enabled=fft_roll_enabled,
+                fft_amplitude_range=fft_amplitude_range,
+                time_series_audio_vectors=audio,
+                vector_length=multi_networks.expected_vector_length,
+                network_indices=multi_networks.network_indices,
+            ),
+            frames_to_visualize=frames_to_visualize,
+            visualizer=visualizer,
+        )
+
+        hero_frames = write_source_to_disk_forward(
+            source=resize_source(
+                synthesis_output.synthesized_images,
+                (output_side_length, output_side_length),
+            ),
+            video_path=Path(output_path),
+            video_fps=output_fps,
+            audio_paths=audio_paths,
+            high_quality=True,
+        )
+
+        if create_debug_visualization:
+            write_source_to_disk_consume(
+                source=(
+                    horizontal_concat_images([hero, viz])
+                    for hero, viz in zip(
+                        resize_source(hero_frames, (debug_side_length, debug_side_length)),
+                        synthesis_output.visualization_images,
+                    )
+                ),
+                video_path=Path(debug_path),
+                video_fps=output_fps,
+                audio_paths=audio_paths,
+            )
+        else:
+            more_itertools.consume(hero_frames)
+
+    LOGGER.info("noise_blend complete: %s", output_path)

@@ -1,0 +1,309 @@
+"""
+projection_file_blend — the flagship pipeline (reference
+gance/projection_file_blend.py:56-343; produced the Won Pound album video).
+
+Audio spectrogram alpha-blended into the first `blend_depth` style rows of a
+projection file's final latents, batched synthesis with loudness-driven network
+switching, optional eye-tracked overlay of the projection targets gated by
+bbox/phash distance + track-length filtering + (optionally) a music-complexity
+mask, muxed with the audio track; optional many-tile debug video.
+"""
+
+import logging
+from itertools import tee
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
+
+import more_itertools
+import numpy as np
+
+from gance_tpu.audio import reduction as vector_reduction
+from gance_tpu.audio.io import read_wavs_scale_for_video
+from gance_tpu.audio.vectors import underlying_length
+from gance_tpu.media.disk_tee import HDF5_SERIALIZER, iterator_on_disk
+from gance_tpu.media.images import horizontal_concat_images
+from gance_tpu.media.video import (
+    scale_square_source_duplicate,
+    write_source_to_disk_consume,
+    write_source_to_disk_forward,
+)
+from gance_tpu.overlay.common import write_boxes_onto_image
+from gance_tpu.overlay.eye_tracking import compute_eye_tracking_overlay
+from gance_tpu.projection import file_reader as projection_file_reader
+from gance_tpu.synthesis.inputs import alpha_blend_projection_file
+from gance_tpu.synthesis.orchestration import vector_synthesis
+from gance_tpu.synthesis.runtime import MultiNetwork
+from gance_tpu.types import DataLabel, ResultLayers
+from gance_tpu.utils.divisor import divide_no_remainder
+from gance_tpu.utils.logging import LOGGER
+
+
+def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branches
+    wav: List[Path],
+    output_path: Path,
+    network_paths: List[Path],
+    frames_to_visualize: Optional[int],
+    output_fps: float,
+    output_side_length: int,
+    debug_path: Optional[Path],
+    debug_window: Optional[int],
+    debug_side_length: Optional[int],
+    alpha: float,
+    fft_roll_enabled: bool,
+    fft_amplitude_range: Tuple[float, float],
+    projection_file_path: Path,
+    blend_depth: int,
+    complexity_change_rolling_sum_window: Optional[int] = None,
+    complexity_change_threshold: Optional[float] = None,
+    phash_distance: Optional[int] = None,
+    bbox_distance: Optional[float] = None,
+    track_length: Optional[int] = None,
+) -> None:
+    """See module docstring; parameter meanings match the reference CLI help."""
+    create_debug_visualization = debug_path is not None
+    audio_paths = [Path(p) for p in wav]
+
+    overlay_enabled = all(
+        p is not None for p in (phash_distance, bbox_distance, track_length)
+    )
+    overlay_music_mask_enabled = all(
+        p is not None
+        for p in (complexity_change_rolling_sum_window, complexity_change_threshold)
+    )
+    if overlay_music_mask_enabled and not overlay_enabled:
+        raise ValueError("Overlay music mask without overlay being enabled is not supported!")
+
+    multi_networks = MultiNetwork(network_paths=network_paths, load=True)
+
+    with projection_file_reader.load_projection_file(Path(projection_file_path)) as reader:
+        final_latents = projection_file_reader.final_latents_matrices_label(reader)
+
+        final_latents_in_file = (
+            underlying_length(final_latents.data) / multi_networks.expected_vector_length
+        )
+        processed_frames_in_file = reader.projection_attributes.projection_frame_count
+        projection_complete = reader.projection_attributes.complete
+
+        LOGGER.info(
+            "Reading projection file. Complete: %s, Final Latent Count: %s, "
+            "Processed Frames: %s",
+            projection_complete,
+            final_latents_in_file,
+            processed_frames_in_file,
+        )
+
+        if not projection_complete or abs(final_latents_in_file - processed_frames_in_file) > 2:
+            raise ValueError("Invalid Projection File, cannot continue.")
+
+        frame_multiplier = divide_no_remainder(
+            numerator=int(output_fps),
+            denominator=int(reader.projection_attributes.projection_fps),
+        )
+        num_output_frames = int(frame_multiplier * final_latents_in_file)
+
+        time_series_audio_vectors = read_wavs_scale_for_video(
+            wavs=audio_paths,
+            vector_length=multi_networks.expected_vector_length,
+            target_num_vectors=num_output_frames,
+        ).wav_data
+
+        visualizer = None
+        if create_debug_visualization:
+            from gance_tpu.viz.panels import synthesis_visualizer
+
+            visualizer = synthesis_visualizer(side_length=debug_side_length)
+
+        synthesis_output = vector_synthesis(
+            networks=multi_networks,
+            data=alpha_blend_projection_file(
+                final_latents_matrices_label=final_latents,
+                alpha=alpha,
+                fft_roll_enabled=fft_roll_enabled,
+                fft_amplitude_range=fft_amplitude_range,
+                blend_depth=blend_depth,
+                time_series_audio_vectors=time_series_audio_vectors,
+                vector_length=multi_networks.expected_vector_length,
+                network_indices=multi_networks.network_indices,
+            ),
+            frames_to_visualize=frames_to_visualize,
+            visualizer=visualizer,
+            unload_networks_when_complete=True,
+        )
+
+        # Disk-tee the two frame streams so overlay detection and final compositing
+        # can each consume a copy without holding frames in RAM (reference :184-199).
+        num_copies = 1 if overlay_enabled else 0
+        foreground_iterators = iterator_on_disk(
+            iterator=scale_square_source_duplicate(
+                source=reader.target_images,
+                output_side_length=output_side_length,
+                frame_multiplier=frame_multiplier,
+            ),
+            copies=num_copies,
+            serializer=HDF5_SERIALIZER,
+        )
+        background_iterators = iterator_on_disk(
+            iterator=scale_square_source_duplicate(
+                source=synthesis_output.synthesized_images,
+                output_side_length=output_side_length,
+            ),
+            copies=num_copies,
+            serializer=HDF5_SERIALIZER,
+        )
+
+        music_complexity_overlay_mask: Optional[ResultLayers] = (
+            vector_reduction.rolling_sum_results_layers(
+                vector_reduction.absolute_value_results_layers(
+                    results_layers=ResultLayers(
+                        result=DataLabel(
+                            data=vector_reduction.derive_results_layers(
+                                vector_reduction.reduce_vector_gzip_compression_rolling_average(
+                                    time_series_audio_vectors=time_series_audio_vectors,
+                                    vector_length=multi_networks.expected_vector_length,
+                                ),
+                                order=1,
+                            ).result.data,
+                            label="Gzipped audio, smoothed, averaged, 1st order derivation.",
+                        ),
+                        layers=[],
+                    ),
+                ),
+                window_length=complexity_change_rolling_sum_window,
+            )
+            if overlay_music_mask_enabled
+            else None
+        )
+
+        overlay_results = None
+        foregrounds: Optional[Iterator[np.ndarray]] = None
+
+        if overlay_enabled:
+            if overlay_music_mask_enabled:
+                mask_data = np.asarray(
+                    music_complexity_overlay_mask.result.data, dtype=float
+                )
+                mask_data = np.where(np.isnan(mask_data), np.inf, mask_data)
+                skip_mask: List[bool] = list(mask_data > complexity_change_threshold)
+            else:
+                skip_mask = [False] * num_output_frames
+
+            overlay_results = compute_eye_tracking_overlay(
+                foreground_images=foreground_iterators[0],
+                background_images=background_iterators[0],
+                min_phash_distance=phash_distance,
+                min_bbox_distance=bbox_distance,
+                skip_mask=skip_mask,
+            )
+
+            logging.info(
+                "Starting to compute mask to filter out short sequences of overlay frames."
+            )
+
+            # The one full-stream materialization (reference :247): track-length
+            # filtering needs all overlay decisions.
+            boxes_list = list(overlay_results.bbox_lists)
+
+            long_tracks_mask = vector_reduction.track_length_filter(
+                bool_tracks=np.asarray(
+                    [
+                        (not skip) and (box is not None)
+                        for skip, box in zip(skip_mask, boxes_list)
+                    ]
+                ),
+                track_length=track_length,
+            )
+
+            def compose() -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+                for bounding_boxes, foreground, background, in_long_track in zip(
+                    boxes_list,
+                    foreground_iterators[1],
+                    background_iterators[1],
+                    long_tracks_mask,
+                ):
+                    blended = (
+                        write_boxes_onto_image(
+                            foreground_image=foreground,
+                            background_image=background,
+                            bounding_boxes=bounding_boxes,
+                        )
+                        if in_long_track
+                        else background
+                    )
+                    yield blended, foreground
+
+            pairs_a, pairs_b = tee(compose(), 2)
+            blended_output: Iterator[np.ndarray] = (pair[0] for pair in pairs_a)
+            foregrounds = (pair[1] for pair in pairs_b)
+        else:
+            # Foreground stream is left unconsumed (lazy, so it costs nothing).
+            blended_output = background_iterators[0]
+
+        blended_output = write_source_to_disk_forward(
+            source=blended_output,
+            video_path=Path(output_path),
+            video_fps=output_fps,
+            audio_paths=audio_paths,
+            high_quality=True,
+        )
+
+        if create_debug_visualization:
+            from gance_tpu.viz.overlay_viz import (
+                VisualizeOverlayThresholds,
+                visualize_overlay_computation,
+            )
+            from gance_tpu.viz.reduction_viz import visualize_result_layers
+
+            overlay_visualization = (
+                visualize_overlay_computation(
+                    overlay=overlay_results.contexts,
+                    frames_per_context=debug_window,
+                    video_square_side_length=debug_side_length,
+                    horizontal_lines=VisualizeOverlayThresholds(
+                        phash_line=phash_distance, bbox_distance_line=bbox_distance
+                    ),
+                )
+                if overlay_enabled
+                else None
+            )
+
+            tiles = [
+                scale_square_source_duplicate(
+                    source=blended_output, output_side_length=debug_side_length
+                ),
+                scale_square_source_duplicate(
+                    source=foregrounds, output_side_length=debug_side_length
+                )
+                if foregrounds is not None
+                else None,
+                scale_square_source_duplicate(
+                    source=reader.final_images,
+                    output_side_length=debug_side_length,
+                    frame_multiplier=frame_multiplier,
+                ),
+                synthesis_output.visualization_images,
+                overlay_visualization,
+                visualize_result_layers(
+                    result_layers=music_complexity_overlay_mask,
+                    frames_per_context=debug_window,
+                    video_height=debug_side_length,
+                    title="Overlay binary mask",
+                    horizontal_line=complexity_change_threshold,
+                )
+                if music_complexity_overlay_mask is not None
+                else None,
+            ]
+
+            write_source_to_disk_consume(
+                source=(
+                    horizontal_concat_images(images)
+                    for images in zip(*[t for t in tiles if t is not None])
+                ),
+                video_path=Path(debug_path),
+                video_fps=output_fps,
+                audio_paths=audio_paths,
+                high_quality=False,
+            )
+        else:
+            more_itertools.consume(blended_output)
+
+    LOGGER.info("projection_file_blend complete: %s", output_path)
