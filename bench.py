@@ -1,0 +1,101 @@
+"""
+Benchmark: sustained 1024x1024 StyleGAN2 synthesis throughput per chip.
+
+Protocol (validated against tunnel artifacts — see .claude/skills/verify/SKILL.md):
+  * full config-f generator, z batch -> uint8 frames, bf16 compute with fp32
+    accumulation (style/demod math stays fp32);
+  * every batch's output feeds a device-side running checksum, and ONE scalar
+    fetch at the end forces all executions — per-batch host syncs measure tunnel
+    RPC latency (~0.7s) rather than the chip, and free-running dispatch without a
+    data dependency can be reordered past the timer;
+  * params initialized on CPU (eager randoms over a tunneled TPU are slow) and
+    device_put once, like the production runtime.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N/60}
+vs_baseline is against the 60 fps/chip north-star target (BASELINE.md; the
+reference publishes no formal numbers).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    import gance_tpu  # noqa: F401  (platform/compile-cache plumbing)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gance_tpu.models.stylegan2 import (
+        GeneratorConfig,
+        generator_apply,
+        images_to_uint8,
+        init_generator_params,
+    )
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "12"))
+    resolution = int(os.environ.get("BENCH_RESOLUTION", "1024"))
+
+    config = GeneratorConfig(resolution=resolution)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = init_generator_params(jax.random.PRNGKey(0), config)
+    device = jax.devices()[0]
+    print(f"bench device: {device}", file=sys.stderr)
+    params = jax.device_put(params, device)
+
+    @jax.jit
+    def forward_acc(p, z, acc):
+        images = images_to_uint8(
+            generator_apply(
+                p, z, config, truncation_psi=1.2, compute_dtype=jnp.bfloat16
+            )
+        )
+        return acc + jnp.sum(images.astype(jnp.uint32))
+
+    zs = [
+        jax.device_put(
+            np.random.RandomState(i).randn(batch, config.latent_size).astype(np.float32),
+            device,
+        )
+        for i in range(iters)
+    ]
+
+    # warmup: compile + drain
+    acc = jax.device_put(jnp.zeros((), jnp.uint32), device)
+    t0 = time.time()
+    acc = forward_acc(params, zs[0], acc)
+    _ = int(acc)
+    print(f"compile+first batch: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for z in zs:
+        acc = forward_acc(params, z, acc)
+    checksum = int(acc)  # single fetch forces all executions
+    elapsed = time.time() - t0
+
+    frames_per_sec = iters * batch / elapsed
+    print(
+        f"checksum={checksum} elapsed={elapsed:.2f}s "
+        f"({elapsed / iters * 1000:.0f} ms/batch of {batch})",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"{resolution}x{resolution} StyleGAN2 synthesis frames/sec/chip (bf16 compute, fp32 accum)",
+                "value": round(frames_per_sec, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(frames_per_sec / 60.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

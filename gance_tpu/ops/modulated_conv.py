@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from gance_tpu.ops.precision import CONV_PRECISION
 from gance_tpu.ops.upfirdn2d import (
     DEFAULT_RESAMPLE_KERNEL,
     conv_downsample_2d,
@@ -116,7 +117,7 @@ def modulated_conv2d(
             window_strides=(1, 1),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=lax.Precision.HIGHEST,
+            precision=CONV_PRECISION,
             preferred_element_type=jnp.float32,
         ).astype(dtype)
 
@@ -142,7 +143,7 @@ def dense_layer(
     y = jnp.dot(
         x,
         weight.astype(x.dtype) * jnp.asarray(coef, x.dtype),
-        precision=lax.Precision.HIGHEST,
+        precision=CONV_PRECISION,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     if bias is not None:
@@ -175,6 +176,6 @@ def conv2d_layer(
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=lax.Precision.HIGHEST,
+        precision=CONV_PRECISION,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)

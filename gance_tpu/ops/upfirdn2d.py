@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from gance_tpu.ops.precision import CONV_PRECISION
+
 KernelLike = Union[Sequence[float], np.ndarray]
 
 # The binomial resampling kernel used throughout StyleGAN2 (config-f default).
@@ -85,7 +87,7 @@ def upfirdn2d(
         rhs_dilation=(1, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=channels,
-        precision=lax.Precision.HIGHEST,
+        precision=CONV_PRECISION,
         preferred_element_type=jnp.float32,
     )
     return out.astype(x.dtype)
@@ -145,7 +147,7 @@ def upsample_conv_2d(
         padding=((ck - 1, ck - 1), (ck - 1, ck - 1)),
         lhs_dilation=(factor, factor),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=lax.Precision.HIGHEST,
+        precision=CONV_PRECISION,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     return upfirdn2d(y, k, pad0=(p + 1) // 2 + factor - 1, pad1=p // 2 + 1)
@@ -172,7 +174,7 @@ def conv_downsample_2d(
         window_strides=(factor, factor),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=lax.Precision.HIGHEST,
+        precision=CONV_PRECISION,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 

@@ -1,0 +1,276 @@
+"""
+StyleGAN2 training step — sharded, jitted, resumable.
+
+The reference never calls training from Python, but its submodule fork's one noted
+feature is crash-resumable training (CHANGELOG 0.10.0; SURVEY.md §2.9 last row), so
+training is part of the capability surface. This module implements the StyleGAN2
+objective in functional JAX over a ('data', 'model') mesh:
+
+  * non-saturating logistic GAN loss,
+  * R1 gradient penalty on reals (lazy regularization: applied every
+    `r1_interval` steps at interval-scaled strength, like the reference),
+  * style-mixing regularization (prob 0.9),
+  * EMA of the generator ("Gs" — the network the inference pipeline consumes),
+  * Adam for both networks, batch sharded over 'data', large weights over 'model',
+  * checkpoint/resume as a plain pytree save/restore (per-step durability).
+"""
+
+import pickle
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from gance_tpu.models.stylegan2 import (
+    GeneratorConfig,
+    broadcast_dlatents,
+    discriminator_apply,
+    init_discriminator_params,
+    init_generator_params,
+    mapping_apply,
+    synthesis_apply,
+)
+from gance_tpu.parallel.mesh import (
+    discriminator_param_sharding,
+    generator_param_sharding,
+    replicated,
+    shard_batch,
+)
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    """Training hyperparameters (StyleGAN2 config-f defaults)."""
+
+    learning_rate: float = 0.002
+    adam_beta1: float = 0.0
+    adam_beta2: float = 0.99
+    adam_eps: float = 1e-8
+    r1_gamma: float = 10.0
+    r1_interval: int = 16
+    style_mixing_prob: float = 0.9
+    ema_beta: float = 0.999
+
+
+class TrainingState(NamedTuple):
+    """Everything needed to resume training."""
+
+    g_params: Params
+    d_params: Params
+    g_opt_state: Any
+    d_opt_state: Any
+    ema_params: Params
+    step: jax.Array
+
+
+def _optimizer(config: TrainingConfig) -> optax.GradientTransformation:
+    return optax.adam(
+        config.learning_rate, b1=config.adam_beta1, b2=config.adam_beta2,
+        eps=config.adam_eps,
+    )
+
+
+def init_training_state(
+    key: jax.Array,
+    model_config: GeneratorConfig,
+    train_config: TrainingConfig = TrainingConfig(),
+) -> TrainingState:
+    g_key, d_key = jax.random.split(key)
+    g_params = init_generator_params(g_key, model_config)
+    d_params = init_discriminator_params(d_key, model_config)
+    opt = _optimizer(train_config)
+    return TrainingState(
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=opt.init(g_params),
+        d_opt_state=opt.init(d_params),
+        ema_params=jax.tree.map(jnp.copy, g_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _mixed_dlatents(
+    g_params: Params,
+    z1: jax.Array,
+    z2: jax.Array,
+    rng: jax.Array,
+    model_config: GeneratorConfig,
+    mixing_prob: float,
+) -> jax.Array:
+    """Style-mixing regularization: crossover w rows at a random cutoff."""
+    w1 = mapping_apply(g_params, z1, model_config)
+    w2 = mapping_apply(g_params, z2, model_config)
+    d1 = broadcast_dlatents(w1, model_config)
+    d2 = broadcast_dlatents(w2, model_config)
+    rows = model_config.num_style_rows
+    mix_rng, cutoff_rng = jax.random.split(rng)
+    do_mix = jax.random.uniform(mix_rng, (z1.shape[0], 1, 1)) < mixing_prob
+    cutoff = jax.random.randint(cutoff_rng, (z1.shape[0], 1, 1), 1, rows)
+    row_idx = jnp.arange(rows)[None, :, None]
+    take_second = do_mix & (row_idx >= cutoff)
+    return jnp.where(take_second, d2, d1)
+
+
+def make_train_step(
+    model_config: GeneratorConfig,
+    train_config: TrainingConfig = TrainingConfig(),
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainingState, jax.Array, jax.Array], Tuple[TrainingState, Dict[str, jax.Array]]]:
+    """
+    Build the jitted train step: (state, real_images (B,R,R,3) float [-1,1],
+    rng) -> (state, metrics). When `mesh` is given, batches are constrained to the
+    'data' axis (params arrive pre-sharded via shard_training_state).
+    """
+    opt = _optimizer(train_config)
+    constrain = (
+        (lambda x: jax.lax.with_sharding_constraint(x, shard_batch(mesh)))
+        if mesh is not None
+        else (lambda x: x)
+    )
+
+    def generate(g_params: Params, z1, z2, rng) -> jax.Array:
+        dlatents = _mixed_dlatents(
+            g_params, z1, z2, rng, model_config, train_config.style_mixing_prob
+        )
+        noise_rng = jax.random.fold_in(rng, 1)
+        return synthesis_apply(
+            g_params, dlatents, model_config, noise_mode="random", rng=noise_rng
+        )
+
+    def d_loss_fn(d_params, g_params, reals, z1, z2, rng, apply_r1):
+        fakes = constrain(generate(g_params, z1, z2, rng))
+        fake_logits = discriminator_apply(d_params, fakes, model_config)
+        real_logits = discriminator_apply(d_params, reals, model_config)
+        loss = jnp.mean(jax.nn.softplus(fake_logits)) + jnp.mean(
+            jax.nn.softplus(-real_logits)
+        )
+
+        # R1: gradient penalty on reals (lazy-reg strength scaling like NVlabs)
+        def real_score(images):
+            return jnp.sum(discriminator_apply(d_params, images, model_config))
+
+        def r1_term() -> jax.Array:
+            grads = jax.grad(real_score)(reals)
+            penalty = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
+            return penalty * (train_config.r1_gamma * 0.5) * train_config.r1_interval
+
+        r1 = jax.lax.cond(apply_r1, r1_term, lambda: jnp.asarray(0.0))
+        return loss + r1, (loss, r1)
+
+    def g_loss_fn(g_params, d_params, z1, z2, rng):
+        fakes = constrain(generate(g_params, z1, z2, rng))
+        fake_logits = discriminator_apply(d_params, fakes, model_config)
+        return jnp.mean(jax.nn.softplus(-fake_logits))
+
+    def train_step(
+        state: TrainingState, reals: jax.Array, rng: jax.Array
+    ) -> Tuple[TrainingState, Dict[str, jax.Array]]:
+        reals = constrain(reals.astype(jnp.float32))
+        batch = reals.shape[0]
+        z_rng, mix_rng_d, mix_rng_g, z_rng_g = jax.random.split(rng, 4)
+        z1 = jax.random.normal(z_rng, (batch, model_config.latent_size))
+        z2 = jax.random.normal(jax.random.fold_in(z_rng, 7), (batch, model_config.latent_size))
+        apply_r1 = (state.step % train_config.r1_interval) == 0
+
+        # --- D step ---
+        (_, (d_loss, r1)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params, state.g_params, reals, z1, z2, mix_rng_d, apply_r1
+        )
+        d_updates, d_opt_state = opt.update(d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # --- G step (against the updated D) ---
+        z1g = jax.random.normal(z_rng_g, (batch, model_config.latent_size))
+        z2g = jax.random.normal(jax.random.fold_in(z_rng_g, 7), (batch, model_config.latent_size))
+        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(
+            state.g_params, d_params, z1g, z2g, mix_rng_g
+        )
+        g_updates, g_opt_state = opt.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        # --- EMA ("Gs") ---
+        beta = train_config.ema_beta
+        ema_params = jax.tree.map(
+            lambda ema, new: ema * beta + new * (1.0 - beta), state.ema_params, g_params
+        )
+
+        new_state = TrainingState(
+            g_params=g_params,
+            d_params=d_params,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            ema_params=ema_params,
+            step=state.step + 1,
+        )
+        metrics = {"d_loss": d_loss, "g_loss": g_loss, "r1": r1}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def shard_training_state(
+    mesh: Mesh,
+    state: TrainingState,
+    train_config: TrainingConfig = TrainingConfig(),
+) -> TrainingState:
+    """
+    Place a training state onto the mesh: params tensor-parallel per the sharding
+    policy, optimizer moments sharded exactly like their params (via a reference
+    opt.init on the sharded params), scalars replicated.
+    """
+    g_shard = generator_param_sharding(mesh, state.g_params)
+    d_shard = discriminator_param_sharding(mesh, state.d_params)
+    rep = replicated(mesh)
+
+    g_params = jax.device_put(state.g_params, g_shard)
+    d_params = jax.device_put(state.d_params, d_shard)
+
+    opt = _optimizer(train_config)
+
+    def move_opt_state(reference: Any, old: Any) -> Any:
+        from jax.sharding import NamedSharding
+
+        def put(ref_leaf: Any, old_leaf: Any) -> Any:
+            sharding = getattr(ref_leaf, "sharding", None)
+            # Leaves opt.init created fresh (e.g. the step counter) land on a single
+            # default device — replicate those over the mesh instead.
+            if not isinstance(sharding, NamedSharding) or sharding.mesh.devices.size != mesh.devices.size:
+                sharding = rep
+            return jax.device_put(old_leaf, sharding)
+
+        return jax.tree.map(put, reference, old)
+
+    return TrainingState(
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=move_opt_state(opt.init(g_params), state.g_opt_state),
+        d_opt_state=move_opt_state(opt.init(d_params), state.d_opt_state),
+        ema_params=jax.device_put(state.ema_params, g_shard),
+        step=jax.device_put(state.step, rep),
+    )
+
+
+# --------------------------------------------------------------------------------
+# Checkpoint / resume (the fork's crash-resume capability)
+# --------------------------------------------------------------------------------
+
+
+def save_checkpoint(path: Path, state: TrainingState) -> None:
+    """Atomic-ish checkpoint: write to .tmp then rename."""
+    host_state = jax.tree.map(np.asarray, state)
+    tmp = Path(str(path) + ".tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(host_state, f, protocol=pickle.HIGHEST_PROTOCOL)
+    tmp.replace(path)
+
+
+def load_checkpoint(path: Path) -> TrainingState:
+    with open(path, "rb") as f:
+        return pickle.load(f)
