@@ -1,0 +1,168 @@
+"""
+Fused Pallas kernels.
+
+1. `fused_bias_noise_lrelu` — the synthesis layer epilogue
+   (noise-inject + bias + leaky-relu + gain) as one VMEM pass. This is the direct
+   analogue of the submodule's fused_bias_act.cu plus the noise add that NVlabs
+   performs separately; here it is one kernel: y = lrelu(x + n*s + b) * sqrt(2).
+
+2. `upsample2x_blur` — the ToRGB skip-chain 2x upsample
+   (gance_tpu.ops.upfirdn2d.upsample_2d with the default [1,3,3,1] kernel) as a
+   polyphase stencil. The XLA formulation convolves a zero-stuffed image (75% of
+   multiplies hit zeros); the polyphase form reads each input pixel once and writes
+   each output pixel once with 2x2-tap phase filters:
+       even phase: 0.25*x[i-1] + 0.75*x[i];  odd phase: 0.75*x[i] + 0.25*x[i+1]
+   (separably in H and W; zero padding at the borders). This op is memory-bound at
+   1024px and channel-starved (C=3), so the kernel flattens (W, C) into the lane
+   axis and shifts by C lanes instead of padding 3 channels to 128 lanes.
+
+   STATUS: numerically exact in interpreter mode (tests/test_pallas_ops.py), but
+   the phase-interleave reshape ((rows, 2, W*C) -> transposed (rows, 2*W*C)) is a
+   lane-layout cast the current Mosaic compiler rejects on hardware
+   ("infer-vector-layout: unsupported shape cast"). The XLA formulation remains
+   the production path; a phase-planar output layout is the known fix if this
+   pass ever dominates a profile.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT2 = math.sqrt(2.0)
+# [1,3,3,1]/8 binomial, gain 2 per axis (factor 2 upsample): phases [1/4, 3/4].
+_P_LOW = 0.25
+_P_HIGH = 0.75
+
+
+def _bias_noise_lrelu_kernel(x_ref, noise_ref, bias_ref, strength_ref, out_ref):
+    x = x_ref[...]
+    noise = noise_ref[...]  # (1, TH, W, 1) broadcasting over batch + channels
+    bias = bias_ref[...]  # (C,)
+    strength = strength_ref[0]
+    pre = x + noise * strength + bias[None, None, None, :]
+    out_ref[...] = jnp.where(pre >= 0, pre, pre * 0.2) * _SQRT2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_bias_noise_lrelu(
+    x: jax.Array,
+    noise: jax.Array,
+    bias: jax.Array,
+    noise_strength: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """
+    lrelu(x + noise*strength + bias) * sqrt(2) in one pass.
+    :param x: (B, H, W, C); noise: (1, H, W, 1); bias: (C,); noise_strength: ().
+    """
+    b, h, w, c = x.shape
+    # Row-tile so a block fits VMEM comfortably (<= ~2MB fp32).
+    th = h
+    while b * th * w * c * 4 > 2 * 1024 * 1024 and th % 2 == 0:
+        th //= 2
+    grid = (h // th,)
+    return pl.pallas_call(
+        _bias_noise_lrelu_kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, th, w, c), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((1, th, w, 1), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((1,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((b, th, w, c), lambda i: (0, i, 0, 0)),
+        interpret=interpret,
+    )(
+        x,
+        noise.astype(x.dtype),
+        bias.astype(x.dtype),
+        jnp.reshape(noise_strength, (1,)).astype(x.dtype),
+    )
+
+
+def _upsample2x_blur_kernel(
+    x_hbm_ref, out_ref, scratch_ref, dma_sem, *, channels: int, tile_h: int
+):
+    """
+    Halo pattern: the padded input stays in HBM; each grid step DMAs its
+    (B, TH+2, W*C) row window (one halo row above and below; caller zero-padded the
+    borders) into VMEM scratch. Output block: (B, 2*TH, 2*W*C) with the W,C
+    interleaving on the lane axis.
+    """
+    i = pl.program_id(0)
+    window = pltpu.make_async_copy(
+        x_hbm_ref.at[:, pl.ds(i * tile_h, tile_h + 2), :],
+        scratch_ref,
+        dma_sem,
+    )
+    window.start()
+    window.wait()
+
+    x = scratch_ref[...]  # (B, TH+2, WC)
+    wc = x.shape[-1]
+
+    # Horizontal neighbors: shift the flattened (W, C) lane axis by C.
+    zeros = jnp.zeros_like(x[..., :channels])
+    x_left = jnp.concatenate([zeros, x[..., :-channels]], axis=-1)  # x[w-1]
+    x_right = jnp.concatenate([x[..., channels:], zeros], axis=-1)  # x[w+1]
+
+    # Horizontal phases (still at input rows): even = .25*left + .75*x,
+    # odd = .75*x + .25*right, interleaved to (..., 2W, C) lane order.
+    h_even = _P_LOW * x_left + _P_HIGH * x
+    h_odd = _P_HIGH * x + _P_LOW * x_right
+    b = x.shape[0]
+    rows = x.shape[1]
+    inter = jnp.stack([h_even, h_odd], axis=-2)  # (B, rows, 2, WC)
+    inter = inter.reshape(b, rows, 2, wc // channels, channels)
+    inter = inter.transpose(0, 1, 3, 2, 4).reshape(b, rows, 2 * wc)  # (B, rows, 2WC)
+
+    # Vertical phases over the real rows [1, TH]: even uses row i-1 and i,
+    # odd uses row i and i+1.
+    cur = inter[:, 1 : 1 + tile_h]
+    up = inter[:, 0:tile_h]
+    down = inter[:, 2 : 2 + tile_h]
+    v_even = _P_LOW * up + _P_HIGH * cur  # (B, TH, 2WC)
+    v_odd = _P_HIGH * cur + _P_LOW * down
+    out = jnp.stack([v_even, v_odd], axis=2).reshape(b, 2 * tile_h, 2 * wc)
+    out_ref[...] = out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def upsample2x_blur(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """
+    2x FIR upsample with the [1,3,3,1] binomial (== upsample_2d defaults) as a
+    polyphase Pallas kernel. x: (B, H, W, C) -> (B, 2H, 2W, C).
+    """
+    b, h, w, c = x.shape
+    # One halo row of zeros at top and bottom (blur pad semantics).
+    padded = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    flat = padded.reshape(b, h + 2, w * c)
+
+    th = h
+    while b * (2 * th) * (2 * w * c) * 4 > 4 * 1024 * 1024 and th % 2 == 0:
+        th //= 2
+    grid = (h // th,)
+
+    out = pl.pallas_call(
+        functools.partial(_upsample2x_blur_kernel, channels=c, tile_h=th),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * h, 2 * w * c), x.dtype),
+        grid=grid,
+        in_specs=[
+            # Full padded input resident off-chip; the kernel DMAs overlapping
+            # (th+2)-row halo windows itself.
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((b, 2 * th, 2 * w * c), lambda i: (0, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((b, th + 2, w * c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(flat)
+    return out.reshape(b, 2 * h, 2 * w, c)

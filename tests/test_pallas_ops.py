@@ -1,0 +1,43 @@
+"""
+Pallas kernel correctness in interpreter mode (CPU) against the XLA formulations.
+On real TPU hardware the same kernels compile natively (exercised by bench
+tooling, not by this CPU suite).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gance_tpu.ops.bias_act import bias_act
+from gance_tpu.ops.pallas.fused_ops import fused_bias_noise_lrelu, upsample2x_blur
+from gance_tpu.ops.upfirdn2d import upsample_2d
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 16), (1, 16, 8, 4)])
+def test_fused_bias_noise_lrelu_matches_xla(rng, shape):
+    b, h, w, c = shape
+    x = rng.randn(*shape).astype(np.float32)
+    noise = rng.randn(1, h, w, 1).astype(np.float32)
+    bias = rng.randn(c).astype(np.float32)
+    strength = np.float32(0.37)
+
+    got = np.asarray(
+        fused_bias_noise_lrelu(
+            jnp.asarray(x), jnp.asarray(noise), jnp.asarray(bias),
+            jnp.asarray(strength), interpret=True,
+        )
+    )
+    want = np.asarray(
+        bias_act(jnp.asarray(x + noise * strength), jnp.asarray(bias), act="lrelu")
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(1, 8, 8, 3), (2, 16, 8, 4), (1, 4, 4, 1)])
+def test_upsample2x_blur_matches_upfirdn(rng, shape):
+    x = rng.randn(*shape).astype(np.float32)
+    got = np.asarray(upsample2x_blur(jnp.asarray(x), interpret=True))
+    want = np.asarray(upsample_2d(jnp.asarray(x)))
+    assert got.shape == want.shape == (shape[0], shape[1] * 2, shape[2] * 2, shape[3])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
