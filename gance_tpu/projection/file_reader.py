@@ -145,6 +145,27 @@ def final_latents_matrices_label(reader: ProjectionFileReader) -> MatricesLabel:
     )
 
 
+def network_outputs_at_final_latents(
+    reader: ProjectionFileReader, network: "object"
+) -> Iterator[np.ndarray]:
+    """
+    Re-synthesize every frame's final latents through a loaded network (reference
+    :400-417) — the fidelity check that stored final images match re-synthesis.
+    :param network: a gance_tpu.synthesis.runtime.SynthesisNetwork-like object.
+    """
+    for latents in reader.final_latents:
+        yield network.images_from_matrices(latents[None])[0]
+
+
+def network_outputs_at_projection_step(
+    reader: ProjectionFileReader, network: "object", step: int
+) -> Iterator[np.ndarray]:
+    """Re-synthesize every frame's latents at one history step (reference :347-371)."""
+    for history in reader.latents_histories:
+        steps = list(history)
+        yield network.images_from_matrices(steps[step][None])[0]
+
+
 def projection_history_step_matrices_label(
     reader: ProjectionFileReader, step: int
 ) -> MatricesLabel:

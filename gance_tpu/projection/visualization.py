@@ -151,3 +151,42 @@ def visualize_projection_history(
         write_source_to_disk_consume(
             source=frames(), video_path=output_video_path, video_fps=video_fps
         )
+
+
+def visualize_partial_projection_history(
+    projection_file_path: Path,
+    output_video_path: Path,
+    network_path: Path,
+    step: int,
+    network_not_matching_ok: bool = False,
+    video_fps: float = 30.0,
+) -> None:
+    """
+    Re-synthesize a single chosen history step across all frames next to the
+    targets (reference :384-451).
+    """
+    from gance_tpu.media.images import horizontal_concat_images
+    from gance_tpu.projection.file_reader import network_outputs_at_projection_step
+    from gance_tpu.synthesis.runtime import SynthesisNetwork
+
+    with load_projection_file(projection_file_path) as reader:
+        attrs = reader.projection_attributes
+        actual_hash = hash_file(Path(network_path))
+        if actual_hash != attrs.network_md5_hash and not network_not_matching_ok:
+            raise ValueError(
+                f"Network hash {actual_hash} != projection file's "
+                f"{attrs.network_md5_hash}; pass network_not_matching_ok to override."
+            )
+        network = SynthesisNetwork.from_pkl(Path(network_path))
+        side = network.resolution
+        resynth = network_outputs_at_projection_step(reader, network, step)
+
+        def frames():
+            for target, image in zip(reader.target_images, resynth):
+                yield horizontal_concat_images(
+                    [cv2.resize(target, (side, side)), image]
+                )
+
+        write_source_to_disk_consume(
+            source=frames(), video_path=output_video_path, video_fps=video_fps
+        )

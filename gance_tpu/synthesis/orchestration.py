@@ -120,12 +120,13 @@ def vector_synthesis(
     indices = np.clip(indices[:count], 0, max(len(networks) - 1, 0))
 
     def synthesized() -> Iterator[np.ndarray]:
-        produced = 0
+        from gance_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer("synthesis")
         for image in networks.synthesize_stream(combined, indices, batch_size=batch_size):
-            produced += 1
-            if produced % 100 == 0:
-                LOGGER.info("Synthesized frame %d/%d", produced, count)
+            timer.tick()
             yield image
+        timer.summary()
         if unload_networks_when_complete:
             networks.unload()
 

@@ -1,0 +1,122 @@
+"""
+Visualization smoke tests: every renderer produces correctly-shaped RGB frames
+(the reference's own viz tests are "output file size >= golden bytes" proxies;
+shape + content-varies assertions are the equivalent here).
+"""
+
+import numpy as np
+import pytest
+
+from gance_tpu.audio.primitives import Sigmas, gaussian_data
+from gance_tpu.synthesis.orchestration import FrameInput
+from gance_tpu.types import DataLabel, ResultLayers, VectorsLabel
+from gance_tpu.viz.overlay_viz import VisualizeOverlayThresholds, visualize_overlay_computation
+from gance_tpu.viz.panels import synthesis_visualizer, vector_visualizer
+from gance_tpu.viz.reduction_viz import visualize_result_layers
+from gance_tpu.viz.vectors_3d import (
+    multi_plot_vectors,
+    plot_vectors_3d,
+    reshape_vectors_for_3d_plotting,
+    visualize_data_with_spectrogram_and_3d_vectors,
+)
+
+
+def test_synthesis_visualizer_frame(rng):
+    render = synthesis_visualizer(side_length=128)
+    frame = FrameInput(
+        frame_index=3, vector_length=32,
+        a_sample=rng.randn(32), b_sample=rng.randn(32),
+        combined_sample=rng.randn(4, 32), network_index=1,
+        index_window=np.array([0, 1, 1, 0]), index_window_start=2,
+    )
+    out = render(frame)
+    assert out.shape == (128, 128, 3) and out.dtype == np.uint8
+    assert out.std() > 0  # actually drew something
+
+
+def test_vector_visualizer(rng):
+    render = vector_visualizer(output_width=64, output_height=64)
+    out = render(rng.randn(32))
+    assert out.shape == (64, 64, 3)
+    out_m = render(rng.randn(4, 32))
+    assert out_m.shape == (64, 64, 3)
+
+
+def test_visualize_result_layers():
+    layers = ResultLayers(
+        result=DataLabel(np.arange(10.0), "result"),
+        layers=[DataLabel(np.arange(10.0) * 2, "layer")],
+    )
+    frames = list(visualize_result_layers(layers, frames_per_context=4,
+                                          video_height=64, horizontal_line=5.0))
+    assert len(frames) == 10
+    assert frames[0].shape == (64, 64, 3)
+
+
+def test_visualize_overlay_computation():
+    from gance_tpu.overlay.eye_tracking import OverlayContext
+
+    contexts = [
+        OverlayContext(overlay_written=True, bbox_distance=1.0,
+                       bbox_perceptual_hash_distance=2),
+        OverlayContext(overlay_written=False, bbox_distance=None,
+                       bbox_perceptual_hash_distance=None),
+    ]
+    frames = list(
+        visualize_overlay_computation(
+            iter(contexts), frames_per_context=5, video_square_side_length=64,
+            horizontal_lines=VisualizeOverlayThresholds(phash_line=3, bbox_distance_line=2.0),
+        )
+    )
+    assert len(frames) == 2
+    assert frames[0].shape == (64, 64, 3)
+
+
+def test_reshape_vectors_for_3d_matches_naive(rng):
+    """The fast reshape equals the naive per-point loop (reference
+    test_vector_visualization.py contract)."""
+    data = rng.randn(4 * 8)
+    x, y, z = reshape_vectors_for_3d_plotting(data, 8)
+    naive = [
+        (xi, yi, data.reshape(4, 8)[yi, xi])
+        for yi in range(4)
+        for xi in range(8)
+    ]
+    np.testing.assert_array_equal(x, [p[0] for p in naive])
+    np.testing.assert_array_equal(y, [p[1] for p in naive])
+    np.testing.assert_allclose(z, [p[2] for p in naive])
+
+
+def test_3d_waterfall_renderers():
+    data = gaussian_data(vector_length=32, num_vectors=10, sigmas=Sigmas(3, 0))
+    label = VectorsLabel(data=data, vector_length=32, label="test")
+    out = plot_vectors_3d(label, current_index=5, side_length=96)
+    assert out.shape == (96, 96, 3)
+    multi = multi_plot_vectors([label, label], side_length=96)
+    assert multi.shape == (96, 192, 3)
+
+
+def test_spectrogram_3d_composite():
+    data = gaussian_data(vector_length=64, num_vectors=8, sigmas=Sigmas(3, 0))
+    label = VectorsLabel(data=data, vector_length=64, label="composite")
+    out = visualize_data_with_spectrogram_and_3d_vectors(label, side_length=96)
+    assert out.shape == (96, 288, 3)
+
+
+def test_examples(tmp_path):
+    from gance_tpu.viz.examples import sigmas_demo, vertical_sweep_demo, waterfall_demo
+
+    assert sigmas_demo(tmp_path, vector_length=64).exists()
+    assert vertical_sweep_demo(tmp_path, vector_length=64).exists()
+    assert waterfall_demo(tmp_path).exists()
+
+
+def test_stage_timer():
+    from gance_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer("test", log_every=2)
+    for _ in range(5):
+        timer.tick()
+    stats = timer.summary()
+    assert stats["count"] == 5
+    assert stats["rate_per_sec"] > 0
