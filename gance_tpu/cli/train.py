@@ -1,0 +1,148 @@
+"""
+CLI: train StyleGAN2 on an image folder, with crash-resume.
+
+The reference delegates training to its TF1 submodule fork, whose one noted feature
+is resumable training (CHANGELOG 0.10.0). Here training is first-class: the sharded
+jitted train step (gance_tpu/parallel/training.py) driven over an image directory,
+checkpointing every N steps, auto-resuming from the checkpoint, and exporting the
+EMA generator as an NVlabs-format .pkl that the synthesis CLIs load directly.
+"""
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import click
+import numpy as np
+
+from gance_tpu.utils.logging import LOGGER, add_log_file
+
+_IMAGE_SUFFIXES = (".jpg", ".jpeg", ".png")
+
+
+def _load_dataset(directory: Path, resolution: int) -> np.ndarray:
+    """Load + square-resize all images to a float32 [-1, 1] NHWC stack."""
+    import cv2
+
+    from gance_tpu.media.images import read_image
+
+    paths = sorted(
+        p for p in Path(directory).iterdir() if p.suffix.lower() in _IMAGE_SUFFIXES
+    )
+    if not paths:
+        raise click.UsageError(f"No images in {directory}")
+    images = []
+    for path in paths:
+        image = read_image(path)
+        image = cv2.resize(image, (resolution, resolution), interpolation=cv2.INTER_AREA)
+        images.append(image.astype(np.float32) / 127.5 - 1.0)
+    LOGGER.info("Loaded %d training images at %dpx", len(images), resolution)
+    return np.stack(images)
+
+
+@click.command()
+@click.option("--dataset-directory", type=click.Path(exists=True, file_okay=False), required=True)
+@click.option("--resolution", type=click.IntRange(min=16), default=64)
+@click.option("--batch-size", type=click.IntRange(min=1), default=8)
+@click.option("--total-steps", type=click.IntRange(min=1), default=1000)
+@click.option("--learning-rate", type=float, default=0.002)
+@click.option("--r1-gamma", type=float, default=10.0)
+@click.option("--fmap-base", type=int, default=None, help="Defaults to config-f scaling.")
+@click.option("--fmap-max", type=int, default=512)
+@click.option("--latent-size", type=int, default=512)
+@click.option(
+    "--checkpoint-path", type=click.Path(dir_okay=False), required=True,
+    help="Checkpoint file; training resumes from it automatically when it exists.",
+)
+@click.option("--checkpoint-every", type=click.IntRange(min=1), default=200)
+@click.option(
+    "--output-network", type=click.Path(dir_okay=False), required=True,
+    help="Write the EMA generator here as an NVlabs-format .pkl.",
+)
+@click.option("--data-parallel", type=int, default=None, help="Mesh data axis size.")
+@click.option("--seed", type=int, default=0)
+@click.option("--log", type=click.Path(dir_okay=False), default=None)
+def cli(  # pylint: disable=too-many-arguments,too-many-locals
+    dataset_directory: str,
+    resolution: int,
+    batch_size: int,
+    total_steps: int,
+    learning_rate: float,
+    r1_gamma: float,
+    fmap_base: Optional[int],
+    fmap_max: int,
+    latent_size: int,
+    checkpoint_path: str,
+    checkpoint_every: int,
+    output_network: str,
+    data_parallel: Optional[int],
+    seed: int,
+    log: Optional[str],
+) -> None:
+    """Train StyleGAN2 on an image folder (resumable; exports a loadable .pkl)."""
+    add_log_file(Path(log) if log else None)
+
+    import jax
+
+    from gance_tpu.models.pickle_loader import save_generator_pickle
+    from gance_tpu.models.stylegan2 import GeneratorConfig
+    from gance_tpu.parallel.mesh import create_mesh
+    from gance_tpu.parallel.training import (
+        TrainingConfig,
+        init_training_state,
+        load_checkpoint,
+        make_train_step,
+        save_checkpoint,
+        shard_training_state,
+    )
+
+    model_config = GeneratorConfig(
+        resolution=resolution,
+        fmap_base=fmap_base if fmap_base is not None else 32768,
+        fmap_max=fmap_max,
+        latent_size=latent_size,
+        dlatent_size=latent_size,
+        mapping_fmaps=latent_size,
+    )
+    train_config = TrainingConfig(learning_rate=learning_rate, r1_gamma=r1_gamma)
+
+    dataset = _load_dataset(Path(dataset_directory), resolution)
+
+    mesh = create_mesh(data_parallel=data_parallel) if len(jax.devices()) > 1 else None
+    ckpt = Path(checkpoint_path)
+    if ckpt.exists():
+        state = load_checkpoint(ckpt)
+        LOGGER.info("Resumed from %s at step %d", ckpt, int(state.step))
+    else:
+        state = init_training_state(jax.random.PRNGKey(seed), model_config, train_config)
+    if mesh is not None:
+        state = shard_training_state(mesh, state, train_config)
+        LOGGER.info("Training over mesh %s", dict(mesh.shape))
+
+    train_step = make_train_step(model_config, train_config, mesh=mesh)
+    sampler = np.random.RandomState(seed + 1)
+
+    from gance_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer("train", log_every=max(checkpoint_every // 4, 1))
+    start_step = int(state.step)
+    for step in range(start_step, total_steps):
+        idx = sampler.randint(0, dataset.shape[0], size=batch_size)
+        reals = dataset[idx]
+        state, metrics = train_step(state, reals, jax.random.PRNGKey(seed * 1000 + step))
+        timer.tick()
+        if (step + 1) % checkpoint_every == 0 or step + 1 == total_steps:
+            save_checkpoint(ckpt, state)
+            LOGGER.info(
+                "step %d: d_loss=%.4f g_loss=%.4f r1=%.4f (checkpointed)",
+                step + 1, float(metrics["d_loss"]), float(metrics["g_loss"]),
+                float(metrics["r1"]),
+            )
+    timer.summary()
+
+    host_ema = jax.tree.map(np.asarray, state.ema_params)
+    save_generator_pickle(host_ema, Path(output_network))
+    LOGGER.info("Wrote EMA generator to %s", output_network)
+
+
+if __name__ == "__main__":
+    cli()
