@@ -436,6 +436,19 @@ def generator_apply(
     )
 
 
+def resize_images(images: jax.Array, side_length: int) -> jax.Array:
+    """
+    Bicubic resize of float NHWC images on device — the TPU-side replacement for
+    the host cv2.INTER_CUBIC pass (media/video.py resize_source): scaling happens
+    inside the jitted synthesis program, so host egress moves output-sized frames
+    instead of native-resolution ones.
+    """
+    b, _, _, c = images.shape
+    return jax.image.resize(
+        images, (b, side_length, side_length, c), method="cubic"
+    )
+
+
 def images_to_uint8(images: jax.Array, drange: Tuple[float, float] = (-1.0, 1.0)) -> jax.Array:
     """
     Float NHWC -> uint8 NHWC output transform — the

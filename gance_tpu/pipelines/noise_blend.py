@@ -43,7 +43,11 @@ def noise_blend_api(
     create_debug_visualization = debug_path is not None
     audio_paths = [Path(p) for p in wav]
 
-    with MultiNetwork(network_paths=network_paths) as multi_networks:
+    # Output scaling is fused into the jitted synthesis program (device-side
+    # bicubic) so host egress moves output-sized frames, not native-res ones.
+    with MultiNetwork(
+        network_paths=network_paths, output_side_length=output_side_length
+    ) as multi_networks:
         audio = read_wavs_scale_for_video(
             wavs=audio_paths,
             vector_length=multi_networks.expected_vector_length,
@@ -72,10 +76,7 @@ def noise_blend_api(
         )
 
         hero_frames = write_source_to_disk_forward(
-            source=resize_source(
-                synthesis_output.synthesized_images,
-                (output_side_length, output_side_length),
-            ),
+            source=synthesis_output.synthesized_images,  # already output-sized
             video_path=Path(output_path),
             video_fps=output_fps,
             audio_paths=audio_paths,

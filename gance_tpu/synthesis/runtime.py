@@ -27,6 +27,7 @@ import numpy as np
 from gance_tpu.models.pickle_loader import load_generator, parse_network_paths
 from gance_tpu.models.stylegan2 import (
     DEFAULT_TRUNCATION_PSI,
+    resize_images,
     GeneratorConfig,
     broadcast_dlatents,
     config_from_params,
@@ -52,7 +53,8 @@ DEFAULT_COMPUTE_DTYPE = {
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "truncation_psi", "compute_dtype")
+    jax.jit,
+    static_argnames=("config", "truncation_psi", "compute_dtype", "output_side_length"),
 )
 def _jit_images_from_z(
     params: Params,
@@ -60,24 +62,32 @@ def _jit_images_from_z(
     config: GeneratorConfig,
     truncation_psi: Optional[float],
     compute_dtype: Any = jnp.float32,
+    output_side_length: Optional[int] = None,
 ) -> jax.Array:
     images = generator_apply(
         params, z, config, truncation_psi=truncation_psi, noise_mode="const",
         compute_dtype=compute_dtype,
     )
+    if output_side_length is not None and output_side_length != config.resolution:
+        images = resize_images(images, output_side_length)
     return images_to_uint8(images)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "compute_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "compute_dtype", "output_side_length")
+)
 def _jit_images_from_dlatents(
     params: Params,
     dlatents: jax.Array,
     config: GeneratorConfig,
     compute_dtype: Any = jnp.float32,
+    output_side_length: Optional[int] = None,
 ) -> jax.Array:
     images = synthesis_apply(
         params, dlatents, config, noise_mode="const", compute_dtype=compute_dtype
     )
+    if output_side_length is not None and output_side_length != config.resolution:
+        images = resize_images(images, output_side_length)
     return images_to_uint8(images)
 
 
@@ -104,6 +114,9 @@ class SynthesisNetwork:
     path: Optional[Path] = None
     truncation_psi: Optional[float] = DEFAULT_TRUNCATION_PSI
     compute_dtype: Any = DEFAULT_COMPUTE_DTYPE
+    # When set, frames leave the device already scaled to this side length (the
+    # resize is fused into the jitted program; egress moves output-sized frames).
+    output_side_length: Optional[int] = None
 
     @classmethod
     def from_pkl(
@@ -111,6 +124,7 @@ class SynthesisNetwork:
         path: Path,
         truncation_psi: Optional[float] = DEFAULT_TRUNCATION_PSI,
         compute_dtype: Any = DEFAULT_COMPUTE_DTYPE,
+        output_side_length: Optional[int] = None,
     ) -> "SynthesisNetwork":
         params, config = load_generator(Path(path))
         return cls(
@@ -119,6 +133,7 @@ class SynthesisNetwork:
             path=Path(path),
             truncation_psi=truncation_psi,
             compute_dtype=compute_dtype,
+            output_side_length=output_side_length,
         )
 
     @property
@@ -140,6 +155,7 @@ class SynthesisNetwork:
             self.config,
             self.truncation_psi,
             self.compute_dtype,
+            self.output_side_length,
         )
 
     def device_images_from_matrices(self, dlatent_batch: np.ndarray) -> jax.Array:
@@ -153,6 +169,7 @@ class SynthesisNetwork:
             jnp.asarray(dlatent_batch, jnp.float32),
             self.config,
             self.compute_dtype,
+            self.output_side_length,
         )
 
     def device_images_generic(self, batch: np.ndarray) -> jax.Array:
@@ -251,12 +268,14 @@ class MultiNetwork:
         network_paths: Sequence[Path],
         load: bool = False,
         truncation_psi: Optional[float] = DEFAULT_TRUNCATION_PSI,
-        compute_dtype: Any = jnp.float32,
+        compute_dtype: Any = DEFAULT_COMPUTE_DTYPE,
+        output_side_length: Optional[int] = None,
         _preloaded: Optional[List[NetworkLike]] = None,
     ) -> None:
         self.network_paths = [Path(p) for p in network_paths]
         self._truncation_psi = truncation_psi
         self._compute_dtype = compute_dtype
+        self._output_side_length = output_side_length
         self._networks: Optional[List[NetworkLike]] = _preloaded
         if load and self._networks is None:
             self.load()
@@ -277,6 +296,7 @@ class MultiNetwork:
                     p,
                     truncation_psi=self._truncation_psi,
                     compute_dtype=self._compute_dtype,
+                    output_side_length=self._output_side_length,
                 )
                 for p in self.network_paths
             ]

@@ -209,3 +209,30 @@ def test_vector_synthesis_frames_cap():
     )
     output = vector_synthesis(multi, viz_input, frames_to_visualize=4)
     assert len(list(output.synthesized_images)) == 4
+
+
+def test_device_side_output_scaling(two_networks):
+    """output_side_length fuses a bicubic resize into the jitted program."""
+    net = SynthesisNetwork.from_pkl(two_networks[0], output_side_length=32)
+    z = np.random.RandomState(4).randn(2, 16).astype(np.float32)
+    imgs = net.images_from_vectors(z)
+    assert imgs.shape == (2, 32, 32, 3)
+    # matches a host-side cubic resize of the native render closely
+    import cv2
+
+    native = SynthesisNetwork.from_pkl(two_networks[0]).images_from_vectors(z)
+    host = np.stack(
+        [cv2.resize(f, (32, 32), interpolation=cv2.INTER_CUBIC) for f in native]
+    )
+    diff = np.abs(imgs.astype(int) - host.astype(int))
+    assert diff.mean() < 6.0  # different cubic kernels; must agree closely
+
+
+def test_multi_network_output_scaling(two_networks):
+    multi = MultiNetwork(two_networks, load=True, output_side_length=24)
+    out = multi.synthesize_all(
+        np.random.RandomState(5).randn(3, 16).astype(np.float32),
+        np.array([0, 1, 0]),
+        batch_size=2,
+    )
+    assert out.shape == (3, 24, 24, 3)
