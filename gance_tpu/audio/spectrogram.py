@@ -48,8 +48,11 @@ def compute_spectrogram(
     win = jnp.asarray(np.hanning(m + 1)[:-1], jnp.float32)
     slices = slices * win[None, :]
 
-    fft = jnp.fft.fft(slices, axis=1).T  # (m, num_windows) — matches slices.T layout
-    spectrum = fft[: m // 2] if truncate else fft
+    if truncate:
+        # rfft bins [0, m//2] ⊇ the kept fft bins [0, m//2) — half the FFT work.
+        spectrum = jnp.fft.rfft(slices, axis=1).T[: m // 2]
+    else:
+        spectrum = jnp.fft.fft(slices, axis=1).T
     s = jnp.abs(spectrum)
     return 20.0 * jnp.log10(s / jnp.max(s))
 
