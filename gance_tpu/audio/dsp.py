@@ -177,22 +177,3 @@ def maximum_filter1d(x: jax.Array, size: int) -> jax.Array:
     padded = jnp.pad(x, (left, right), mode="symmetric")
     idx = jnp.arange(x.shape[0])[:, None] + jnp.arange(size)[None, :]
     return jnp.max(padded[idx], axis=1)
-
-
-def sub_vectors(data: jax.Array, vector_length: int) -> jax.Array:
-    """
-    Flat concatenated data -> divided form (reference vector_sources_common.py:86-101).
-    Vectors (N*V,) -> (N, V); matrices (R, N*V) -> (N, R, V).
-    """
-    if data.ndim >= 2:
-        rows = data.shape[0]
-        num = data.shape[-1] // vector_length
-        return jnp.stack(jnp.split(data, num, axis=-1)) if isinstance(data, jnp.ndarray) else (
-            np.stack(np.split(data, num, axis=-1))
-        )
-    return data.reshape(-1, vector_length)
-
-
-def pad_array(array: jax.Array, size: int) -> jax.Array:
-    """Zero-pad a 1D array at the end to `size` (reference pad_array)."""
-    return jnp.pad(array, (0, size - array.shape[0]))

@@ -145,7 +145,5 @@ def interpolate_between_vectors(
     return out.reshape(-1)
 
 
-def underlying_length(data: np.ndarray) -> int:
-    """Vector length (1D) or row length (2D) — reference :124-133."""
-    data = np.asarray(data)
-    return int(data.shape[0] if data.ndim < 2 else data.shape[1])
+# Re-export the canonical implementation (single source of truth in types.py).
+from gance_tpu.types import underlying_length  # noqa: E402,F401

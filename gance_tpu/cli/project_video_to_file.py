@@ -24,7 +24,12 @@ def projection_options(func: Callable) -> Callable:
         click.option("--projection-fps", type=click.FloatRange(min=0), default=None),
         click.option("--steps-per-projection", type=click.IntRange(min=1), default=1000),
         click.option("--num-frames-to-project", type=click.IntRange(min=1), default=None),
-        click.option("--latents-histories-enabled", is_flag=True, default=False),
+        # latents histories default ON (reference project_video_to_file.py:236) —
+        # the convergence analytics need them; the heavyweight image/noise
+        # histories default OFF like the reference.
+        click.option(
+            "--latents-histories-enabled/--latents-histories-disabled", default=True
+        ),
         click.option("--noises-histories-enabled", is_flag=True, default=False),
         click.option("--images-histories-enabled", is_flag=True, default=False),
         click.option("--log", type=click.Path(dir_okay=False), default=None),

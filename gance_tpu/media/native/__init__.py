@@ -69,13 +69,12 @@ class AviWriter:
             raise ValueError(f"Couldn't create AVI file at {path}")
         self._quality = jpeg_quality
 
-    def write_frame_rgb(self, frame: np.ndarray) -> None:
-        """Encode an RGB uint8 frame as JPEG and append it."""
+    def write_frame_bgr(self, frame: np.ndarray) -> None:
+        """Encode a BGR uint8 frame (cv2's native order) as JPEG and append it."""
         import cv2
 
         ok, jpeg = cv2.imencode(
-            ".jpg",
-            cv2.cvtColor(np.asarray(frame, np.uint8), cv2.COLOR_RGB2BGR),
+            ".jpg", np.asarray(frame, np.uint8),
             [cv2.IMWRITE_JPEG_QUALITY, self._quality],
         )
         if not ok:
@@ -84,6 +83,12 @@ class AviWriter:
         self._lib.avi_write_video_frame(
             self._ctx, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), data.size
         )
+
+    def write_frame_rgb(self, frame: np.ndarray) -> None:
+        """Encode an RGB uint8 frame as JPEG and append it."""
+        import cv2
+
+        self.write_frame_bgr(cv2.cvtColor(np.asarray(frame, np.uint8), cv2.COLOR_RGB2BGR))
 
     def write_audio(self, samples: np.ndarray) -> None:
         """Append interleaved int16 PCM samples."""
@@ -158,7 +163,7 @@ def mux_video_with_audio(
             ret, frame = cap.read()
             if not ret:
                 break
-            writer.write_frame_rgb(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            writer.write_frame_bgr(frame)  # cv2 decodes BGR; no roundtrip
             if samples_per_frame and cursor < pcm.shape[0]:
                 chunk = pcm[cursor : cursor + samples_per_frame]
                 writer.write_audio(chunk)

@@ -30,12 +30,31 @@ from gance_tpu.utils.logging import LOGGER
 
 
 class VideoFrames(NamedTuple):
-    """Metadata + lazy frame iterator (reference video_common.py:198-206)."""
+    """
+    Metadata + lazy frame iterator (reference video_common.py:198-206).
+    `original_fps` / `total_frame_count` describe the SOURCE FILE even when an fps
+    reduction is applied (the reference's provenance contract); the reduced frame
+    count is ceil(total / take_every) when `reduce_fps_to` was given.
+    """
 
     original_fps: float
     total_frame_count: int
     original_resolution: ImageResolution
     frames: ImageSourceType
+    reduced_fps: Optional[float] = None
+    reduced_frame_count: Optional[int] = None
+
+    @property
+    def effective_fps(self) -> float:
+        return self.reduced_fps if self.reduced_fps is not None else self.original_fps
+
+    @property
+    def effective_frame_count(self) -> int:
+        return (
+            self.reduced_frame_count
+            if self.reduced_frame_count is not None
+            else self.total_frame_count
+        )
 
 
 def reduce_fps_take_every(original_fps: float, new_fps: Optional[float]) -> Optional[int]:
@@ -85,16 +104,21 @@ def frames_in_video(
         video.release()
 
     frames: Iterator[np.ndarray] = iterate()
+    reduced_fps: Optional[float] = None
+    reduced_frame_count: Optional[int] = None
     if take_every is not None:
         frames = islice(frames, 0, None, take_every)
-        fps = reduce_fps_to
-        frame_count = frame_count // take_every
+        reduced_fps = reduce_fps_to
+        # islice(step=k) yields ceil(n / k) items, not n // k.
+        reduced_frame_count = -(-frame_count // take_every)
 
     return VideoFrames(
         original_fps=fps,
         total_frame_count=frame_count,
         original_resolution=resolution,
         frames=frames,
+        reduced_fps=reduced_fps,
+        reduced_frame_count=reduced_frame_count,
     )
 
 

@@ -41,9 +41,21 @@ class _FrameOverlayResult(NamedTuple):
 
 
 def _crop(image: np.ndarray, box: BoundingBox) -> np.ndarray:
+    """
+    Crop with PIL semantics: the output is always exactly box-sized, with regions
+    outside the image filled with black (PIL.Image.crop pads; plain slicing would
+    clamp and change the pHash of edge-of-frame eye boxes).
+    """
     left, upper, right, lower = convert_to_pil_box(box)
     h, w = image.shape[:2]
-    return image[max(upper, 0) : min(lower, h), max(left, 0) : min(right, w)]
+    out = np.zeros((box.height, box.width) + image.shape[2:], dtype=image.dtype)
+    src_y0, src_y1 = max(upper, 0), min(lower, h)
+    src_x0, src_x1 = max(left, 0), min(right, w)
+    if src_y1 > src_y0 and src_x1 > src_x0:
+        out[src_y0 - upper : src_y1 - upper, src_x0 - left : src_x1 - left] = image[
+            src_y0:src_y1, src_x0:src_x1
+        ]
+    return out
 
 
 def compute_eye_tracking_overlay(

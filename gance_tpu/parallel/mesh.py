@@ -36,12 +36,11 @@ def create_mesh(
         devices = devices[:n_devices]
     count = len(devices)
     if data_parallel is None:
+        # Frame synthesis is embarrassingly data-parallel: pure DP by default.
+        # Tensor parallelism is an explicit choice (pass data_parallel < count)
+        # for models that don't fit one chip.
+        data_parallel = count
         model_parallel = 1
-        for candidate in (2, 4):
-            if count % candidate == 0 and count > candidate:
-                model_parallel = candidate
-                break
-        data_parallel = count // model_parallel
     else:
         if count % data_parallel:
             raise ValueError(f"{count} devices not divisible by dp={data_parallel}")

@@ -15,18 +15,18 @@ import h5py
 import numpy as np
 
 from gance_tpu.projection.projection_types import (
+    FINAL_IMAGE_GROUP_NAME,
+    FINAL_LATENTS_GROUP_NAME,
+    IMAGES_HISTORIES_GROUP_NAME,
+    LATENTS_HISTORIES_GROUP_NAME,
+    NOISES_HISTORIES_GROUP_NAME,
+    TARGET_IMAGES_GROUP_NAME,
     ProjectionAttributes,
     complete_latents_to_matrix,
 )
 from gance_tpu.types import MatricesLabel
 from gance_tpu.utils.logging import LOGGER
 
-TARGET_IMAGES_GROUP_NAME = "target_images"
-FINAL_LATENTS_GROUP_NAME = "final_latents"
-FINAL_IMAGE_GROUP_NAME = "final_images"
-LATENTS_HISTORIES_GROUP_NAME = "latents_histories"
-IMAGES_HISTORIES_GROUP_NAME = "images_histories"
-NOISES_HISTORIES_GROUP_NAME = "noises_histories"
 
 
 def _sorted_items(group: h5py.Group, h5_type) -> Iterator:

@@ -36,7 +36,13 @@ import numpy as np
 
 from gance_tpu.media.video import frames_in_video
 from gance_tpu.projection.projection_types import (
+    FINAL_IMAGE_GROUP_NAME,
+    FINAL_LATENTS_GROUP_NAME,
+    IMAGES_HISTORIES_GROUP_NAME,
+    LATENTS_HISTORIES_GROUP_NAME,
     LATEST_VERSION,
+    NOISES_HISTORIES_GROUP_NAME,
+    TARGET_IMAGES_GROUP_NAME,
     CompleteLatentsType,
     NoisesShapesType,
     ProjectionAttributes,
@@ -47,13 +53,6 @@ from gance_tpu.utils.logging import LOGGER
 DEFAULT_STEPS_PER_PROJECTION = 1000
 DEFAULT_EXPECTED_TIME_PER_STEP = 60.0
 COMPRESSION_LEVEL = 9
-
-TARGET_IMAGES_GROUP_NAME = "target_images"
-FINAL_LATENTS_GROUP_NAME = "final_latents"
-FINAL_IMAGE_GROUP_NAME = "final_images"
-LATENTS_HISTORIES_GROUP_NAME = "latents_histories"
-IMAGES_HISTORIES_GROUP_NAME = "images_histories"
-NOISES_HISTORIES_GROUP_NAME = "noises_histories"
 
 _PER_FRAME_DATASET_GROUP_NAMES = [
     TARGET_IMAGES_GROUP_NAME,
@@ -245,11 +244,15 @@ def project_video_to_file(
     if projection_width_height is None:
         projection_width_height = tuple(video.original_resolution)
 
-    num_projection_frames = (
-        min(video.total_frame_count, num_frames_to_project)
-        if num_frames_to_project is not None
-        else video.total_frame_count
+    # Reference derivation (projector_file_writer.py:669-690): originals describe
+    # the source file; the projection count reflects the fps downsample.
+    true_projection_fps = (
+        video.original_fps if projection_fps is None else projection_fps
     )
+    if num_frames_to_project is not None:
+        num_projection_frames = num_frames_to_project
+    else:
+        num_projection_frames = video.effective_frame_count
 
     projector = TPUProjector.from_pkl(
         path_to_network,
@@ -271,8 +274,8 @@ def project_video_to_file(
         latents_histories_enabled=latents_histories_enabled,
         noises_histories_enabled=noises_histories_enabled,
         images_histories_enabled=images_histories_enabled,
-        original_fps=video.original_fps if projection_fps is None else video.original_fps,
-        projection_fps=projection_fps if projection_fps is not None else video.original_fps,
+        original_fps=video.original_fps,
+        projection_fps=true_projection_fps,
         original_frame_count=video.total_frame_count,
         projection_frame_count=num_projection_frames,
     )

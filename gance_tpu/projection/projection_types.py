@@ -21,6 +21,14 @@ NoisesShapesType = List[Tuple[int, ...]]
 
 LATEST_VERSION = 2
 
+# HDF5 group names (schema v2; single source of truth for writer + reader)
+TARGET_IMAGES_GROUP_NAME = "target_images"
+FINAL_LATENTS_GROUP_NAME = "final_latents"
+FINAL_IMAGE_GROUP_NAME = "final_images"
+LATENTS_HISTORIES_GROUP_NAME = "latents_histories"
+IMAGES_HISTORIES_GROUP_NAME = "images_histories"
+NOISES_HISTORIES_GROUP_NAME = "noises_histories"
+
 
 def complete_latents_to_matrix(complete_latents: CompleteLatentsType) -> np.ndarray:
     """(1, R, V) -> (R, V) (reference projection_types.py:22-28)."""

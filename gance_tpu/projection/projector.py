@@ -114,15 +114,20 @@ class TPUProjector:
         self,
         params: Dict[str, Any],
         config: GeneratorConfig,
-        num_steps: int = 1000,
+        num_steps: Optional[int] = None,
         vgg_weights_path: Optional[Path] = None,
         expected_time_per_step: Optional[float] = None,
         settings: Optional[ProjectorSettings] = None,
     ) -> None:
+        import dataclasses
+
         self.params = params
         self.config = config
-        self.settings = settings or ProjectorSettings()
-        self.settings.num_steps = num_steps
+        # Copy the settings (never mutate a caller-owned object); an explicit
+        # num_steps kwarg overrides the settings value, otherwise settings win.
+        self.settings = dataclasses.replace(settings) if settings else ProjectorSettings()
+        if num_steps is not None:
+            self.settings.num_steps = num_steps
         self.expected_time_per_step = expected_time_per_step
         self._perceptual_params = (
             load_vgg_params(vgg_weights_path)
@@ -137,7 +142,9 @@ class TPUProjector:
         self._step_fn = self._build_step()
 
     @classmethod
-    def from_pkl(cls, path: Path, num_steps: int = 1000, **kwargs: Any) -> "TPUProjector":
+    def from_pkl(
+        cls, path: Path, num_steps: Optional[int] = None, **kwargs: Any
+    ) -> "TPUProjector":
         params, config = load_generator(Path(path))
         return cls(params, config, num_steps=num_steps, **kwargs)
 
@@ -235,7 +242,17 @@ class TPUProjector:
             w, noises, opt_state, dist, image_dev = self._step_fn(
                 w, noises, opt_state, target_proc, t, step_rng
             )
+            if self.expected_time_per_step is not None:
+                # JAX dispatch is async; the watchdog must observe real device
+                # progress, so force a per-step sync when it is armed (the
+                # reference's per-step timeout semantics, projector_file_writer
+                # .py:64,:311-329). Disarm (None) to run fully pipelined.
+                dist.block_until_ready()
             if step_callback is not None:
+                # Pairing note: latents are post-update, the image is the step's
+                # forward pass (pre-update) — exactly the reference's pairing
+                # (NVlabs get_dlatents reads the updated variable while get_images
+                # returns the forward images the loss saw).
                 latents = np.tile(
                     np.asarray(w)[:, None, :], (1, self.config.num_style_rows, 1)
                 )

@@ -63,8 +63,9 @@ def import_vgg_weights(source: Path, destination_npz: Path) -> None:
     """
     source = Path(source)
     if source.suffix == ".npz":
-        blob = np.load(str(source))
-        params = {k: np.asarray(blob[k]) for k in blob.files}
+        from gance_tpu.projection.lpips import load_vgg_params
+
+        params = load_vgg_params(source)
     else:
         import torch
 

@@ -58,10 +58,24 @@ def test_fps_reduction(tmp_path):
     path = tmp_path / "out.mp4"
     write_source_to_disk_consume(iter(_frames(12)), path, video_fps=30.0)
     video = frames_in_video(path, reduce_fps_to=15.0)
-    assert video.original_fps == 15.0
+    # originals describe the source file (the reference's provenance contract)
+    assert video.original_fps == 30.0
+    assert video.total_frame_count == 12
+    assert video.effective_fps == 15.0
+    assert video.effective_frame_count == 6
     assert len(list(video.frames)) == 6
     with pytest.raises(ValueError):
         frames_in_video(path, reduce_fps_to=7.0)  # 30/7 not exact
+
+
+def test_fps_reduction_ceil(tmp_path):
+    """islice(step=k) yields ceil(n/k) frames; the metadata must agree."""
+    path = tmp_path / "out10.mp4"
+    write_source_to_disk_consume(iter(_frames(10)), path, video_fps=30.0)
+    video = frames_in_video(path, video_fps=30.0, reduce_fps_to=10.0)
+    frames = list(video.frames)
+    assert len(frames) == 4  # frames 0, 3, 6, 9
+    assert video.effective_frame_count == 4
 
 
 def test_reduce_fps_take_every():

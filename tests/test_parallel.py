@@ -30,8 +30,12 @@ def test_mesh_shapes():
     mesh = create_mesh()
     assert mesh.devices.size == 8
     assert mesh.axis_names == ("data", "model")
+    # default policy: pure DP (frame synthesis is embarrassingly data-parallel)
+    assert mesh.shape == {"data": 8, "model": 1}
     mesh = create_mesh(n_devices=4, data_parallel=4)
     assert mesh.shape == {"data": 4, "model": 1}
+    mesh = create_mesh(n_devices=8, data_parallel=4)
+    assert mesh.shape == {"data": 4, "model": 2}
     with pytest.raises(ValueError):
         create_mesh(n_devices=8, data_parallel=3)
 
