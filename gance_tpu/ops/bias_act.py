@@ -60,7 +60,9 @@ def bias_act(
         x = x + b.reshape(shape).astype(x.dtype)
 
     if act == "lrelu":
-        x = jnp.where(x >= 0, x, x * jnp.asarray(alpha, dtype=x.dtype))
+        # For 0 < alpha < 1, lrelu(x) == max(x, alpha*x): one VPU max instead of
+        # compare+select (the profile showed the selects as ~19% of synthesis).
+        x = jnp.maximum(x, x * jnp.asarray(alpha, dtype=x.dtype))
     elif act == "relu":
         x = jnp.maximum(x, 0)
     elif act == "tanh":

@@ -74,8 +74,29 @@ def upfirdn2d(
     channels = x.shape[-1]
     # True convolution: flip the kernel (lax convs are cross-correlations).
     k = jnp.asarray(kernel[::-1, ::-1], dtype=jnp.float32)
-    rhs = jnp.tile(k[:, :, None, None], (1, 1, 1, channels)).astype(x.dtype)
 
+    # Lane-efficiency: NHWC puts channels on the TPU lane axis; a 3-channel RGB
+    # stream pads 3 -> 128 lanes (42x wasted VPU work — the ToRGB skip chain at
+    # 1024px showed up as the top fusions in profiles). For tiny channel counts,
+    # run the depthwise FIR in NCHW so W (large) sits on the lanes instead.
+    if channels < 8:
+        rhs = k[:, :, None, None].astype(x.dtype)
+        rhs = jnp.tile(rhs, (1, 1, 1, channels))
+        out = lax.conv_general_dilated(
+            jnp.transpose(x, (0, 3, 1, 2)),
+            rhs,
+            window_strides=(down, down),
+            padding=((pad0, pad1 + up - 1), (pad0, pad1 + up - 1)),
+            lhs_dilation=(up, up),
+            rhs_dilation=(1, 1),
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            feature_group_count=channels,
+            precision=CONV_PRECISION,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.transpose(out, (0, 2, 3, 1)).astype(x.dtype)
+
+    rhs = jnp.tile(k[:, :, None, None], (1, 1, 1, channels)).astype(x.dtype)
     out = lax.conv_general_dilated(
         x,
         rhs,
