@@ -41,3 +41,18 @@ def test_upsample2x_blur_matches_upfirdn(rng, shape):
     want = np.asarray(upsample_2d(jnp.asarray(x)))
     assert got.shape == want.shape == (shape[0], shape[1] * 2, shape[2] * 2, shape[3])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 19, 19, 8), (1, 11, 27, 4)])
+def test_stencil_blur4_matches_xla(rng, shape):
+    from gance_tpu.ops.pallas.fused_ops import stencil_blur4_valid
+    from gance_tpu.ops.upfirdn2d import setup_filter_kernel, upfirdn2d
+
+    x = rng.randn(*shape).astype(np.float32)
+    k = setup_filter_kernel((1, 3, 3, 1), gain=4.0)
+    kflip = tuple(tuple(float(v) for v in row) for row in k[::-1, ::-1])
+    got = np.asarray(stencil_blur4_valid(jnp.asarray(x), kflip, interpret=True))
+    # equivalent: upfirdn with up=down=1, no padding == VALID convolution
+    want = np.asarray(upfirdn2d(jnp.asarray(x), k, up=1, down=1, pad0=0, pad1=0))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
