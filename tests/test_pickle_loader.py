@@ -103,3 +103,33 @@ def test_parse_network_paths(tmp_path):
     bad.write_text(json.dumps({"networks": [str(tmp_path / "missing.pkl")]}))
     with pytest.raises(ValueError, match="not a file"):
         parse_network_paths(None, None, bad)
+
+
+def test_loader_tolerates_extra_variables(tmp_path):
+    """Real NVlabs pickles can carry extra variables (e.g. training-era 'lod');
+    the loader must ignore them gracefully."""
+    import numpy as np
+
+    from gance_tpu.models.pickle_loader import (
+        captured_state_from_generator_params,
+        generator_params_from_captured,
+    )
+    from gance_tpu.models.stylegan2 import generator_apply
+
+    params = init_generator_params(jax.random.PRNGKey(5), TINY)
+    state = captured_state_from_generator_params(params)
+    # inject extra top-level + synthesis variables like a training pickle would have
+    state["variables"].append(("lod", np.float32(0.0)))
+    syn_state = state["components"]["synthesis"].state
+    syn_state["variables"].append(("lod", np.float32(0.0)))
+
+    captured = type(state["components"]["synthesis"])()
+    captured.__setstate__(state)
+    loaded = generator_params_from_captured(captured)
+
+    z = jax.random.normal(jax.random.PRNGKey(6), (1, TINY.latent_size))
+    from gance_tpu.models.stylegan2 import config_from_params
+
+    cfg = config_from_params(loaded)
+    img = generator_apply(loaded, z, cfg)
+    assert img.shape == (1, 16, 16, 3)
