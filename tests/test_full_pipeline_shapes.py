@@ -137,3 +137,42 @@ def test_orchestration_sweep(n_networks, frames_cap, with_viz):
         assert viz_frames[0].shape == (32, 32, 3)
     else:
         assert output.visualization_images is None
+
+
+def test_music_complexity_mask_path(setup, tmp_path):
+    """The gzip-complexity overlay mask (reference CHANGELOG 0.20.0): enabled
+    alongside overlay, it gates which frames get the eye-tracking computation."""
+    from gance_tpu.pipelines.projection_file_blend import projection_file_blend_api
+
+    d, nets_json, projection = setup
+    out = tmp_path / "masked.avi"
+    projection_file_blend_api(
+        wav=[CLAPS], output_path=out,
+        network_paths=[d / "0_net.pkl"], frames_to_visualize=None,
+        output_fps=30.0, output_side_length=32, debug_path=None,
+        debug_window=10, debug_side_length=64, alpha=0.5,
+        fft_roll_enabled=False, fft_amplitude_range=(-1.0, 1.0),
+        projection_file_path=projection, blend_depth=3,
+        complexity_change_rolling_sum_window=3,
+        complexity_change_threshold=1e9,  # everything "calm" -> no frames skipped
+        phash_distance=30, bbox_distance=50.0, track_length=1,
+    )
+    assert out.exists()
+    assert len(list(frames_in_video(out).frames)) == 8
+
+
+def test_music_mask_requires_overlay(setup, tmp_path):
+    from gance_tpu.pipelines.projection_file_blend import projection_file_blend_api
+
+    d, nets_json, projection = setup
+    with pytest.raises(ValueError, match="without overlay"):
+        projection_file_blend_api(
+            wav=[CLAPS], output_path=tmp_path / "x.avi",
+            network_paths=[d / "0_net.pkl"], frames_to_visualize=None,
+            output_fps=30.0, output_side_length=32, debug_path=None,
+            debug_window=10, debug_side_length=64, alpha=0.5,
+            fft_roll_enabled=False, fft_amplitude_range=(-1.0, 1.0),
+            projection_file_path=projection, blend_depth=3,
+            complexity_change_rolling_sum_window=3,
+            complexity_change_threshold=5.0,
+        )
