@@ -47,3 +47,29 @@ if _os.environ.get("GANCE_TPU_COMPILE_CACHE", "1") != "0":
     )
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# Lazy top-level API (keeps `import gance_tpu` light for CLI startup).
+_API = {
+    "SynthesisNetwork": ("gance_tpu.synthesis.runtime", "SynthesisNetwork"),
+    "MultiNetwork": ("gance_tpu.synthesis.runtime", "MultiNetwork"),
+    "load_generator": ("gance_tpu.models.pickle_loader", "load_generator"),
+    "GeneratorConfig": ("gance_tpu.models.stylegan2", "GeneratorConfig"),
+    "generator_apply": ("gance_tpu.models.stylegan2", "generator_apply"),
+    "TPUProjector": ("gance_tpu.projection.projector", "TPUProjector"),
+    "load_projection_file": ("gance_tpu.projection.file_reader", "load_projection_file"),
+    "noise_blend_api": ("gance_tpu.pipelines.noise_blend", "noise_blend_api"),
+    "projection_file_blend_api": (
+        "gance_tpu.pipelines.projection_file_blend",
+        "projection_file_blend_api",
+    ),
+}
+
+
+def __getattr__(name: str):
+    if name in _API:
+        import importlib
+
+        module_name, attr = _API[name]
+        return getattr(importlib.import_module(module_name), attr)
+    raise AttributeError(f"module 'gance_tpu' has no attribute {name!r}")
