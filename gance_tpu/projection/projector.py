@@ -24,7 +24,7 @@ preserves the per-frame durability contract.
 """
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from pathlib import Path
 from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
 
@@ -119,13 +119,11 @@ class TPUProjector:
         expected_time_per_step: Optional[float] = None,
         settings: Optional[ProjectorSettings] = None,
     ) -> None:
-        import dataclasses
-
         self.params = params
         self.config = config
         # Copy the settings (never mutate a caller-owned object); an explicit
         # num_steps kwarg overrides the settings value, otherwise settings win.
-        self.settings = dataclasses.replace(settings) if settings else ProjectorSettings()
+        self.settings = replace(settings) if settings else ProjectorSettings()
         if num_steps is not None:
             self.settings.num_steps = num_steps
         self.expected_time_per_step = expected_time_per_step
@@ -266,6 +264,9 @@ class TPUProjector:
             elapsed = time.monotonic() - start_time
             if (
                 self.expected_time_per_step is not None
+                # Step 0 includes the one-time jit compile (minutes over a
+                # tunneled TPU, cold cache); the hang detector arms from step 1.
+                and step_number > 0
                 and elapsed > self.expected_time_per_step
             ):
                 raise RuntimeError(
