@@ -117,6 +117,26 @@ class SynthesisNetwork:
     # When set, frames leave the device already scaled to this side length (the
     # resize is fused into the jitted program; egress moves output-sized frames).
     output_side_length: Optional[int] = None
+    # When set, params are placed tensor-parallel over the mesh's 'model' axis and
+    # frame batches shard over 'data' — the multi-chip serving path. Batch sizes
+    # must be divisible by the data-axis size.
+    mesh: Optional[Any] = None
+
+    def __post_init__(self) -> None:
+        if self.mesh is not None:
+            from gance_tpu.parallel.mesh import generator_param_sharding, shard_batch
+
+            self.params = jax.device_put(
+                self.params, generator_param_sharding(self.mesh, self.params)
+            )
+            self._batch_sharding = shard_batch(self.mesh)
+        else:
+            self._batch_sharding = None
+
+    def _place_batch(self, batch: jax.Array) -> jax.Array:
+        if self._batch_sharding is not None:
+            return jax.device_put(batch, self._batch_sharding)
+        return batch
 
     @classmethod
     def from_pkl(
@@ -125,6 +145,7 @@ class SynthesisNetwork:
         truncation_psi: Optional[float] = DEFAULT_TRUNCATION_PSI,
         compute_dtype: Any = DEFAULT_COMPUTE_DTYPE,
         output_side_length: Optional[int] = None,
+        mesh: Optional[Any] = None,
     ) -> "SynthesisNetwork":
         params, config = load_generator(Path(path))
         return cls(
@@ -134,6 +155,7 @@ class SynthesisNetwork:
             truncation_psi=truncation_psi,
             compute_dtype=compute_dtype,
             output_side_length=output_side_length,
+            mesh=mesh,
         )
 
     @property
@@ -151,7 +173,7 @@ class SynthesisNetwork:
         """(B, latent) z batch -> device-resident (B, R, R, 3) uint8 (async)."""
         return _jit_images_from_z(
             self.params,
-            jnp.asarray(z_batch, jnp.float32),
+            self._place_batch(jnp.asarray(z_batch, jnp.float32)),
             self.config,
             self.truncation_psi,
             self.compute_dtype,
@@ -166,7 +188,7 @@ class SynthesisNetwork:
         """
         return _jit_images_from_dlatents(
             self.params,
-            jnp.asarray(dlatent_batch, jnp.float32),
+            self._place_batch(jnp.asarray(dlatent_batch, jnp.float32)),
             self.config,
             self.compute_dtype,
             self.output_side_length,
@@ -270,12 +292,14 @@ class MultiNetwork:
         truncation_psi: Optional[float] = DEFAULT_TRUNCATION_PSI,
         compute_dtype: Any = DEFAULT_COMPUTE_DTYPE,
         output_side_length: Optional[int] = None,
+        mesh: Optional[Any] = None,
         _preloaded: Optional[List[NetworkLike]] = None,
     ) -> None:
         self.network_paths = [Path(p) for p in network_paths]
         self._truncation_psi = truncation_psi
         self._compute_dtype = compute_dtype
         self._output_side_length = output_side_length
+        self._mesh = mesh
         self._networks: Optional[List[NetworkLike]] = _preloaded
         if load and self._networks is None:
             self.load()
@@ -297,6 +321,7 @@ class MultiNetwork:
                     truncation_psi=self._truncation_psi,
                     compute_dtype=self._compute_dtype,
                     output_side_length=self._output_side_length,
+                    mesh=self._mesh,
                 )
                 for p in self.network_paths
             ]

@@ -135,3 +135,29 @@ def test_checkpoint_resume(tmp_path):
     a = np.asarray(jax.tree.leaves(cont.g_params)[0])
     b = np.asarray(jax.tree.leaves(res.g_params)[0])
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_multi_network_over_mesh(tmp_path):
+    """The production MultiNetwork serves over a mesh: params tensor-parallel,
+    batches data-parallel, outputs equal to single-device within uint8 rounding."""
+    from gance_tpu.models.pickle_loader import save_generator_pickle
+    from gance_tpu.synthesis.runtime import MultiNetwork
+
+    paths = []
+    for i in range(2):
+        params = init_generator_params(jax.random.PRNGKey(i), TINY)
+        p = tmp_path / f"{i}.pkl"
+        save_generator_pickle(params, p)
+        paths.append(p)
+
+    mesh = create_mesh(data_parallel=4)  # (4, 2): dp x tp
+    sharded = MultiNetwork(paths, load=True, mesh=mesh)
+    plain = MultiNetwork(paths, load=True)
+
+    rng = np.random.RandomState(0)
+    frames = rng.randn(8, TINY.latent_size).astype(np.float32)
+    indices = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    got = sharded.synthesize_all(frames, indices, batch_size=4)
+    want = plain.synthesize_all(frames, indices, batch_size=4)
+    assert got.shape == want.shape == (8, 16, 16, 3)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
