@@ -36,7 +36,7 @@ def main() -> None:
         init_generator_params,
     )
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "24"))  # largest batch that fits v5e HBM (28+ OOMs)
     iters = int(os.environ.get("BENCH_ITERS", "12"))
     resolution = int(os.environ.get("BENCH_RESOLUTION", "1024"))
 

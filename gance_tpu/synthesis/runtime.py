@@ -42,6 +42,8 @@ from gance_tpu.utils.logging import LOGGER
 
 Params = Dict[str, Any]
 
+# Streaming default balances latency vs throughput; raw synthesis throughput on
+# v5e peaks near batch 24 (bench.py), so raise GANCE_TPU_BATCH_SIZE for offline runs.
 DEFAULT_BATCH_SIZE = int(os.environ.get("GANCE_TPU_BATCH_SIZE", "8"))
 
 # Compute dtype for synthesis ("float32" exact / "bfloat16" fast — style/demod math
