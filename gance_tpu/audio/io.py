@@ -9,7 +9,6 @@ contract is what the downstream frame-count math depends on
 
 import pickle
 from fractions import Fraction
-from functools import partial
 from pathlib import Path
 from typing import List, NamedTuple, Optional, Union
 

@@ -16,7 +16,6 @@ from scipy.interpolate import UnivariateSpline
 
 from gance_tpu.audio.dsp import (
     maximum_filter1d,
-    minmax_scale,
     remap_values_into_range,
     rms_frames,
     rolling_mean,

@@ -6,8 +6,6 @@ These are thin, mostly-numpy utilities (they run once per song on O(frames × 51
 data); the jit-hot members live in audio/dsp.py and are re-exported here.
 """
 
-from typing import Union
-
 import numpy as np
 from scipy.interpolate import interp1d
 

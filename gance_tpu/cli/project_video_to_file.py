@@ -5,11 +5,11 @@ projection files (reference project_video_to_file.py — `videos`, `directory`,
 """
 
 from pathlib import Path
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import click
 
-from gance_tpu.utils.logging import LOGGER, add_log_file
+from gance_tpu.utils.logging import add_log_file
 
 
 def projection_options(func: Callable) -> Callable:

@@ -9,7 +9,6 @@ CLI: synthesize still images from networks (reference synthesize_images.py).
     — free here since params are all resident, kept for output layout parity).
 """
 
-import itertools
 from pathlib import Path
 from typing import List, Optional, Tuple
 

@@ -9,7 +9,7 @@ EMA generator as an NVlabs-format .pkl that the synthesis CLIs load directly.
 """
 
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Optional
 
 import click
 import numpy as np

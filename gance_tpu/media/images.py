@@ -4,7 +4,7 @@ still_image_common.py).
 """
 
 from pathlib import Path
-from typing import Iterable, List
+from typing import Iterable
 
 import cv2
 import numpy as np

@@ -23,7 +23,7 @@ builtins containers, and the captured dnnlib classes; any other global raises.
 
 import io
 import pickle
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 

@@ -22,7 +22,7 @@ models/pickle_loader.py.
 """
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -30,12 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gance_tpu.ops.bias_act import bias_act
-from gance_tpu.ops.modulated_conv import (
-    conv2d_layer,
-    dense_layer,
-    modulated_conv2d,
-    runtime_weight_coef,
-)
+from gance_tpu.ops.modulated_conv import conv2d_layer, dense_layer, modulated_conv2d
 from gance_tpu.ops.upfirdn2d import upsample_2d
 
 Params = Dict[str, Any]

@@ -8,9 +8,6 @@ threshold runs as one jitted op over a batch of crops — the "phash = DCT, triv
 XLA-able" item from BASELINE.json.
 """
 
-import functools
-from typing import Tuple
-
 import cv2
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from gance_tpu.models.stylegan2 import (
     DEFAULT_TRUNCATION_PSI,

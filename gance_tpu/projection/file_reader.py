@@ -9,7 +9,7 @@ migration handled in ProjectionAttributes.from_attrs_dict.
 
 from contextlib import contextmanager
 from pathlib import Path
-from typing import Iterator, List, Optional
+from typing import Iterator
 
 import h5py
 import numpy as np
@@ -25,7 +25,6 @@ from gance_tpu.projection.projection_types import (
     complete_latents_to_matrix,
 )
 from gance_tpu.types import MatricesLabel
-from gance_tpu.utils.logging import LOGGER
 
 
 

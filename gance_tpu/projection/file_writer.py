@@ -29,7 +29,7 @@ while the watchdog + durability semantics live on (projector.py).
 import itertools
 from contextlib import contextmanager
 from pathlib import Path
-from typing import Iterator, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import h5py
 import numpy as np

@@ -24,7 +24,7 @@ preserves the per-frame durability contract.
 """
 
 import time
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from pathlib import Path
 from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
 
@@ -46,7 +46,6 @@ from gance_tpu.projection.lpips import (
     load_vgg_params,
     random_vgg_params,
 )
-from gance_tpu.utils.logging import LOGGER
 
 StepCallback = Callable[[int, np.ndarray, List[np.ndarray], np.ndarray], None]
 

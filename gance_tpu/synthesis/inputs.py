@@ -9,7 +9,7 @@ Reference: gance/data_into_network_visualization/visualization_inputs.py
 projection variant's tighter savgol(3, 2) index smoothing (:245-253).
 """
 
-from typing import List, NamedTuple, Optional, Tuple, Union
+from typing import List, NamedTuple, Tuple, Union
 
 import numpy as np
 
@@ -21,7 +21,7 @@ from gance_tpu.audio.reduction import (
     reduce_vector_rms_rolling_average,
 )
 from gance_tpu.audio.spectrogram import compute_spectrogram_smooth_scale
-from gance_tpu.types import DataLabel, MatricesLabel, ResultLayers, VectorsLabel
+from gance_tpu.types import MatricesLabel, ResultLayers, VectorsLabel
 
 
 class VisualizationInput(NamedTuple):

@@ -13,15 +13,13 @@ project". The TPU rebuild dissolves most of that complexity:
     iterator tee is needed because the panels consume vectors, not images.
 """
 
-from typing import Callable, Iterator, List, NamedTuple, Optional, Union
+from typing import Callable, Iterator, List, NamedTuple, Optional
 
 import numpy as np
 
 from gance_tpu.audio.vectors import sub_vectors
 from gance_tpu.synthesis.inputs import VisualizationInput
 from gance_tpu.synthesis.runtime import DEFAULT_BATCH_SIZE, MultiNetwork
-from gance_tpu.types import DataLabel, ResultLayers
-from gance_tpu.utils.logging import LOGGER
 
 
 class FrameInput(NamedTuple):

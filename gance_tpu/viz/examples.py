@@ -7,8 +7,6 @@ opening interactive windows (no display on TPU hosts).
 
 from pathlib import Path
 
-import numpy as np
-
 from gance_tpu.audio.primitives import Sigmas, gaussian_data, square_wave_sweep_vertical
 from gance_tpu.media.images import write_image
 from gance_tpu.types import VectorsLabel

@@ -8,7 +8,7 @@ vector scatters, the network-index context window with a current-frame cursor, a
 the current index bar, then rasterizes to a square RGB frame.
 """
 
-from typing import Callable, Iterator, Optional
+from typing import Callable, Optional
 
 import cv2
 import matplotlib.pyplot as plt
