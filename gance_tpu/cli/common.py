@@ -56,6 +56,16 @@ def common_command_options(func: Callable) -> Callable:
         click.option("--alpha", type=click.FloatRange(0, 1), default=0.25),
         click.option("--fft-roll-enabled", is_flag=True, default=False),
         click.option(
+            "--compute-dtype", type=click.Choice(["float32", "bfloat16"]),
+            default=None,
+            help="Synthesis compute dtype: float32 (exact) or bfloat16 (~4x faster "
+            "on TPU; mean uint8 delta < 2). Defaults to GANCE_TPU_COMPUTE_DTYPE.",
+        ),
+        click.option(
+            "--trace-dir", type=click.Path(file_okay=False), default=None,
+            help="Write a jax.profiler trace of the run here (TensorBoard-viewable).",
+        ),
+        click.option(
             "--fft-amplitude-range", type=(float, float), default=(-1.0, 1.0)
         ),
         click.option(

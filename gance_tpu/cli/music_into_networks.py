@@ -39,6 +39,8 @@ def noise_blend(  # pylint: disable=too-many-arguments
     alpha: float,
     fft_roll_enabled: bool,
     fft_amplitude_range: Tuple[float, float],
+    compute_dtype: Optional[str],
+    trace_dir: Optional[str],
     run_config: Optional[str],
     log: Optional[str],
 ) -> None:
@@ -62,6 +64,8 @@ def noise_blend(  # pylint: disable=too-many-arguments
         alpha=alpha,
         fft_roll_enabled=fft_roll_enabled,
         fft_amplitude_range=fft_amplitude_range,
+        compute_dtype=compute_dtype,
+        trace_dir=Path(trace_dir) if trace_dir else None,
     )
 
 
@@ -102,6 +106,8 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
     alpha: float,
     fft_roll_enabled: bool,
     fft_amplitude_range: Tuple[float, float],
+    compute_dtype: Optional[str],
+    trace_dir: Optional[str],
     run_config: Optional[str],
     log: Optional[str],
     projection_file_path: str,
@@ -141,6 +147,8 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
         fft_amplitude_range=fft_amplitude_range,
         projection_file_path=Path(projection_file_path),
         blend_depth=blend_depth,
+        compute_dtype=compute_dtype,
+        trace_dir=Path(trace_dir) if trace_dir else None,
         phash_distance=phash_distance,
         bbox_distance=bbox_distance,
         track_length=track_length,

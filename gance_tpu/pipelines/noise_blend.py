@@ -35,6 +35,8 @@ def noise_blend_api(
     fft_roll_enabled: bool,
     fft_amplitude_range: Tuple[float, float],
     cache_path: Optional[Path] = None,
+    compute_dtype: Optional[str] = None,
+    trace_dir: Optional[Path] = None,
 ) -> None:
     """
     Render a music video: audio features alpha-blended with smoothed gaussian noise,
@@ -43,10 +45,21 @@ def noise_blend_api(
     create_debug_visualization = debug_path is not None
     audio_paths = [Path(p) for p in wav]
 
+    import contextlib
+
+    import jax.numpy as jnp
+
+    from gance_tpu.utils.profiling import trace
+
+    dtype = {None: None, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
+    trace_ctx = trace(Path(trace_dir)) if trace_dir else contextlib.nullcontext()
+
     # Output scaling is fused into the jitted synthesis program (device-side
     # bicubic) so host egress moves output-sized frames, not native-res ones.
-    with MultiNetwork(
-        network_paths=network_paths, output_side_length=output_side_length
+    with trace_ctx, MultiNetwork(
+        network_paths=network_paths,
+        output_side_length=output_side_length,
+        **({"compute_dtype": dtype} if dtype is not None else {}),
     ) as multi_networks:
         audio = read_wavs_scale_for_video(
             wavs=audio_paths,

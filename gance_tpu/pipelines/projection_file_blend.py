@@ -53,6 +53,8 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
     fft_amplitude_range: Tuple[float, float],
     projection_file_path: Path,
     blend_depth: int,
+    compute_dtype: Optional[str] = None,
+    trace_dir: Optional[Path] = None,
     complexity_change_rolling_sum_window: Optional[int] = None,
     complexity_change_threshold: Optional[float] = None,
     phash_distance: Optional[int] = None,
@@ -73,9 +75,24 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
     if overlay_music_mask_enabled and not overlay_enabled:
         raise ValueError("Overlay music mask without overlay being enabled is not supported!")
 
-    multi_networks = MultiNetwork(network_paths=network_paths, load=True)
+    import contextlib
 
-    with projection_file_reader.load_projection_file(Path(projection_file_path)) as reader:
+    import jax.numpy as jnp
+
+    from gance_tpu.utils.profiling import trace
+
+    dtype = {None: None, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
+    trace_ctx = trace(Path(trace_dir)) if trace_dir else contextlib.nullcontext()
+
+    multi_networks = MultiNetwork(
+        network_paths=network_paths,
+        load=True,
+        **({"compute_dtype": dtype} if dtype is not None else {}),
+    )
+
+    with trace_ctx, projection_file_reader.load_projection_file(
+        Path(projection_file_path)
+    ) as reader:
         final_latents = projection_file_reader.final_latents_matrices_label(reader)
 
         final_latents_in_file = (

@@ -356,3 +356,22 @@ def test_music_into_networks_cli_overlay_group(tmp_path, networks_dir, tiny_proj
     )
     assert result.exit_code != 0
     assert "must be given together" in result.output
+
+
+def test_noise_blend_bf16_and_trace(tmp_path, networks_dir):
+    """--compute-dtype bfloat16 + --trace-dir produce a video and a profiler trace."""
+    from gance_tpu.pipelines.noise_blend import noise_blend_api
+
+    out = tmp_path / "bf16.avi"
+    trace_dir = tmp_path / "trace"
+    noise_blend_api(
+        wav=[CLAPS], output_path=out,
+        network_paths=sorted(networks_dir.glob("*.pkl"))[:1],
+        frames_to_visualize=3, output_fps=30.0, output_side_length=32,
+        debug_path=None, debug_window=None, debug_side_length=None,
+        alpha=0.25, fft_roll_enabled=False, fft_amplitude_range=(-1.0, 1.0),
+        compute_dtype="bfloat16", trace_dir=trace_dir,
+    )
+    assert out.exists()
+    assert len(list(frames_in_video(out).frames)) == 3
+    assert any(trace_dir.rglob("*.pb")) or any(trace_dir.rglob("*.json.gz"))
