@@ -64,10 +64,16 @@ def iterator_on_disk(
     RAM. The primary serializes each item once per secondary as it is consumed;
     each secondary deserializes (and deletes) lazily in order.
     """
+    import shutil
+
     tmp_dir = Path(tempfile.mkdtemp(prefix="gance_tpu_tee_"))
     queues: Tuple[Deque[Path], ...] = tuple(deque() for _ in range(copies))
-    done = {"primary_exhausted": False}
+    done = {"primary_exhausted": False, "secondaries_live": copies}
     counter = {"n": 0}
+
+    def _maybe_cleanup() -> None:
+        if done["secondaries_live"] <= 0 and done["primary_exhausted"]:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
     def primary() -> Iterator[Any]:
         for item in iterator:
@@ -78,6 +84,7 @@ def iterator_on_disk(
             counter["n"] += 1
             yield item
         done["primary_exhausted"] = True
+        _maybe_cleanup()
 
     def secondary(queue: Deque[Path]) -> Iterator[Any]:
         while True:
@@ -87,6 +94,8 @@ def iterator_on_disk(
                 path.unlink(missing_ok=True)
                 yield item
             elif done["primary_exhausted"]:
+                done["secondaries_live"] -= 1
+                _maybe_cleanup()
                 return
             else:
                 raise RuntimeError(
