@@ -155,11 +155,19 @@ def rotate_vectors_over_time(data: jax.Array, roll_values: jax.Array) -> jax.Arr
     FFT-roll: circularly shift vector i by cumsum(roll_values)[i] (reference
     vector_sources_common.py:408-428 — np.roll(v, -r) per vector, here one gather).
 
+    Count-mismatch semantics match the reference's zip: when the roll stream and
+    the vector stream have different lengths (the RMS reducer's librosa hop of 512
+    produces a different frame count whenever vector_length != 512), the output
+    truncates to the shorter of the two.
+
     :param data: (N, V) divided vectors.
-    :param roll_values: (N,) per-vector roll increments.
+    :param roll_values: (M,) per-vector roll increments.
+    :return: (min(N, M), V) rotated vectors.
     """
-    n, v = data.shape
-    shifts = jnp.cumsum(roll_values.astype(jnp.int32))
+    n = min(data.shape[0], roll_values.shape[0])
+    data = data[:n]
+    v = data.shape[1]
+    shifts = jnp.cumsum(roll_values[:n].astype(jnp.int32))
     idx = (jnp.arange(v)[None, :] + shifts[:, None]) % v
     return jnp.take_along_axis(data, idx, axis=1)
 

@@ -148,3 +148,16 @@ def test_read_wavs_mode_errors():
         read_wavs_scale_for_video(
             wavs=[CLAPS], vector_length=512, frames_per_second=30.0, target_num_vectors=10
         )
+
+
+def test_rotate_truncates_on_count_mismatch(rng):
+    """Reference zip semantics: mismatched roll/vector counts truncate the output
+    (happens whenever vector_length != 512 because of librosa's fixed 512 hop)."""
+    data = rng.randn(7, 16).astype(np.float32)
+    rolls = np.ones(51, dtype=int)
+    out = np.asarray(dsp.rotate_vectors_over_time(data, rolls))
+    assert out.shape == (7, 16)
+    rolls_short = np.ones(3, dtype=int)
+    out = np.asarray(dsp.rotate_vectors_over_time(data, rolls_short))
+    assert out.shape == (3, 16)
+    np.testing.assert_array_equal(out[0], np.roll(data[0], -1))
