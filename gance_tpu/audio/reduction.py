@@ -166,6 +166,34 @@ def rolling_sum_results_layers(results_layers: ResultLayers, window_length: int)
     )
 
 
+def music_complexity_mask(
+    time_series_audio_vectors: np.ndarray,
+    vector_length: int,
+    rolling_sum_window: int,
+) -> ResultLayers:
+    """
+    Per-frame "how fast is the music's complexity changing" signal used to gate
+    the eye-tracking overlay: gzip complexity → 1st derivative → |·| → trailing
+    rolling sum. High values mean the music is in flux and the overlay should be
+    suppressed (capability parity: reference gance/projection_file_blend.py:201-233,
+    CHANGELOG 0.20.0).
+    """
+    complexity = reduce_vector_gzip_compression_rolling_average(
+        time_series_audio_vectors=time_series_audio_vectors,
+        vector_length=vector_length,
+    )
+    change_rate = derive_results_layers(complexity, order=1)
+    return rolling_sum_results_layers(
+        absolute_value_results_layers(
+            ResultLayers(
+                result=DataLabel(change_rate.result.data, "Complexity change rate"),
+                layers=[],
+            )
+        ),
+        window_length=rolling_sum_window,
+    )
+
+
 def track_length_filter(bool_tracks: np.ndarray, track_length: int) -> np.ndarray:
     """
     Reject runs of True shorter than `track_length` (reference :261-274 — the pandas

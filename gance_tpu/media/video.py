@@ -64,7 +64,7 @@ def reduce_fps_take_every(original_fps: float, new_fps: Optional[float]) -> Opti
     """
     if new_fps is None:
         return None
-    return divide_no_remainder(int(round(original_fps)), int(round(new_fps)))
+    return divide_no_remainder(original_fps, new_fps)
 
 
 def frames_in_video(

@@ -33,7 +33,7 @@ from gance_tpu.projection import file_reader as projection_file_reader
 from gance_tpu.synthesis.inputs import alpha_blend_projection_file
 from gance_tpu.synthesis.orchestration import vector_synthesis
 from gance_tpu.synthesis.runtime import MultiNetwork
-from gance_tpu.types import DataLabel, ResultLayers
+from gance_tpu.types import ResultLayers
 from gance_tpu.utils.divisor import divide_no_remainder
 from gance_tpu.utils.logging import LOGGER
 
@@ -169,23 +169,10 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
         )
 
         music_complexity_overlay_mask: Optional[ResultLayers] = (
-            vector_reduction.rolling_sum_results_layers(
-                vector_reduction.absolute_value_results_layers(
-                    results_layers=ResultLayers(
-                        result=DataLabel(
-                            data=vector_reduction.derive_results_layers(
-                                vector_reduction.reduce_vector_gzip_compression_rolling_average(
-                                    time_series_audio_vectors=time_series_audio_vectors,
-                                    vector_length=multi_networks.expected_vector_length,
-                                ),
-                                order=1,
-                            ).result.data,
-                            label="Gzipped audio, smoothed, averaged, 1st order derivation.",
-                        ),
-                        layers=[],
-                    ),
-                ),
-                window_length=complexity_change_rolling_sum_window,
+            vector_reduction.music_complexity_mask(
+                time_series_audio_vectors=time_series_audio_vectors,
+                vector_length=multi_networks.expected_vector_length,
+                rolling_sum_window=complexity_change_rolling_sum_window,
             )
             if overlay_music_mask_enabled
             else None

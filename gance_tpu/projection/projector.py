@@ -117,6 +117,7 @@ class TPUProjector:
         vgg_weights_path: Optional[Path] = None,
         expected_time_per_step: Optional[float] = None,
         settings: Optional[ProjectorSettings] = None,
+        first_step_timeout: Optional[float] = None,
     ) -> None:
         self.params = params
         self.config = config
@@ -126,6 +127,17 @@ class TPUProjector:
         if num_steps is not None:
             self.settings.num_steps = num_steps
         self.expected_time_per_step = expected_time_per_step
+        # Step 0 includes the one-time jit compile (minutes over a tunneled TPU
+        # with a cold cache), so it gets its own, much longer budget instead of
+        # escaping the hang detector entirely. The reference's child-process
+        # timeout covered every step (projector_file_writer.py:64,:311-329);
+        # this preserves that semantic with a compile-aware allowance.
+        if first_step_timeout is not None:
+            self.first_step_timeout: Optional[float] = first_step_timeout
+        elif expected_time_per_step is not None:
+            self.first_step_timeout = max(600.0, 20.0 * expected_time_per_step)
+        else:
+            self.first_step_timeout = None
         self._perceptual_params = (
             load_vgg_params(vgg_weights_path)
             if vgg_weights_path is not None
@@ -261,17 +273,15 @@ class TPUProjector:
                 )
                 step_callback(step_number, latents, noises_np, image)
             elapsed = time.monotonic() - start_time
-            if (
-                self.expected_time_per_step is not None
-                # Step 0 includes the one-time jit compile (minutes over a
-                # tunneled TPU, cold cache); the hang detector arms from step 1.
-                and step_number > 0
-                and elapsed > self.expected_time_per_step
-            ):
+            step_budget = (
+                self.first_step_timeout if step_number == 0 else self.expected_time_per_step
+            )
+            if step_budget is not None and elapsed > step_budget:
                 raise RuntimeError(
                     f"Projection step {step_number} took {elapsed:.1f}s > "
-                    f"expected {self.expected_time_per_step}s — assuming a hang "
-                    "(watchdog semantics from the reference's per-step timeout)."
+                    f"expected {step_budget}s — assuming a hang "
+                    "(watchdog semantics from the reference's per-step timeout; "
+                    "step 0 uses a compile-aware budget)."
                 )
 
         image = np.asarray(

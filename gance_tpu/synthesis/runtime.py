@@ -102,6 +102,37 @@ def _pad_batch(data: np.ndarray, batch_size: int) -> Tuple[np.ndarray, int]:
     return np.pad(data, pad), real
 
 
+def _window_in_order(
+    window: Tuple[int, List[Tuple[Any, List[int]]]], window_start: int
+) -> Iterator[np.ndarray]:
+    """
+    Pull a dispatched window's per-index groups to the host and yield its frames
+    back in original stream order.
+    """
+    count, groups = window
+    out: List[Optional[np.ndarray]] = [None] * count
+    for device_images, positions in groups:
+        host_images = np.asarray(device_images)
+        for row, position in enumerate(positions):
+            out[position - window_start] = host_images[row]
+    for image in out:
+        assert image is not None
+        yield image
+
+
+def _bucket_size(real: int, batch_size: int, multiple: int = 1) -> int:
+    """
+    Smallest `multiple`·2^k >= `real`, capped at `batch_size` — bounds wasted FLOPs
+    on partial batches at <2x while keeping the set of compiled batch shapes at
+    log2 variants. `multiple` keeps buckets divisible by the mesh data-axis size
+    when batches shard over devices.
+    """
+    size = multiple
+    while size < real and size < batch_size:
+        size *= 2
+    return min(size, batch_size)
+
+
 @dataclass
 class SynthesisNetwork:
     """
@@ -385,15 +416,20 @@ class MultiNetwork:
         Synthesize frames in order, yielding uint8 (H, W, 3) images one at a time
         while computing in fixed-size batches.
 
-        The per-frame index stream is segmented into runs of equal network index
-        (indices come from smoothed+quantized audio, so runs are long); each run is
-        batched and dispatched to that network. Because every network's params are
-        resident, "switching" is free — this supersedes the reference's
-        sort-by-index + HDF5-spill reordering (network_visualization.py:631-674).
+        Frames are processed in lookahead windows of `batch_size` frames. Within a
+        window, frames are gathered by network index (the reference's sort-by-index
+        insight, network_visualization.py:653-674, re-expressed as an order-restored
+        batch gather: grouping happens inside the window, outputs scatter back to
+        stream order, so the caller sees frames strictly in order). Each per-index
+        group is padded only to the next power-of-two bucket, so rapidly alternating
+        indices cost <2x FLOPs instead of the up-to-batch_size x a naive
+        pad-every-run scheme wastes. Because every network's params are resident,
+        "switching" is free.
 
-        Egress is double-buffered: batch i+1 is dispatched (JAX dispatch is async)
-        before batch i is pulled to the host, so device compute overlaps the
-        device->host transfer and downstream host work.
+        Egress is double-buffered at window granularity: window i+1's groups are
+        dispatched (JAX dispatch is async) before window i is pulled to the host,
+        so device compute overlaps the device->host transfer and downstream host
+        work.
 
         :param frame_data: (N, V) vectors or (N, R, V) matrices.
         :param network_indices: (N,) ints into this MultiNetwork; None -> all zeros.
@@ -408,30 +444,37 @@ class MultiNetwork:
             n = network_indices.shape[0]
             frame_data = frame_data[:n]
 
-        pending: Optional[Tuple[Any, int]] = None  # (device images, real count)
-        start = 0
-        while start < n:
-            index = int(network_indices[start])
-            end = start
-            while (
-                end < n
-                and int(network_indices[end]) == index
-                and (end - start) < batch_size
-            ):
-                end += 1
-            chunk = frame_data[start:end]
-            padded, real = _pad_batch(chunk, batch_size)
-            device_images = networks[index].device_images_generic(padded)
+        # Batches that shard over a mesh must stay divisible by the data-axis size.
+        data_axis = getattr(self._mesh, "shape", {}).get("data", 1) if self._mesh else 1
+
+        def dispatch_window(start: int, end: int) -> Tuple[int, List[Tuple[Any, List[int]]]]:
+            """Group [start:end) by index, dispatch each group; keep positions."""
+            window_indices = network_indices[start:end]
+            groups: List[Tuple[Any, List[int]]] = []
+            for index in dict.fromkeys(int(i) for i in window_indices):
+                positions = [
+                    start + offset
+                    for offset in np.nonzero(window_indices == index)[0]
+                ]
+                chunk = frame_data[positions]
+                padded, _ = _pad_batch(
+                    chunk, _bucket_size(len(positions), batch_size, multiple=data_axis)
+                )
+                groups.append(
+                    (networks[index].device_images_generic(padded), positions)
+                )
+            return end - start, groups
+
+        pending: Optional[Tuple[int, List[Tuple[Any, List[int]]]]] = None
+        pending_start = 0
+        for start in range(0, n, batch_size):
+            window = dispatch_window(start, min(start + batch_size, n))
             if pending is not None:
-                host_images = np.asarray(pending[0])
-                for i in range(pending[1]):
-                    yield host_images[i]
-            pending = (device_images, real)
-            start = end
+                yield from _window_in_order(pending, pending_start)
+                pending_start += pending[0]
+            pending = window
         if pending is not None:
-            host_images = np.asarray(pending[0])
-            for i in range(pending[1]):
-                yield host_images[i]
+            yield from _window_in_order(pending, pending_start)
 
     def synthesize_all(
         self,

@@ -83,6 +83,14 @@ def test_reduce_fps_take_every():
     assert reduce_fps_take_every(60.0, None) is None
     with pytest.raises(ValueError):
         reduce_fps_take_every(60.0, 25.0)
+    # inexact rates must raise, not silently round (reference divisor semantics:
+    # 29.97 -> 30 is NOT an exact division)
+    with pytest.raises(ValueError):
+        reduce_fps_take_every(29.97, 30.0)
+    with pytest.raises(ValueError):
+        reduce_fps_take_every(59.94, 29.97001)
+    # exact float division is still fine
+    assert reduce_fps_take_every(59.94, 29.97) == 2
 
 
 def test_fps_override(tmp_path):

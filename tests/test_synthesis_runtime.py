@@ -104,6 +104,57 @@ def test_fake_network_stream():
     assert out.shape == (4, 8, 8, 3)
 
 
+def test_alternating_indices_coalesce_without_reordering():
+    """
+    Rapidly alternating network indices must NOT cost a full padded batch per
+    1-frame run: frames are gathered per index within each lookahead window
+    (<=1 padded dispatch per index per window) and still stream in order.
+    """
+
+    class CountingFake(FakeSynthesisNetwork):
+        def __init__(self):
+            super().__init__(resolution=8, expected_vector_length=16)
+            self.dispatched_rows = 0
+            self.dispatch_count = 0
+
+        def device_images_generic(self, batch):
+            self.dispatched_rows += np.asarray(batch).shape[0]
+            self.dispatch_count += 1
+            return super().device_images_generic(batch)
+
+    fakes = [CountingFake(), CountingFake()]
+    multi = MultiNetwork.from_networks(fakes)
+    n, batch_size = 16, 8
+    frames = np.arange(n, dtype=np.float32)[:, None] * np.ones((1, 16), np.float32)
+    indices = np.array([i % 2 for i in range(n)])
+
+    out = multi.synthesize_all(frames, indices, batch_size=batch_size)
+
+    # order preserved: frame i encodes mean(frames[i]) = i in the fake's render
+    expected = np.stack(
+        [fakes[indices[i]].create_image_generic(frames[i]) for i in range(n)]
+    )
+    np.testing.assert_array_equal(out, expected)
+
+    # efficiency: 2 windows x 2 indices = 4 dispatches of 4 real frames each,
+    # bucket-padded to 4 -> zero waste (the old per-run padding dispatched
+    # 16 runs x 8 = 128 rows). <=1 padded dispatch per index per window.
+    total_rows = sum(f.dispatched_rows for f in fakes)
+    total_dispatches = sum(f.dispatch_count for f in fakes)
+    assert total_dispatches == 4
+    assert total_rows == 16
+
+
+def test_single_index_stream_unchanged(two_networks):
+    """A constant index stream still synthesizes in full batches, in order."""
+    multi = MultiNetwork(two_networks, load=True)
+    z = np.random.RandomState(8).randn(5, 16).astype(np.float32)
+    out = multi.synthesize_all(z, np.zeros(5, int), batch_size=4)
+    for i in range(5):
+        want = multi.indexed_create_image_vector(0, z[i])
+        assert np.abs(out[i].astype(int) - want.astype(int)).max() <= 1
+
+
 # ------------------------------------------------------------------ orchestration
 
 
