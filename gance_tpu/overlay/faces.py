@@ -8,9 +8,12 @@ CascadeClassifier), so detection runs on the framework's own native Viola-Jones
 implementation (native/haar_detector.cpp via gance_tpu.overlay.haar), loading the
 standard OpenCV cascade XMLs from disk. Landmarks are emitted in the
 face_recognition dict shape ({'left_eye': [(x, y), ...], 'right_eye': [...]}), so
-downstream bbox code is backend-agnostic; when the eye cascade misses, eye
-positions fall back to geometric priors inside the face box so the overlay pipeline
-keeps functioning on low-texture/synthetic faces.
+downstream bbox code is backend-agnostic. Missing-eye handling is
+confidence-gated: one detected eye is mirrored across the face midline (anchored
+to a real detection); a face with NO detected eyes emits no landmarks — so the
+phash/bbox overlay gate can never fire on fully fabricated boxes. The old
+geometric-prior fabrication survives as the opt-in `fabricate_missing_eyes` flag
+for low-texture/synthetic faces.
 """
 
 from functools import lru_cache
@@ -44,6 +47,22 @@ def _cascade(name: str) -> haar.HaarCascade:
     raise FileNotFoundError(f"Haar cascade {name} not found in {_CASCADE_DIRS}")
 
 
+def _median_box(boxes: List[BoundingBox]) -> Optional[BoundingBox]:
+    """
+    Element-wise median of overlapping candidate boxes — Viola-Jones emits a
+    stack of near-duplicate detections at neighboring scales; the median is a
+    stable consensus box (robust to the occasional oversized outlier).
+    """
+    if not boxes:
+        return None
+    return BoundingBox(
+        x=int(np.median([b.x for b in boxes])),
+        y=int(np.median([b.y for b in boxes])),
+        width=int(np.median([b.width for b in boxes])),
+        height=int(np.median([b.height for b in boxes])),
+    )
+
+
 def _eye_points(x: float, y: float, w: float, h: float) -> List[Tuple[int, int]]:
     """Six points outlining an eye box (face_recognition emits 6 per eye)."""
     return [
@@ -63,10 +82,11 @@ class FaceFinderProxy:
     (mirroring the reference's just-in-time import rationale, faces.py:12-35).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, fabricate_missing_eyes: bool = False) -> None:
         self._loaded = False
         self._face: Optional[haar.HaarCascade] = None
         self._eye: Optional[haar.HaarCascade] = None
+        self.fabricate_missing_eyes = fabricate_missing_eyes
 
     def _ensure_loaded(self) -> None:
         if not self._loaded:
@@ -105,33 +125,50 @@ class FaceFinderProxy:
         results: List[Dict[str, List[Tuple[int, int]]]] = []
         for face in self._detect_faces(gray):
             fx, fy, fw, fh = face
-            # search the upper 60% of the face for eyes
-            roi = gray[fy : fy + int(fh * 0.6), fx : fx + fw]
-            eyes = (
+            # Scan the whole face box for eye candidates, then filter
+            # semantically: an eye is small relative to the face and its center
+            # sits in the middle band of the box. (The haar face box often rides
+            # high on real photos, so a fixed upper-fraction ROI truncates eyes —
+            # measured on the reference's face assets.)
+            roi = gray[fy : fy + fh, fx : fx + fw]
+            candidates = (
                 haar.detect(
-                    roi, self._eye, scale_factor=1.1, min_neighbors=3,
-                    min_size=max(8, fw // 8), step=1,
+                    roi, self._eye, scale_factor=1.05, min_neighbors=2,
+                    min_size=max(8, fw // 10), step=1,
                 )
                 if roi.size
                 else []
             )
-            left: Optional[BoundingBox] = None
-            right: Optional[BoundingBox] = None
-            for eye in eyes:
-                center_x = eye.x + eye.width / 2
-                if center_x < fw / 2 and (left is None or eye.width > left.width):
-                    left = eye
-                elif center_x >= fw / 2 and (right is None or eye.width > right.width):
-                    right = eye
+            eyes = [
+                e
+                for e in candidates
+                if e.height <= 0.35 * fh
+                and 0.15 * fh <= e.y + e.height / 2 <= 0.75 * fh
+            ]
+            left = _median_box([e for e in eyes if e.x + e.width / 2 < fw / 2])
+            right = _median_box([e for e in eyes if e.x + e.width / 2 >= fw / 2])
 
-            # geometric priors when the cascade misses an eye
-            if left is None:
+            if left is None and right is None:
+                if not self.fabricate_missing_eyes:
+                    # No real eye evidence: emit nothing so the overlay's
+                    # phash/bbox gate cannot fire on fabricated boxes.
+                    continue
+                # opt-in geometric priors for low-texture/synthetic faces
                 left = BoundingBox(
                     int(fw * 0.18), int(fh * 0.28), int(fw * 0.22), int(fh * 0.14)
                 )
-            if right is None:
                 right = BoundingBox(
                     int(fw * 0.60), int(fh * 0.28), int(fw * 0.22), int(fh * 0.14)
+                )
+            elif left is None:
+                # mirror the detected right eye across the face midline —
+                # anchored to a real detection, unlike a pure prior
+                left = BoundingBox(
+                    fw - (right.x + right.width), right.y, right.width, right.height
+                )
+            elif right is None:
+                right = BoundingBox(
+                    fw - (left.x + left.width), left.y, left.width, left.height
                 )
 
             results.append(

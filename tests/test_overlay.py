@@ -104,6 +104,92 @@ def test_face_finder_on_real_assets():
     assert len(no_face) == 0
 
 
+def test_eye_detection_is_real_not_fabricated():
+    """
+    Landmarks come from actual eye-cascade detections by default: the boxes must
+    sit inside the detected face and differ from the geometric prior a
+    fabricating finder would emit on an eyeless input.
+    """
+    finder = FaceFinderProxy()  # fabricate_missing_eyes defaults to False
+    face_img = read_image(FACE_IMAGE)
+    faces = finder.face_locations(face_img)
+    landmarks = finder.face_landmarks(face_img)
+    assert len(landmarks) >= 1
+    top, right, bottom, left = faces[0]
+    for marks in landmarks:
+        for eye in ("left_eye", "right_eye"):
+            xs = [p[0] for p in marks[eye]]
+            ys = [p[1] for p in marks[eye]]
+            assert left <= min(xs) and max(xs) <= right
+            assert top <= min(ys) and max(ys) <= bottom
+
+    # a flat gray face-shaped blob: the face cascade can't fire -> no landmarks,
+    # and even if a false face fired, zero detected eyes must emit nothing
+    flat = np.full((256, 256, 3), 128, np.uint8)
+    assert finder.face_landmarks(flat) == []
+
+
+def test_fabricate_missing_eyes_opt_in(monkeypatch):
+    """With zero eye detections: default emits no landmarks; opt-in fabricates."""
+    from gance_tpu.overlay import faces as faces_mod
+
+    gated = FaceFinderProxy()
+    fabricating = FaceFinderProxy(fabricate_missing_eyes=True)
+    for finder in (gated, fabricating):
+        finder._ensure_loaded()
+
+    # force the eye stage to find nothing while keeping the real face detection
+    real_detect = faces_mod.haar.detect
+
+    def no_eyes(gray, cascade, **kwargs):
+        if cascade is gated._eye or cascade is fabricating._eye:
+            return []
+        return real_detect(gray, cascade, **kwargs)
+
+    monkeypatch.setattr(faces_mod.haar, "detect", no_eyes)
+    face_img = read_image(FACE_IMAGE)
+    assert gated.face_landmarks(face_img) == []
+    fabricated = fabricating.face_landmarks(face_img)
+    assert len(fabricated) == 1
+    assert "left_eye" in fabricated[0]
+
+
+@pytest.mark.slow
+def test_overlay_gating_on_devon_video():
+    """
+    End-to-end gate on the reference's real face video
+    (devon_face_sample_short.mp4): same-frame pairs must overlay on real eye
+    detections; face frames against pure noise must not.
+    """
+    from gance_tpu.media.video import frames_in_video
+
+    video = frames_in_video(
+        "/root/reference/test/assets/devon_face_sample_short.mp4"
+    )
+    frames = [f for f, _ in zip(video.frames, range(3))]
+    assert frames[0].ndim == 3
+
+    finder = FaceFinderProxy()
+    detections = [landmarks_to_bounding_boxes(finder.face_landmarks(f)) for f in frames]
+    frames_with_eyes = [f for f, d in zip(frames, detections) if d]
+    # the clip is a closeup face video: eyes must actually be found
+    assert len(frames_with_eyes) >= 1
+
+    pairs = frames_with_eyes[:2] if len(frames_with_eyes) >= 2 else frames_with_eyes
+    result = compute_eye_tracking_overlay(
+        iter(pairs), iter(pairs), min_phash_distance=30, min_bbox_distance=50.0
+    )
+    contexts = list(result.contexts)
+    assert all(c.overlay_written for c in contexts)
+
+    rng = np.random.RandomState(0)
+    noise = [(rng.rand(*pairs[0].shape) * 255).astype(np.uint8) for _ in pairs]
+    result = compute_eye_tracking_overlay(
+        iter(pairs), iter(noise), min_phash_distance=30, min_bbox_distance=50.0
+    )
+    assert all(not c.overlay_written for c in result.contexts)
+
+
 def test_eye_tracking_overlay_identical_frames():
     """Identical face frames -> bbox distance 0, phash distance 0 -> overlay on."""
     face_img = read_image(FACE_IMAGE)
