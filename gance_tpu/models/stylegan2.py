@@ -211,10 +211,12 @@ def init_discriminator_params(key: jax.Array, config: GeneratorConfig) -> Params
             "weight": jax.random.normal(s1, (config.nf(1) * 16, config.nf(0)), jnp.float32),
             "bias": jnp.zeros((config.nf(0),), jnp.float32),
         },
-        "Output": {
-            "weight": jax.random.normal(s2, (config.nf(0), 1), jnp.float32),
-            "bias": jnp.zeros((1,), jnp.float32),
-        },
+    }
+    # The final dense lives in its own top-level scope in the TF variable tree
+    # ("Output/weight"), NOT under 4x4 — keep the real pickle layout.
+    params["Output"] = {
+        "weight": jax.random.normal(s2, (config.nf(0), 1), jnp.float32),
+        "bias": jnp.zeros((1,), jnp.float32),
     }
     return params
 
@@ -516,6 +518,6 @@ def discriminator_apply(
     x = x.reshape(x.shape[0], -1)
     x = dense_layer(x, block["Dense0"]["weight"])
     x = bias_act(x, block["Dense0"]["bias"], act="lrelu")
-    x = dense_layer(x, block["Output"]["weight"])
-    x = bias_act(x, block["Output"]["bias"], act="linear")
+    x = dense_layer(x, params["Output"]["weight"])
+    x = bias_act(x, params["Output"]["bias"], act="linear")
     return x.astype(jnp.float32)
