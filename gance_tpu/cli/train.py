@@ -16,28 +16,6 @@ import numpy as np
 
 from gance_tpu.utils.logging import LOGGER, add_log_file
 
-_IMAGE_SUFFIXES = (".jpg", ".jpeg", ".png")
-
-
-def _load_dataset(directory: Path, resolution: int) -> np.ndarray:
-    """Load + square-resize all images to a float32 [-1, 1] NHWC stack."""
-    import cv2
-
-    from gance_tpu.media.images import read_image
-
-    paths = sorted(
-        p for p in Path(directory).iterdir() if p.suffix.lower() in _IMAGE_SUFFIXES
-    )
-    if not paths:
-        raise click.UsageError(f"No images in {directory}")
-    images = []
-    for path in paths:
-        image = read_image(path)
-        image = cv2.resize(image, (resolution, resolution), interpolation=cv2.INTER_AREA)
-        images.append(image.astype(np.float32) / 127.5 - 1.0)
-    LOGGER.info("Loaded %d training images at %dpx", len(images), resolution)
-    return np.stack(images)
-
 
 @click.command()
 @click.option("--dataset-directory", type=click.Path(exists=True, file_okay=False), required=True)
@@ -105,7 +83,19 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
     )
     train_config = TrainingConfig(learning_rate=learning_rate, r1_gamma=r1_gamma)
 
-    dataset = _load_dataset(Path(dataset_directory), resolution)
+    from gance_tpu.parallel.data import StreamingImageDataset
+
+    # Streaming loader: constant memory for arbitrarily large folders, and the
+    # batch sequence is a pure function of (seed, step) so resuming from the
+    # checkpoint replays exactly the batches an uninterrupted run would see.
+    # Multi-host: shard the file list per host (process_index/process_count).
+    dataset = StreamingImageDataset(
+        Path(dataset_directory),
+        resolution,
+        seed=seed + 1,
+        host_index=jax.process_index(),
+        host_count=jax.process_count(),
+    )
 
     mesh = create_mesh(data_parallel=data_parallel) if len(jax.devices()) > 1 else None
     ckpt = Path(checkpoint_path)
@@ -119,15 +109,13 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
         LOGGER.info("Training over mesh %s", dict(mesh.shape))
 
     train_step = make_train_step(model_config, train_config, mesh=mesh)
-    sampler = np.random.RandomState(seed + 1)
 
     from gance_tpu.utils.profiling import StageTimer
 
     timer = StageTimer("train", log_every=max(checkpoint_every // 4, 1))
     start_step = int(state.step)
-    for step in range(start_step, total_steps):
-        idx = sampler.randint(0, dataset.shape[0], size=batch_size)
-        reals = dataset[idx]
+    metrics = None
+    for step, reals in dataset.batches(start_step, total_steps, batch_size):
         state, metrics = train_step(state, reals, jax.random.PRNGKey(seed * 1000 + step))
         timer.tick()
         if (step + 1) % checkpoint_every == 0 or step + 1 == total_steps:

@@ -52,3 +52,56 @@ def test_train_resume_and_export(tmp_path):
     net = SynthesisNetwork.from_pkl(out_net)
     imgs = net.images_from_vectors(np.zeros((2, 32), np.float32))
     assert imgs.shape == (2, 16, 16, 3)
+
+
+def _image_dir(tmp_path, count=10, side=8):
+    data = tmp_path / "imgs"
+    data.mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(count):
+        write_image((rng.rand(side, side, 3) * 255).astype(np.uint8), data / f"{i:03d}.png")
+    return data
+
+
+def test_streaming_dataset_resume_replays_identical_batches(tmp_path):
+    """A mid-run resume must see exactly the batches an uninterrupted run sees."""
+    from gance_tpu.parallel.data import StreamingImageDataset
+
+    data = _image_dir(tmp_path)
+    ds = StreamingImageDataset(data, resolution=8, seed=7)
+    continuous = {step: batch for step, batch in ds.batches(0, 6, batch_size=3)}
+
+    resumed = StreamingImageDataset(data, resolution=8, seed=7)
+    first = dict(resumed.batches(0, 3, batch_size=3))
+    second = dict(resumed.batches(3, 6, batch_size=3))  # resume mid-"epoch"
+    assert sorted({**first, **second}) == sorted(continuous)
+    for step, batch in continuous.items():
+        got = first[step] if step in first else second[step]
+        np.testing.assert_array_equal(got, batch)
+        assert batch.shape == (3, 8, 8, 3)
+        assert batch.min() >= -1.0 and batch.max() <= 1.0
+
+
+def test_streaming_dataset_host_sharding(tmp_path):
+    """Hosts get disjoint, covering file shards."""
+    from gance_tpu.parallel.data import StreamingImageDataset, list_image_paths
+
+    data = _image_dir(tmp_path, count=9)
+    all_paths = list_image_paths(data)
+    shard0 = StreamingImageDataset(data, 8, host_index=0, host_count=2).paths
+    shard1 = StreamingImageDataset(data, 8, host_index=1, host_count=2).paths
+    assert not set(shard0) & set(shard1)
+    assert sorted(shard0 + shard1) == all_paths
+    assert len(shard0) == 5 and len(shard1) == 4
+
+
+def test_streaming_dataset_constant_memory(tmp_path):
+    """The loader holds at most cache+prefetch images, not the whole folder."""
+    from gance_tpu.parallel.data import StreamingImageDataset
+
+    data = _image_dir(tmp_path, count=20)
+    ds = StreamingImageDataset(data, resolution=8, cache_images=4)
+    seen = [step for step, _ in ds.batches(0, 10, batch_size=2)]
+    assert seen == list(range(10))
+    # the decode cache is bounded at the configured capacity
+    assert ds._load_cached.cache_info().currsize <= 4
