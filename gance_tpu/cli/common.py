@@ -53,6 +53,11 @@ def common_command_options(func: Callable) -> Callable:
         ),
         click.option("--debug-window", type=click.IntRange(min=1), default=100),
         click.option("--debug-side-length", type=click.IntRange(min=1), default=400),
+        click.option(
+            "--debug-3d", is_flag=True, default=False,
+            help="Add the 3D waterfall panel (full combined stream + progress "
+            "marker) to the debug tiles.",
+        ),
         click.option("--alpha", type=click.FloatRange(0, 1), default=0.25),
         click.option("--fft-roll-enabled", is_flag=True, default=False),
         click.option(

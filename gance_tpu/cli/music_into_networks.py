@@ -36,6 +36,7 @@ def noise_blend(  # pylint: disable=too-many-arguments
     debug_path: Optional[str],
     debug_window: int,
     debug_side_length: int,
+    debug_3d: bool,
     alpha: float,
     fft_roll_enabled: bool,
     fft_amplitude_range: Tuple[float, float],
@@ -66,6 +67,7 @@ def noise_blend(  # pylint: disable=too-many-arguments
         fft_amplitude_range=fft_amplitude_range,
         compute_dtype=compute_dtype,
         trace_dir=Path(trace_dir) if trace_dir else None,
+        debug_3d=debug_3d,
     )
 
 
@@ -103,6 +105,7 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
     debug_path: Optional[str],
     debug_window: int,
     debug_side_length: int,
+    debug_3d: bool,
     alpha: float,
     fft_roll_enabled: bool,
     fft_amplitude_range: Tuple[float, float],
@@ -149,6 +152,7 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
         blend_depth=blend_depth,
         compute_dtype=compute_dtype,
         trace_dir=Path(trace_dir) if trace_dir else None,
+        debug_3d=debug_3d,
         phash_distance=phash_distance,
         bbox_distance=bbox_distance,
         track_length=track_length,

@@ -37,6 +37,7 @@ def noise_blend_api(
     cache_path: Optional[Path] = None,
     compute_dtype: Optional[str] = None,
     trace_dir: Optional[Path] = None,
+    debug_3d: bool = False,
 ) -> None:
     """
     Render a music video: audio features alpha-blended with smoothed gaussian noise,
@@ -68,22 +69,27 @@ def noise_blend_api(
             cache_path=cache_path,
         ).wav_data
 
+        viz_input = alpha_blend_vectors_max_rms_power_audio(
+            alpha=alpha,
+            fft_roll_enabled=fft_roll_enabled,
+            fft_amplitude_range=fft_amplitude_range,
+            time_series_audio_vectors=audio,
+            vector_length=multi_networks.expected_vector_length,
+            network_indices=multi_networks.network_indices,
+        )
+
         visualizer = None
         if create_debug_visualization:
             from gance_tpu.viz.panels import synthesis_visualizer
 
-            visualizer = synthesis_visualizer(side_length=debug_side_length)
+            visualizer = synthesis_visualizer(
+                side_length=debug_side_length,
+                waterfall_vectors=viz_input.combined if debug_3d else None,
+            )
 
         synthesis_output = vector_synthesis(
             networks=multi_networks,
-            data=alpha_blend_vectors_max_rms_power_audio(
-                alpha=alpha,
-                fft_roll_enabled=fft_roll_enabled,
-                fft_amplitude_range=fft_amplitude_range,
-                time_series_audio_vectors=audio,
-                vector_length=multi_networks.expected_vector_length,
-                network_indices=multi_networks.network_indices,
-            ),
+            data=viz_input,
             frames_to_visualize=frames_to_visualize,
             visualizer=visualizer,
         )

@@ -55,6 +55,7 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
     blend_depth: int,
     compute_dtype: Optional[str] = None,
     trace_dir: Optional[Path] = None,
+    debug_3d: bool = False,
     complexity_change_rolling_sum_window: Optional[int] = None,
     complexity_change_threshold: Optional[float] = None,
     phash_distance: Optional[int] = None,
@@ -124,24 +125,29 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
             target_num_vectors=num_output_frames,
         ).wav_data
 
+        viz_input = alpha_blend_projection_file(
+            final_latents_matrices_label=final_latents,
+            alpha=alpha,
+            fft_roll_enabled=fft_roll_enabled,
+            fft_amplitude_range=fft_amplitude_range,
+            blend_depth=blend_depth,
+            time_series_audio_vectors=time_series_audio_vectors,
+            vector_length=multi_networks.expected_vector_length,
+            network_indices=multi_networks.network_indices,
+        )
+
         visualizer = None
         if create_debug_visualization:
             from gance_tpu.viz.panels import synthesis_visualizer
 
-            visualizer = synthesis_visualizer(side_length=debug_side_length)
+            visualizer = synthesis_visualizer(
+                side_length=debug_side_length,
+                waterfall_vectors=viz_input.combined if debug_3d else None,
+            )
 
         synthesis_output = vector_synthesis(
             networks=multi_networks,
-            data=alpha_blend_projection_file(
-                final_latents_matrices_label=final_latents,
-                alpha=alpha,
-                fft_roll_enabled=fft_roll_enabled,
-                fft_amplitude_range=fft_amplitude_range,
-                blend_depth=blend_depth,
-                time_series_audio_vectors=time_series_audio_vectors,
-                vector_length=multi_networks.expected_vector_length,
-                network_indices=multi_networks.network_indices,
-            ),
+            data=viz_input,
             frames_to_visualize=frames_to_visualize,
             visualizer=visualizer,
             unload_networks_when_complete=True,

@@ -61,52 +61,125 @@ def visualize_final_latents(
 
 def projection_convergence(
     projection_file_path: Path,
+    consider_first_n_frames: Optional[int] = None,
 ) -> List[np.ndarray]:
     """
     Per-frame L1 distance of each history latent to the final latent — the signal
     behind the reference's "how many steps are enough" analysis (:59-211).
     :return: one distance-per-step array per frame.
     """
+    import itertools
+
     with load_projection_file(projection_file_path) as reader:
         if not reader.projection_attributes.latents_histories_enabled:
             raise ValueError("Projection file has no latent histories to analyze.")
-        finals = list(reader.final_latents)
         out: List[np.ndarray] = []
-        for final, history in zip(finals, reader.latents_histories):
+        for final, history in itertools.islice(
+            zip(reader.final_latents, reader.latents_histories), consider_first_n_frames
+        ):
             distances = np.array([np.abs(step - final).sum() for step in history])
             out.append(distances)
+        if not out:
+            raise ValueError("Projection file has no frames to analyze.")
         return out
+
+
+def percent_projected_steps(
+    curves: List[np.ndarray], percent_projected: float = 0.8
+) -> List[int]:
+    """
+    For each convergence curve, the first step at which `percent_projected` of the
+    total distance drop has been covered — the heuristic the reference used to pick
+    production step counts (CHANGELOG 0.14.0).
+    """
+    steps = []
+    for distances in curves:
+        total_drop = distances[0] - distances.min()
+        if total_drop > 0:
+            covered = (distances[0] - distances) / total_drop
+            steps.append(int(np.argmax(covered >= percent_projected)))
+        else:
+            steps.append(0)
+    return steps
+
+
+def _smoothed_derivative_curves(
+    curves: List[np.ndarray], order: int
+) -> List[np.ndarray]:
+    """Smoothing-spline nth derivatives of each curve, sampled at every step."""
+    from scipy.interpolate import UnivariateSpline
+
+    out = []
+    for distances in curves:
+        steps = len(distances)
+        x = np.arange(steps, dtype=np.float64)
+        degree = min(3, steps - 1)  # splines need m > k points
+        if degree < order:
+            out.append(np.zeros(steps))
+            continue
+        smoothing = 5.0 if steps >= 5 else float(max(steps - 1, 0))
+        spline = UnivariateSpline(x=x, y=distances, k=degree, s=smoothing)
+        out.append(spline.derivative(n=order)(x))
+    return out
 
 
 def visualize_projection_convergence(
     projection_file_path: Path,
     output_image_path: Path,
     percent_projected: float = 0.8,
+    consider_first_n_frames: Optional[int] = None,
 ) -> None:
     """
-    Plot per-frame convergence curves + the mean step at which `percent_projected`
-    of the total distance has been covered (reference :59-211, used to pick
-    production step counts per CHANGELOG 0.14.0).
+    Three stacked panels — raw per-frame convergence curves, smoothing-spline 1st
+    derivatives (slope), and 2nd derivatives (curvature) — with vertical markers at
+    each frame's percent-projected step and at the mean / mean-1std / mean-2std
+    steps (reference :59-211, the analysis that chose production step counts).
     """
     import matplotlib.pyplot as plt
 
-    curves = projection_convergence(projection_file_path)
-    thresholds = []
-    figure, axis = plt.subplots(1, 1, figsize=(12, 8), dpi=100)
-    for frame_index, distances in enumerate(curves):
-        axis.plot(distances, linewidth=1, alpha=0.6, label=f"frame {frame_index}")
-        total_drop = distances[0] - distances[-1]
-        if total_drop > 0:
-            covered = (distances[0] - distances) / total_drop
-            crossed = np.argmax(covered >= percent_projected)
-            thresholds.append(int(crossed))
-    if thresholds:
-        mean_step = float(np.mean(thresholds))
-        axis.axvline(mean_step, color="red", linestyle="--",
-                     label=f"{percent_projected:.0%} projected (mean step {mean_step:.0f})")
-    axis.set_xlabel("projection step")
-    axis.set_ylabel("L1 distance to final latent")
-    axis.legend(fontsize=6)
+    curves = projection_convergence(projection_file_path, consider_first_n_frames)
+    poi = percent_projected_steps(curves, percent_projected)
+    mean_step = int(np.mean(poi))
+    std_step = int(np.std(poi))
+
+    first_derivs = _smoothed_derivative_curves(curves, 1)
+    second_derivs = _smoothed_derivative_curves(curves, 2)
+
+    figure, axes = plt.subplots(
+        3, 1, figsize=(12, 12), dpi=100, sharex=True
+    )
+    figure.suptitle(
+        f"File: {Path(projection_file_path).name}\n"
+        f"Average {percent_projected:.0%} projection step: {mean_step}"
+    )
+    panels = [
+        ("L1 distance to final latent", curves, False),
+        ("1st derivative (slope)", first_derivs, True),
+        ("2nd derivative (curvature)", second_derivs, True),
+    ]
+    for axis, (title, lines, clip_outliers) in zip(axes, panels):
+        stacked = np.concatenate(lines)
+        if clip_outliers:
+            # derivative splines can spike at the ends; show mean +- 5 std
+            center, bound = stacked.mean(), stacked.std() * 5
+            y_lo, y_hi = center - bound, center + bound
+            axis.set_ylim(y_lo, y_hi)
+        else:
+            y_lo, y_hi = float(stacked.min()), float(stacked.max())
+        for line in lines:
+            axis.plot(line, linewidth=1, alpha=0.5)
+        axis.vlines(poi, y_lo, y_hi, color="grey", linestyles="dotted", alpha=0.5,
+                    label=f"frame {percent_projected:.0%} projected")
+        axis.vlines([mean_step], y_lo, y_hi, color="black",
+                    label=f"mean ({mean_step})")
+        axis.vlines([mean_step - std_step], y_lo, y_hi, color="blue",
+                    label=f"mean - 1 std ({mean_step - std_step})")
+        axis.vlines([mean_step - 2 * std_step], y_lo, y_hi, color="purple",
+                    label=f"mean - 2 std ({mean_step - 2 * std_step})")
+        axis.set_title(title, fontsize=9)
+        axis.grid(True, alpha=0.3)
+    axes[-1].set_xlabel("projection step")
+    axes[-1].legend(fontsize=6)
     figure.savefig(str(output_image_path))
     plt.close(figure)
     LOGGER.info("Wrote convergence analysis to %s", output_image_path)

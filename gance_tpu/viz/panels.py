@@ -44,16 +44,59 @@ def synthesis_visualizer(
     a_label: str = "A",
     b_label: str = "B",
     combined_label: str = "Combined",
+    waterfall_vectors: Optional[object] = None,
 ) -> Callable[[FrameInput], np.ndarray]:
-    """Build the per-frame debug renderer (2x2 panel layout)."""
+    """
+    Build the per-frame debug renderer: the 2x2 panel layout, plus — when
+    `waterfall_vectors` (a VectorsLabel of the full combined stream) is given — a
+    third column with the 3D waterfall of the whole run and a red progress marker
+    at the current frame (the reference's optional enable_3d panel,
+    network_visualization.py:542-596).
+    """
+    waterfall_points = None
+    if waterfall_vectors is not None:
+        from gance_tpu.viz.vectors_3d import reshape_vectors_for_3d_plotting
+
+        # reshape once; per-frame rendering only moves the progress marker.
+        # Matrices (rows, N*V) waterfall their first style row — the blended one.
+        data = np.asarray(waterfall_vectors.data)
+        if data.ndim == 2:
+            data = data[0]
+        waterfall_points = reshape_vectors_for_3d_plotting(
+            data, waterfall_vectors.vector_length
+        )
 
     def render(frame: FrameInput) -> np.ndarray:
-        figure, axes = plt.subplots(2, 2, figsize=(10, 10), dpi=100)
-        _scatter_sample(axes[0][0], frame.a_sample, a_label, "tab:blue")
-        _scatter_sample(axes[0][1], frame.b_sample, b_label, "tab:orange")
-        _scatter_sample(axes[1][0], frame.combined_sample, combined_label, "tab:green")
+        if waterfall_points is None:
+            figure, axes2d = plt.subplots(2, 2, figsize=(10, 10), dpi=100)
+            axes = [axes2d[0][0], axes2d[0][1], axes2d[1][0], axes2d[1][1]]
+        else:
+            figure = plt.figure(figsize=(15, 10), dpi=100)
+            grid = figure.add_gridspec(2, 3)
+            axes = [
+                figure.add_subplot(grid[0, 0]),
+                figure.add_subplot(grid[0, 1]),
+                figure.add_subplot(grid[1, 0]),
+                figure.add_subplot(grid[1, 1]),
+            ]
+            x, y, z = waterfall_points
+            waterfall_axis = figure.add_subplot(grid[:, 2], projection="3d")
+            waterfall_axis.scatter(x, y, z, s=0.5, alpha=0.3)
+            waterfall_axis.scatter(
+                [0], [frame.frame_index], [float(z.max())], color="red", s=30
+            )
+            waterfall_axis.set_title(
+                getattr(waterfall_vectors, "label", "combined"), fontsize=8
+            )
+            waterfall_axis.set_xlabel("vector dim", fontsize=6)
+            waterfall_axis.set_ylabel("time (frame #)", fontsize=6)
+            waterfall_axis.tick_params(labelsize=5)
 
-        index_axis = axes[1][1]
+        _scatter_sample(axes[0], frame.a_sample, a_label, "tab:blue")
+        _scatter_sample(axes[1], frame.b_sample, b_label, "tab:orange")
+        _scatter_sample(axes[2], frame.combined_sample, combined_label, "tab:green")
+
+        index_axis = axes[3]
         window_x = np.arange(
             frame.index_window_start, frame.index_window_start + len(frame.index_window)
         )

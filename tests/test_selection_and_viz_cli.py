@@ -151,6 +151,17 @@ def test_partial_history_and_convergence(projection_with_histories, tmp_path):
     visualize_projection_convergence(proj, png)
     assert png.exists() and png.stat().st_size > 1000
 
+    # frame cap + the spline-derivative / percent-projected analytics
+    from gance_tpu.projection.visualization import percent_projected_steps
+
+    capped = projection_convergence(proj, consider_first_n_frames=1)
+    assert len(capped) == 1
+    steps = percent_projected_steps(curves)
+    assert len(steps) == 2 and all(0 <= s < 3 for s in steps)
+    png2 = tmp_path / "convergence_capped.png"
+    visualize_projection_convergence(proj, png2, consider_first_n_frames=1)
+    assert png2.exists() and png2.stat().st_size > 1000
+
     vid = tmp_path / "partial.mp4"
     visualize_partial_projection_history(proj, vid, pkl, step=1)
     frames = list(frames_in_video(vid).frames)

@@ -34,6 +34,41 @@ def test_synthesis_visualizer_frame(rng):
     assert out.std() > 0  # actually drew something
 
 
+def test_synthesis_visualizer_with_waterfall(rng):
+    """The optional 3D waterfall column renders for vector AND matrix streams."""
+    frame = FrameInput(
+        frame_index=2, vector_length=32,
+        a_sample=rng.randn(32), b_sample=rng.randn(32),
+        combined_sample=rng.randn(32), network_index=0,
+        index_window=np.array([0, 0, 1]), index_window_start=0,
+    )
+    flat = VectorsLabel(data=rng.randn(6 * 32), vector_length=32, label="combined")
+    out = synthesis_visualizer(side_length=128, waterfall_vectors=flat)(frame)
+    assert out.shape == (128, 128, 3) and out.std() > 0
+
+    mats = VectorsLabel(data=rng.randn(4, 6 * 32), vector_length=32, label="mats")
+    out_m = synthesis_visualizer(side_length=128, waterfall_vectors=mats)(frame)
+    assert out_m.shape == (128, 128, 3) and out_m.std() > 0
+    # the waterfall column must actually change the render
+    plain = synthesis_visualizer(side_length=128)(frame)
+    assert not np.array_equal(out, plain)
+
+
+def test_visualize_reducer_output(tmp_path):
+    from gance_tpu.audio.reduction import reduce_vector_rms_rolling_average
+    from gance_tpu.viz.reduction_viz import visualize_reducer_output
+
+    png = tmp_path / "reducer.png"
+    out = visualize_reducer_output(
+        "/root/reference/test/assets/claps.wav",
+        reduce_vector_rms_rolling_average,
+        output_image_path=png,
+        vector_length=1000,
+    )
+    assert png.exists() and png.stat().st_size > 1000
+    assert out.ndim == 3 and out.std() > 0
+
+
 def test_vector_visualizer(rng):
     render = vector_visualizer(output_width=64, output_height=64)
     out = render(rng.randn(32))
