@@ -84,7 +84,7 @@ def test_fps_multiplier_must_divide(setup, tmp_path):
     from gance_tpu.pipelines.projection_file_blend import projection_file_blend_api
 
     d, nets_json, projection = setup
-    with pytest.raises(ValueError, match="remainder"):
+    with pytest.raises(ValueError, match="not exact"):
         projection_file_blend_api(
             wav=[CLAPS], output_path=tmp_path / "x.avi",
             network_paths=[d / "0_net.pkl"], frames_to_visualize=None,
