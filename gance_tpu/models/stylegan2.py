@@ -31,7 +31,7 @@ import numpy as np
 
 from gance_tpu.ops.bias_act import bias_act
 from gance_tpu.ops.modulated_conv import conv2d_layer, dense_layer, modulated_conv2d
-from gance_tpu.ops.upfirdn2d import upsample_2d
+from gance_tpu.ops.upfirdn2d import upsample_2d_nchw
 
 Params = Dict[str, Any]
 
@@ -340,7 +340,12 @@ def _torgb(
     config: GeneratorConfig,
     compute_dtype: jnp.dtype,
 ) -> jax.Array:
-    """1x1 modulated conv (no demod) + bias; skip-add the upsampled RGB trunk."""
+    """
+    1x1 modulated conv (no demod) + bias; skip-add the upsampled RGB trunk.
+    The RGB accumulator lives in NCHW end-to-end: 3 channels on the 128-lane axis
+    would waste 42x on every skip add/blur (profiled as a relayout-copy chain);
+    the ToRGB conv emits NCHW for free and the whole chain stays dense.
+    """
     t = modulated_conv2d(
         x,
         dlatent_row,
@@ -350,8 +355,9 @@ def _torgb(
         demodulate=False,
         resample_kernel=config.resample_kernel,
         compute_dtype=compute_dtype,
+        out_nchw=True,
     )
-    t = bias_act(t, layer_params["bias"], act="linear")
+    t = t + layer_params["bias"].astype(t.dtype)[None, :, None, None]
     return t if y is None else y + t
 
 
@@ -407,10 +413,11 @@ def synthesis_apply(
             x, block["Conv1"], dlatents[:, res * 2 - 4], nc, nr, False, config,
             compute_dtype,
         )
-        y = upsample_2d(y, kernel=config.resample_kernel)
+        y = upsample_2d_nchw(y, kernel=config.resample_kernel)
         y = _torgb(x, block["ToRGB"], dlatents[:, res * 2 - 3], y, config, compute_dtype)
 
-    return y.astype(jnp.float32)
+    # one NCHW -> NHWC relayout of the final image only
+    return jnp.transpose(y, (0, 2, 3, 1)).astype(jnp.float32)
 
 
 def generator_apply(

@@ -52,6 +52,7 @@ def modulated_conv2d(
     demodulate: bool = True,
     resample_kernel: Tuple[int, ...] = DEFAULT_RESAMPLE_KERNEL,
     compute_dtype: Optional[jnp.dtype] = None,
+    out_nchw: bool = False,
 ) -> jax.Array:
     """
     :param x: activations (B, H, W, Cin).
@@ -61,10 +62,16 @@ def modulated_conv2d(
     :param mod_bias: style affine bias (Cin,); +1 applied per StyleGAN2.
     :param up/down: 2x resample fused with the conv (mutually exclusive).
     :param demodulate: apply weight demodulation (disabled for ToRGB).
-    :return: (B, H', W', Cout).
+    :param out_nchw: emit (B, Cout, H', W') straight from the conv — used by the
+        low-channel ToRGB layers whose downstream RGB chain lives in NCHW (C=3 on
+        the lane axis wastes 42x; the conv chooses the layout for free). Plain
+        (non-resampling) path only.
+    :return: (B, H', W', Cout), or (B, Cout, H', W') when `out_nchw`.
     """
     if up and down:
         raise ValueError("up and down are mutually exclusive")
+    if out_nchw and (up or down):
+        raise ValueError("out_nchw is only supported on the plain conv path")
     dtype = compute_dtype or x.dtype
     kh, kw, cin, cout = weight.shape
 
@@ -116,13 +123,16 @@ def modulated_conv2d(
             w,
             window_strides=(1, 1),
             padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            dimension_numbers=("NHWC", "HWIO", "NCHW" if out_nchw else "NHWC"),
             precision=CONV_PRECISION,
             preferred_element_type=jnp.float32,
         ).astype(dtype)
 
     if demod is not None:
-        y = y * demod[:, None, None, :].astype(y.dtype)
+        if out_nchw:
+            y = y * demod[:, :, None, None].astype(y.dtype)
+        else:
+            y = y * demod[:, None, None, :].astype(y.dtype)
     return y
 
 

@@ -25,6 +25,7 @@ Fused Pallas kernels.
 """
 
 import functools
+from typing import Optional
 import math
 
 import jax
@@ -166,6 +167,201 @@ def upsample2x_blur(x: jax.Array, interpret: bool = False) -> jax.Array:
         interpret=interpret,
     )(flat)
     return out.reshape(b, 2 * h, 2 * w, c)
+
+
+def _blur_window_dma(x_hbm, win, sem, b, i, n, th):
+    """
+    DMA one (th+3)-row halo window of image `b` into `win`, zero-filling the
+    virtual pad row at the top (first block) / bottom (last block). Halo rows
+    ride the UNTILED H dim — Mosaic requires DMA slice extents aligned to the
+    (8, 128) tiling on the last two dims, so those are always copied full-width.
+    """
+    r0 = i * th
+
+    @pl.when(i == 0)
+    def _():
+        win[0:1, :, :] = jnp.zeros_like(win[0:1, :, :])
+        cp = pltpu.make_async_copy(x_hbm.at[b, 0 : th + 2, :, :], win.at[1 : th + 3], sem)
+        cp.start()
+        cp.wait()
+
+    @pl.when(jnp.logical_and(i > 0, i < n - 1))
+    def _():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(r0 - 1, th + 3), :, :], win.at[0 : th + 3], sem
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(i == n - 1)
+    def _():
+        win[th + 2 : th + 3, :, :] = jnp.zeros_like(win[0:1, :, :])
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(r0 - 1, th + 2), :, :], win.at[0 : th + 2], sem
+        )
+        cp.start()
+        cp.wait()
+
+
+def _blur4_sep_kernel(
+    x_hbm, out_ref, win, sem, *, th: int, taps: tuple, w_logical: int
+):
+    """
+    One grid step = one image x one row-block: DMA the halo window, run BOTH
+    separable 4-tap passes in VMEM, write (th, w_logical-1) output rows. 8 taps
+    instead of the 16 XLA's 2D depthwise form burns — this op is VPU-bound, so
+    tap count is the budget — and zero intermediate HBM traffic.
+
+    Layout: W on sublanes, C on lanes. The input's W may be padded past
+    `w_logical` with junk columns (DMA extents must be 8-aligned); the kernel
+    never reads them. W borders (the upfirdn pad0=pad1=1 zeros) are explicit
+    boundary-column expressions; unaligned STATIC slices/stores on the sublane
+    dim are supported by current Mosaic (probed on v5e).
+    """
+    k0, k1, k2, k3 = taps
+    _blur_window_dma(x_hbm, win, sem, pl.program_id(0), pl.program_id(1),
+                     pl.num_programs(1), th)
+    w_out = w_logical - 1
+
+    # vertical 4-tap, then horizontal 4-tap; interior cols j=1..w_out-2 read
+    # x[j-1..j+2]. Compute dtype = data dtype (bf16 VPU rate is the budget).
+    vt = (
+        k0 * win[0:th]
+        + k1 * win[1 : th + 1]
+        + k2 * win[2 : th + 2]
+        + k3 * win[3 : th + 3]
+    )  # (th, Wp, C)
+
+    mid = (
+        k0 * vt[:, 0 : w_out - 2]
+        + k1 * vt[:, 1 : w_out - 1]
+        + k2 * vt[:, 2 : w_out]
+        + k3 * vt[:, 3 : w_out + 1]
+    )
+    left = k1 * vt[:, 0:1] + k2 * vt[:, 1:2] + k3 * vt[:, 2:3]
+    right = (
+        k0 * vt[:, w_logical - 3 : w_logical - 2]
+        + k1 * vt[:, w_logical - 2 : w_logical - 1]
+        + k2 * vt[:, w_logical - 1 : w_logical]
+    )
+    dtype = out_ref.dtype
+    out_ref[0, :, 0:1, :] = left.astype(dtype)
+    out_ref[0, :, 1 : w_out - 1, :] = mid.astype(dtype)
+    out_ref[0, :, w_out - 1 : w_out, :] = right.astype(dtype)
+
+
+def _blur4_sep_fold_kernel(
+    x_hbm, out_ref, win, sem, *, th: int, taps: tuple, w_logical: int
+):
+    """
+    The C=64 variant: DMA lane extents must be 128-aligned, so the caller views
+    (H, W, 64) as (H, W/2, 128) — adjacent column pairs folded into the lane
+    axis (even col = lanes 0:64, odd col = lanes 64:128). Horizontal taps then
+    mix the two lane halves of neighboring folds; unaligned lane-half slices are
+    Mosaic-supported. `w_logical` is the UNFOLDED valid width (odd: 2^k + 1).
+    """
+    k0, k1, k2, k3 = taps
+    _blur_window_dma(x_hbm, win, sem, pl.program_id(0), pl.program_id(1),
+                     pl.num_programs(1), th)
+    assert w_logical % 2 == 1
+    m = (w_logical - 1) // 2  # full output fold count (w_out = 2m)
+
+    vt = (
+        k0 * win[0:th]
+        + k1 * win[1 : th + 1]
+        + k2 * win[2 : th + 2]
+        + k3 * win[3 : th + 3]
+    )  # (th, WFp, 128)
+
+    e = vt[:, :, 0:64]   # x[2f]
+    o = vt[:, :, 64:128]  # x[2f + 1]
+
+    # out col 2f   = k0 x[2f-1] + k1 x[2f]   + k2 x[2f+1] + k3 x[2f+2]
+    # out col 2f+1 = k0 x[2f]   + k1 x[2f+1] + k2 x[2f+2] + k3 x[2f+3]
+    even_main = (
+        k0 * o[:, 0 : m - 1] + k1 * e[:, 1:m] + k2 * o[:, 1:m] + k3 * e[:, 2 : m + 1]
+    )  # folds 1..m-1
+    even_0 = k1 * e[:, 0:1] + k2 * o[:, 0:1] + k3 * e[:, 1:2]  # x[-1] pad = 0
+    odd_main = (
+        k0 * e[:, 0 : m - 1]
+        + k1 * o[:, 0 : m - 1]
+        + k2 * e[:, 1:m]
+        + k3 * o[:, 1:m]
+    )  # folds 0..m-2
+    # last odd col (2m-1) reads x[2m-2..2m+1]; x[2m] = e[m] is the final valid
+    # column, x[2m+1] is the upfirdn zero pad
+    odd_last = k0 * e[:, m - 1 : m] + k1 * o[:, m - 1 : m] + k2 * e[:, m : m + 1]
+
+    dtype = out_ref.dtype
+    out_ref[0, :, 0:1, 0:64] = even_0.astype(dtype)
+    out_ref[0, :, 1:m, 0:64] = even_main.astype(dtype)
+    out_ref[0, :, 0 : m - 1, 64:128] = odd_main.astype(dtype)
+    out_ref[0, :, m - 1 : m, 64:128] = odd_last.astype(dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("taps", "w_logical", "tile_h", "interpret")
+)
+def blur4_separable_pad11(
+    x: jax.Array,
+    taps: tuple,
+    w_logical: Optional[int] = None,
+    tile_h: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """
+    upfirdn2d(x[..., :w_logical, :], outer(taps, taps), pad0=1, pad1=1) — the
+    post-transpose-conv smoothing FIR of `upsample_conv_2d` — as one fused
+    separable Pallas pass. x: (B, H, Wp, C); out (B, H-1, w_logical-1, C).
+    Columns >= w_logical are ignored padding (Wp must be 8-aligned for C%128==0,
+    16-aligned for C==64, so halo DMAs satisfy Mosaic's tiling alignment).
+    """
+    b, h, wp, c = x.shape
+    w_logical = wp if w_logical is None else w_logical
+    out_h = h - 1
+    w_out = w_logical - 1
+    if out_h % tile_h:
+        raise ValueError(f"H-1={out_h} must be a multiple of tile_h={tile_h}")
+    grid = (b, out_h // tile_h)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM)
+    ]
+
+    if c == 64 and not interpret:
+        if wp % 16 or w_logical % 2 != 1:
+            raise ValueError(f"C=64 fold path needs 16-aligned Wp, odd w_logical; got {wp}, {w_logical}")
+        folded = x.reshape(b, h, wp // 2, 128)
+        out = pl.pallas_call(
+            functools.partial(
+                _blur4_sep_fold_kernel, th=tile_h, taps=taps, w_logical=w_logical
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, out_h, w_out // 2, 128), x.dtype),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, tile_h, w_out // 2, 128), lambda bi, i: (bi, i, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tile_h + 3, wp // 2, 128), x.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(folded)
+        return out.reshape(b, out_h, w_out, 64)
+
+    return pl.pallas_call(
+        functools.partial(
+            _blur4_sep_kernel, th=tile_h, taps=taps, w_logical=w_logical
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, out_h, w_out, c), x.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile_h, w_out, c), lambda bi, i: (bi, i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 3, wp, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x)
 
 
 def _stencil_blur_kernel(

@@ -20,7 +20,7 @@ Layout: NHWC.
 """
 
 import functools
-from typing import Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,10 @@ def upfirdn2d(
     down: int = 1,
     pad0: int = 0,
     pad1: int = 0,
+    pad0_h: Optional[int] = None,
+    pad1_h: Optional[int] = None,
+    pad0_w: Optional[int] = None,
+    pad1_w: Optional[int] = None,
 ) -> jax.Array:
     """
     Apply the upsample→FIR→downsample primitive to `x` of shape (N, H, W, C).
@@ -63,6 +67,8 @@ def upfirdn2d(
     :param down: integer decimation factor.
     :param pad0: padding before (top/left), applied after zero-stuffing. May be negative.
     :param pad1: padding after (bottom/right). May be negative.
+    :param pad0_h/pad1_h/pad0_w/pad1_w: per-axis overrides of pad0/pad1 (used by
+        the separable two-pass split of symmetric kernels).
     :return: (N, H_out, W_out, C) with H_out = (H*up + pad0 + pad1 - kh) // down + 1.
     """
     if x.ndim != 4:
@@ -70,6 +76,10 @@ def upfirdn2d(
     kernel = np.asarray(kernel, dtype=np.float32)
     if kernel.ndim != 2:
         raise ValueError("upfirdn2d kernel must be 2D; use setup_filter_kernel first.")
+    pad0_h = pad0 if pad0_h is None else pad0_h
+    pad1_h = pad1 if pad1_h is None else pad1_h
+    pad0_w = pad0 if pad0_w is None else pad0_w
+    pad1_w = pad1 if pad1_w is None else pad1_w
 
     channels = x.shape[-1]
     # True convolution: flip the kernel (lax convs are cross-correlations).
@@ -86,7 +96,7 @@ def upfirdn2d(
             jnp.transpose(x, (0, 3, 1, 2)),
             rhs,
             window_strides=(down, down),
-            padding=((pad0, pad1 + up - 1), (pad0, pad1 + up - 1)),
+            padding=((pad0_h, pad1_h + up - 1), (pad0_w, pad1_w + up - 1)),
             lhs_dilation=(up, up),
             rhs_dilation=(1, 1),
             dimension_numbers=("NCHW", "HWIO", "NCHW"),
@@ -103,7 +113,7 @@ def upfirdn2d(
         window_strides=(down, down),
         # XLA supports negative padding (crop) directly; the +(up-1) restores the
         # NVlabs trailing zero-stuffing that lhs_dilation omits.
-        padding=((pad0, pad1 + up - 1), (pad0, pad1 + up - 1)),
+        padding=((pad0_h, pad1_h + up - 1), (pad0_w, pad1_w + up - 1)),
         lhs_dilation=(up, up),
         rhs_dilation=(1, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -114,6 +124,65 @@ def upfirdn2d(
     return out.astype(x.dtype)
 
 
+def _upsample2x_polyphase(x: jax.Array, k1d: np.ndarray) -> jax.Array:
+    """
+    2x upsample with a separable 4-tap FIR, expressed as its polyphase
+    decomposition in pure XLA: each output phase is a 2-tap blend of shifted
+    inputs (even: k[0]*x[i-1] + k[2]*x[i]; odd: k[1]*x[i] + k[3]*x[i+1]),
+    interleaved with a stack+reshape per axis. The zero-stuffed dilated-conv
+    formulation multiplies 75% zeros and ran at ~34% HBM bandwidth in profiles;
+    this form is elementwise work XLA fuses into the interleave copies.
+    """
+    xc = jnp.transpose(x, (0, 3, 1, 2))
+    out = upsample2x_polyphase_nchw(xc, k1d)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def upsample2x_polyphase_nchw(xc: jax.Array, k1d: KernelLike) -> jax.Array:
+    """
+    The polyphase 2x upsample on NCHW input, no layout sandwiches — the native
+    form for the low-channel RGB skip chain (NHWC puts C=3 on the 128-lane axis;
+    interleaving there materializes hugely padded tiles in a full-model context.
+    With W on the lanes the interleaves are dense).
+    """
+    lo0, hi0, hi1, lo1 = (float(v) for v in np.asarray(k1d))  # [.25,.75,.75,.25]
+    b, c, h, w = xc.shape
+    xp = jnp.pad(xc, ((0, 0), (0, 0), (1, 1), (1, 1)))
+
+    # horizontal phases (rows still padded): even = lo0*x[w-1] + hi1*x[w]
+    left, mid, right = xp[..., :-2], xp[..., 1:-1], xp[..., 2:]
+    h_even = lo0 * left + hi1 * mid
+    h_odd = hi0 * mid + lo1 * right
+    hs = jnp.stack([h_even, h_odd], axis=-1).reshape(b, c, h + 2, 2 * w)
+
+    # vertical phases
+    up, vmid, down = hs[:, :, :-2], hs[:, :, 1:-1], hs[:, :, 2:]
+    v_even = lo0 * up + hi1 * vmid
+    v_odd = hi0 * vmid + lo1 * down
+    return jnp.stack([v_even, v_odd], axis=3).reshape(b, c, 2 * h, 2 * w)
+
+
+def upsample_2d_nchw(
+    xc: jax.Array,
+    kernel: KernelLike = DEFAULT_RESAMPLE_KERNEL,
+    gain: float = 1.0,
+) -> jax.Array:
+    """2x FIR upsampling on NCHW input (the synthesis RGB skip chain's layout)."""
+    k = setup_filter_kernel(kernel, gain * 4.0)
+    root = _separable_root(k)
+    if k.shape == (4, 4) and np.allclose(np.outer(root, root), k):
+        return upsample2x_polyphase_nchw(xc, root)
+    out = upsample_2d(jnp.transpose(xc, (0, 2, 3, 1)), kernel, factor=2, gain=gain)
+    return jnp.transpose(out, (0, 3, 1, 2))
+
+
+import os as _os
+
+# Escape hatch while the polyphase formulation is being qualified in-context:
+# GANCE_TPU_UPSAMPLE=dilated restores the conv formulation.
+_UPSAMPLE_MODE = _os.environ.get("GANCE_TPU_UPSAMPLE", "polyphase")
+
+
 def upsample_2d(
     x: jax.Array,
     kernel: KernelLike = DEFAULT_RESAMPLE_KERNEL,
@@ -122,8 +191,21 @@ def upsample_2d(
 ) -> jax.Array:
     """2x (by default) FIR upsampling. NVlabs `upsample_2d` pad arithmetic."""
     k = setup_filter_kernel(kernel, gain * (factor**2))
+    if (
+        _UPSAMPLE_MODE == "polyphase"
+        and factor == 2
+        and k.shape == (4, 4)
+        and np.allclose(np.outer(_separable_root(k), _separable_root(k)), k)
+    ):
+        return _upsample2x_polyphase(x, _separable_root(k))
     p = k.shape[0] - factor
     return upfirdn2d(x, k, up=factor, pad0=(p + 1) // 2 + factor - 1, pad1=p // 2)
+
+
+def _separable_root(k: np.ndarray) -> np.ndarray:
+    """1D factor of a separable symmetric 2D kernel (k = outer(r, r), r >= 0)."""
+    diag = np.sqrt(np.maximum(np.diag(k), 0.0))
+    return diag
 
 
 def downsample_2d(
@@ -159,19 +241,66 @@ def upsample_conv_2d(
     k = setup_filter_kernel(kernel, gain * (factor**2))
     p = (k.shape[0] - factor) - (ck - 1)
 
+    pad0, pad1 = (p + 1) // 2 + factor - 1, p // 2 + 1
+    root = _separable_root(k)
+    cout = w.shape[3]
+    h_in, w_in = x.shape[1], x.shape[2]
+    conv_out_w = (w_in - 1) * factor + 1 + 2 * (ck - 1) - ck + 1
+    use_pallas_blur = (
+        _blur_kernel_enabled()
+        and factor == 2
+        and pad0 == 1
+        and pad1 == 1
+        and k.shape == (4, 4)
+        and np.allclose(np.outer(root, root), k)
+        and h_in == w_in
+        and (conv_out_w - 1) % 8 == 0
+        and conv_out_w >= 65
+        and (cout == 64 or cout % 128 == 0)
+    )
+    # The Pallas blur's halo DMAs need the W extent aligned to the (8,128)
+    # tiling (16 for the C=64 lane-folded path), so the transpose conv emits a
+    # few extra junk columns on the right that the kernel never reads.
+    quantum = 16 if cout == 64 else 8
+    pad_extra = (-conv_out_w) % quantum if use_pallas_blur else 0
+
     y = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(1, 1),
         # conv2d_transpose(stride f, VALID) output is (H-1)*f + ck, which equals the
         # zero-stuffed input ((H-1)*f + 1) padded ck-1 on both sides under VALID corr.
-        padding=((ck - 1, ck - 1), (ck - 1, ck - 1)),
+        padding=((ck - 1, ck - 1), (ck - 1, ck - 1 + pad_extra)),
         lhs_dilation=(factor, factor),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=CONV_PRECISION,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
-    return upfirdn2d(y, k, pad0=(p + 1) // 2 + factor - 1, pad1=p // 2 + 1)
+
+    if use_pallas_blur:
+        # The post-conv smoothing FIR is VPU-bound, not memory-bound (measured
+        # at ~2.1 T ops/s ~= VPU peak as XLA's 16-tap 2D depthwise conv; an XLA
+        # separable two-pass loses its tap saving to the intermediate
+        # round-trip). The Pallas kernel runs both separable passes in one VMEM
+        # residency: 8 taps, one HBM read, one HBM write.
+        from gance_tpu.ops.pallas.fused_ops import blur4_separable_pad11
+
+        return blur4_separable_pad11(
+            y, tuple(float(v) for v in root), w_logical=conv_out_w
+        )
+    return upfirdn2d(y, k, pad0=pad0, pad1=pad1)
+
+
+def _blur_kernel_enabled() -> bool:
+    """
+    Opt-in (GANCE_TPU_BLUR=pallas). Measured on v5e: XLA's 16-tap 2D depthwise
+    form runs at ~2.1 T ops/s ~= VPU peak in-model, and the Pallas separable
+    kernel's unaligned-slice shifts + per-grid-step DMA overheads cost more than
+    the halved tap count saves (0.25-0.44x at C>=128; the C=64 lane-folded path
+    is pathological). Kept for a future Mosaic with cheaper sublane shifts /
+    pipelined halo DMA.
+    """
+    return _os.environ.get("GANCE_TPU_BLUR", "xla") == "pallas"
 
 
 def conv_downsample_2d(

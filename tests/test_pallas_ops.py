@@ -43,6 +43,43 @@ def test_upsample2x_blur_matches_upfirdn(rng, shape):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "shape,w_logical",
+    [((2, 65, 65, 8), None), ((1, 129, 136, 16), 129), ((2, 33, 40, 8), 33)],
+)
+def test_blur4_separable_pad11_matches_upfirdn(rng, shape, w_logical):
+    """
+    The production post-transpose-conv blur kernel (8-tap separable, halo DMA,
+    boundary columns): interpreter-exact against the XLA upfirdn with the
+    upsample_conv_2d pad arithmetic (pad0=pad1=1), including junk-padded widths.
+    """
+    from gance_tpu.ops.pallas.fused_ops import blur4_separable_pad11
+    from gance_tpu.ops.upfirdn2d import setup_filter_kernel, upfirdn2d
+
+    x = rng.randn(*shape).astype(np.float32)
+    k = setup_filter_kernel((1, 3, 3, 1), gain=4.0)
+    wl = w_logical or shape[2]
+    got = np.asarray(
+        blur4_separable_pad11(
+            jnp.asarray(x), (0.25, 0.75, 0.75, 0.25), w_logical=w_logical,
+            interpret=True,
+        )
+    )
+    want = np.asarray(upfirdn2d(jnp.asarray(x[:, :, :wl, :]), k, pad0=1, pad1=1))
+    assert got.shape == want.shape == (shape[0], shape[1] - 1, wl - 1, shape[3])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_conv_2d_shape_contract(rng):
+    """The pallas-gated dispatcher preserves the NVlabs output shape on CPU."""
+    from gance_tpu.ops.upfirdn2d import upsample_conv_2d
+
+    x = rng.randn(2, 32, 32, 8).astype(np.float32)
+    w = rng.randn(3, 3, 8, 8).astype(np.float32)
+    out = np.asarray(upsample_conv_2d(jnp.asarray(x), jnp.asarray(w)))
+    assert out.shape == (2, 64, 64, 8)
+
+
 @pytest.mark.parametrize("shape", [(2, 19, 19, 8), (1, 11, 27, 4)])
 def test_stencil_blur4_matches_xla(rng, shape):
     from gance_tpu.ops.pallas.fused_ops import stencil_blur4_valid
