@@ -203,6 +203,51 @@ def create_video_writer(
     return VideoWriterHandle(write=write_cv2, finish=finish_cv2)
 
 
+def threaded_writer(
+    handle: VideoWriterHandle, queue_depth: int = 8
+) -> VideoWriterHandle:
+    """
+    Move encode off the caller's thread: writes enqueue into a bounded queue
+    drained by a dedicated encoder thread, so video encode overlaps synthesis /
+    device egress instead of serializing with it (the 4K/60 target's "bottleneck
+    only by synthesis FLOPs", BASELINE.md). `finish()` drains the queue, joins
+    the thread, and re-raises any encoder error.
+    """
+    import queue as queue_mod
+    import threading
+
+    frames: "queue_mod.Queue" = queue_mod.Queue(maxsize=queue_depth)
+    errors: List[BaseException] = []
+
+    def drain() -> None:
+        while True:
+            item = frames.get()
+            if item is None:
+                return
+            try:
+                handle.write(item)
+            except BaseException as e:  # pragma: no cover - surfaced in finish
+                errors.append(e)
+                return
+
+    worker = threading.Thread(target=drain, daemon=True, name="video-encoder")
+    worker.start()
+
+    def write(frame: np.ndarray) -> None:
+        if errors:
+            raise errors[0]
+        frames.put(frame)
+
+    def finish() -> None:
+        frames.put(None)
+        worker.join()
+        handle.finish()
+        if errors:
+            raise errors[0]
+
+    return VideoWriterHandle(write=write, finish=finish)
+
+
 def add_wavs_to_video(
     video_path: Path, audio_paths: List[Path], output_path: Path
 ) -> None:
@@ -280,7 +325,11 @@ def write_source_to_disk_forward(
     else:
         target = Path(video_path)
 
-    writer = create_video_writer(target, video_fps, resolution, high_quality=high_quality)
+    # Encode runs on its own thread behind a bounded queue so the producer
+    # (synthesis / device egress) never stalls on the encoder.
+    writer = threaded_writer(
+        create_video_writer(target, video_fps, resolution, high_quality=high_quality)
+    )
 
     def forward() -> Iterator[np.ndarray]:
         count = 0

@@ -54,6 +54,35 @@ def test_forward_re_yields(tmp_path):
     assert path.exists()
 
 
+def test_threaded_writer_roundtrip_and_errors(tmp_path):
+    from gance_tpu.media.video import (
+        VideoWriterHandle,
+        create_video_writer,
+        threaded_writer,
+    )
+    from gance_tpu.types import ImageResolution
+
+    # roundtrip: background-thread encode produces the same file contents
+    path = tmp_path / "threaded.mp4"
+    frames = _frames(12)
+    writer = threaded_writer(
+        create_video_writer(path, 30.0, ImageResolution(width=32, height=32))
+    )
+    for frame in frames:
+        writer.write(frame)
+    writer.finish()
+    assert frames_in_video(path).total_frame_count == 12
+
+    # encoder errors surface on finish (and on subsequent writes)
+    def boom(_frame):
+        raise RuntimeError("encoder exploded")
+
+    failing = threaded_writer(VideoWriterHandle(write=boom, finish=lambda: None))
+    failing.write(frames[0])
+    with pytest.raises(RuntimeError, match="exploded"):
+        failing.finish()
+
+
 def test_fps_reduction(tmp_path):
     path = tmp_path / "out.mp4"
     write_source_to_disk_consume(iter(_frames(12)), path, video_fps=30.0)
