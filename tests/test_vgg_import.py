@@ -51,6 +51,63 @@ def test_import_roundtrip_torch(tmp_path, rng):
     assert params["block2_conv1_w"].shape == (3, 3, 256, 256)
 
 
+def test_matches_real_torchvision_vgg16_forward(rng):
+    """
+    Non-circular backbone validation: instantiate torchvision's REAL vgg16
+    architecture (random init — no pretrained weights exist on this host),
+    convert its state dict, and check our JAX forward reproduces the torch
+    per-block activations. This pins conv padding/ordering/pool semantics to the
+    real network, so imported pretrained weights will compute true LPIPS
+    features (reference metric: vgg16_zhang_perceptual,
+    projector_file_writer.py:60).
+    """
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from gance_tpu.projection.lpips import vgg_features
+
+    # torchvision is not installed here; build the canonical VGG16-D `features`
+    # stack (config D: 64,64,M,128,128,M,256x3,M,512x3,M,512x3,M) with plain
+    # torch.nn — this reproduces torchvision's exact Sequential indices
+    # (conv,relu,...,pool), so the converter's features.N table and the torch
+    # conv/pool semantics are both exercised independently of our JAX code.
+    torch.manual_seed(0)
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    layers, cin = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(torch.nn.MaxPool2d(kernel_size=2, stride=2))
+        else:
+            layers.append(torch.nn.Conv2d(cin, v, kernel_size=3, padding=1))
+            layers.append(torch.nn.ReLU(inplace=False))
+            cin = v
+    features = torch.nn.Sequential(*layers).eval()
+
+    state = {
+        f"features.{k}": v.detach().numpy() for k, v in features.state_dict().items()
+    }
+    params = convert_torchvision_vgg16(state)
+
+    x = rng.randn(2, 64, 64, 3).astype(np.float32) * 0.5
+    with torch.no_grad():
+        t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        torch_feats = []
+        # block-end ReLU indices in torchvision's `features` sequential
+        block_ends = (3, 8, 15, 22, 29)
+        for idx, layer in enumerate(features):
+            t = layer(t)
+            if idx in block_ends:
+                torch_feats.append(np.transpose(t.numpy(), (0, 2, 3, 1)))
+
+    jax_feats = [np.asarray(f) for f in vgg_features(params, jnp.asarray(x))]
+    assert len(jax_feats) == len(torch_feats) == 5
+    for i, (got, want) in enumerate(zip(jax_feats, torch_feats)):
+        assert got.shape == want.shape, f"block {i}: {got.shape} != {want.shape}"
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"block {i} diverged")
+
+
 def test_convert_rejects_wrong_channels(rng):
     state = _synthetic_state_dict(rng)
     state["features.0.weight"] = rng.randn(32, 3, 3, 3).astype(np.float32)
