@@ -71,6 +71,12 @@ def common_command_options(func: Callable) -> Callable:
             help="Write a jax.profiler trace of the run here (TensorBoard-viewable).",
         ),
         click.option(
+            "--data-parallel", type=click.IntRange(min=1), default=None,
+            help="Shard synthesis over a ('data','model') device mesh with this "
+            "data-axis size (devices/data = tensor-parallel axis). Requires "
+            "multiple JAX devices; frame batches split over 'data'.",
+        ),
+        click.option(
             "--fft-amplitude-range", type=(float, float), default=(-1.0, 1.0)
         ),
         click.option(

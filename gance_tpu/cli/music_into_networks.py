@@ -42,6 +42,7 @@ def noise_blend(  # pylint: disable=too-many-arguments
     fft_amplitude_range: Tuple[float, float],
     compute_dtype: Optional[str],
     trace_dir: Optional[str],
+    data_parallel: Optional[int],
     run_config: Optional[str],
     log: Optional[str],
 ) -> None:
@@ -68,6 +69,7 @@ def noise_blend(  # pylint: disable=too-many-arguments
         compute_dtype=compute_dtype,
         trace_dir=Path(trace_dir) if trace_dir else None,
         debug_3d=debug_3d,
+        data_parallel=data_parallel,
     )
 
 
@@ -111,6 +113,7 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
     fft_amplitude_range: Tuple[float, float],
     compute_dtype: Optional[str],
     trace_dir: Optional[str],
+    data_parallel: Optional[int],
     run_config: Optional[str],
     log: Optional[str],
     projection_file_path: str,
@@ -153,6 +156,7 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
         compute_dtype=compute_dtype,
         trace_dir=Path(trace_dir) if trace_dir else None,
         debug_3d=debug_3d,
+        data_parallel=data_parallel,
         phash_distance=phash_distance,
         bbox_distance=bbox_distance,
         track_length=track_length,

@@ -21,6 +21,23 @@ from gance_tpu.synthesis.runtime import MultiNetwork
 from gance_tpu.utils.logging import LOGGER
 
 
+def _build_mesh(data_parallel: Optional[int]):
+    """('data','model') mesh for multi-chip serving, or None for single-device."""
+    if data_parallel is None:
+        return None
+    import jax
+
+    from gance_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 2:
+        LOGGER.warning(
+            "--data-parallel requested but only one device is visible; "
+            "running single-device."
+        )
+        return None
+    return create_mesh(data_parallel=data_parallel)
+
+
 def noise_blend_api(
     wav: List[Path],
     output_path: Path,
@@ -38,6 +55,7 @@ def noise_blend_api(
     compute_dtype: Optional[str] = None,
     trace_dir: Optional[Path] = None,
     debug_3d: bool = False,
+    data_parallel: Optional[int] = None,
 ) -> None:
     """
     Render a music video: audio features alpha-blended with smoothed gaussian noise,
@@ -54,12 +72,14 @@ def noise_blend_api(
 
     dtype = {None: None, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
     trace_ctx = trace(Path(trace_dir)) if trace_dir else contextlib.nullcontext()
+    mesh = _build_mesh(data_parallel)
 
     # Output scaling is fused into the jitted synthesis program (device-side
     # bicubic) so host egress moves output-sized frames, not native-res ones.
     with trace_ctx, MultiNetwork(
         network_paths=network_paths,
         output_side_length=output_side_length,
+        mesh=mesh,
         **({"compute_dtype": dtype} if dtype is not None else {}),
     ) as multi_networks:
         audio = read_wavs_scale_for_video(

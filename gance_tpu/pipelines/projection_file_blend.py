@@ -56,6 +56,7 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
     compute_dtype: Optional[str] = None,
     trace_dir: Optional[Path] = None,
     debug_3d: bool = False,
+    data_parallel: Optional[int] = None,
     complexity_change_rolling_sum_window: Optional[int] = None,
     complexity_change_threshold: Optional[float] = None,
     phash_distance: Optional[int] = None,
@@ -85,9 +86,12 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
     dtype = {None: None, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
     trace_ctx = trace(Path(trace_dir)) if trace_dir else contextlib.nullcontext()
 
+    from gance_tpu.pipelines.noise_blend import _build_mesh
+
     multi_networks = MultiNetwork(
         network_paths=network_paths,
         load=True,
+        mesh=_build_mesh(data_parallel),
         **({"compute_dtype": dtype} if dtype is not None else {}),
     )
 

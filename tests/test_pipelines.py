@@ -81,6 +81,39 @@ def test_noise_blend_end_to_end(tmp_path, networks_dir):
     assert frames[0].shape == (32, 32, 3)
 
 
+def test_noise_blend_data_parallel_mesh(tmp_path, networks_dir):
+    """
+    Full noise-blend pipeline over a dp x tp device mesh (8 virtual CPU
+    devices): output must match the single-device render within uint8 rounding.
+    """
+    from gance_tpu.pipelines.noise_blend import noise_blend_api
+
+    common = dict(
+        wav=[CLAPS],
+        network_paths=sorted(networks_dir.glob("*.pkl")),
+        frames_to_visualize=8,
+        output_fps=30.0,
+        output_side_length=32,
+        debug_path=None,
+        debug_window=None,
+        debug_side_length=None,
+        alpha=0.25,
+        fft_roll_enabled=False,
+        fft_amplitude_range=(-1.0, 1.0),
+    )
+    sharded_out = tmp_path / "sharded.avi"
+    noise_blend_api(output_path=sharded_out, data_parallel=4, **common)
+    single_out = tmp_path / "single.avi"
+    noise_blend_api(output_path=single_out, **common)
+
+    sharded = np.stack(list(frames_in_video(sharded_out).frames))
+    single = np.stack(list(frames_in_video(single_out).frames))
+    assert sharded.shape == single.shape == (8, 32, 32, 3)
+    # mp4v is lossy but deterministic: identical inputs encode identically, so
+    # any difference beyond rounding-induced codec jitter is a sharding bug
+    assert np.abs(sharded.astype(int) - single.astype(int)).mean() < 2.0
+
+
 def test_noise_blend_with_debug(tmp_path, networks_dir):
     from gance_tpu.pipelines.noise_blend import noise_blend_api
 
