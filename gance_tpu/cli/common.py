@@ -77,6 +77,12 @@ def common_command_options(func: Callable) -> Callable:
             "multiple JAX devices; frame batches split over 'data'.",
         ),
         click.option(
+            "--one-network-per-device", is_flag=True, default=False,
+            help="Place each network wholly on its own device; frame groups for "
+            "different networks synthesize concurrently (true DP over frames). "
+            "Mutually exclusive with --data-parallel.",
+        ),
+        click.option(
             "--fft-amplitude-range", type=(float, float), default=(-1.0, 1.0)
         ),
         click.option(

@@ -43,6 +43,7 @@ def noise_blend(  # pylint: disable=too-many-arguments
     compute_dtype: Optional[str],
     trace_dir: Optional[str],
     data_parallel: Optional[int],
+    one_network_per_device: bool,
     run_config: Optional[str],
     log: Optional[str],
 ) -> None:
@@ -70,6 +71,7 @@ def noise_blend(  # pylint: disable=too-many-arguments
         trace_dir=Path(trace_dir) if trace_dir else None,
         debug_3d=debug_3d,
         data_parallel=data_parallel,
+        device_per_network=one_network_per_device,
     )
 
 
@@ -114,6 +116,7 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
     compute_dtype: Optional[str],
     trace_dir: Optional[str],
     data_parallel: Optional[int],
+    one_network_per_device: bool,
     run_config: Optional[str],
     log: Optional[str],
     projection_file_path: str,
@@ -157,6 +160,7 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
         trace_dir=Path(trace_dir) if trace_dir else None,
         debug_3d=debug_3d,
         data_parallel=data_parallel,
+        device_per_network=one_network_per_device,
         phash_distance=phash_distance,
         bbox_distance=bbox_distance,
         track_length=track_length,

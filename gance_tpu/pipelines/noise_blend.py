@@ -56,6 +56,7 @@ def noise_blend_api(
     trace_dir: Optional[Path] = None,
     debug_3d: bool = False,
     data_parallel: Optional[int] = None,
+    device_per_network: bool = False,
 ) -> None:
     """
     Render a music video: audio features alpha-blended with smoothed gaussian noise,
@@ -80,6 +81,7 @@ def noise_blend_api(
         network_paths=network_paths,
         output_side_length=output_side_length,
         mesh=mesh,
+        device_per_network=device_per_network and mesh is None,
         **({"compute_dtype": dtype} if dtype is not None else {}),
     ) as multi_networks:
         audio = read_wavs_scale_for_video(

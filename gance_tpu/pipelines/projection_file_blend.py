@@ -57,6 +57,7 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
     trace_dir: Optional[Path] = None,
     debug_3d: bool = False,
     data_parallel: Optional[int] = None,
+    device_per_network: bool = False,
     complexity_change_rolling_sum_window: Optional[int] = None,
     complexity_change_threshold: Optional[float] = None,
     phash_distance: Optional[int] = None,
@@ -88,10 +89,12 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
 
     from gance_tpu.pipelines.noise_blend import _build_mesh
 
+    mesh = _build_mesh(data_parallel)
     multi_networks = MultiNetwork(
         network_paths=network_paths,
         load=True,
-        mesh=_build_mesh(data_parallel),
+        mesh=mesh,
+        device_per_network=device_per_network and mesh is None,
         **({"compute_dtype": dtype} if dtype is not None else {}),
     )
 

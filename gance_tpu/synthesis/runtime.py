@@ -154,8 +154,15 @@ class SynthesisNetwork:
     # frame batches shard over 'data' — the multi-chip serving path. Batch sizes
     # must be divisible by the data-axis size.
     mesh: Optional[Any] = None
+    # When set (exclusive with mesh), this network lives wholly on one device —
+    # the one-network-per-device true-DP mode (SURVEY.md §2.10): each network of
+    # a MultiNetwork occupies its own chip and frame groups for different
+    # networks synthesize concurrently.
+    device: Optional[Any] = None
 
     def __post_init__(self) -> None:
+        if self.mesh is not None and self.device is not None:
+            raise ValueError("mesh and device placement are mutually exclusive")
         if self.mesh is not None:
             from gance_tpu.parallel.mesh import generator_param_sharding, shard_batch
 
@@ -165,10 +172,14 @@ class SynthesisNetwork:
             self._batch_sharding = shard_batch(self.mesh)
         else:
             self._batch_sharding = None
+            if self.device is not None:
+                self.params = jax.device_put(self.params, self.device)
 
     def _place_batch(self, batch: jax.Array) -> jax.Array:
         if self._batch_sharding is not None:
             return jax.device_put(batch, self._batch_sharding)
+        if self.device is not None:
+            return jax.device_put(batch, self.device)
         return batch
 
     @classmethod
@@ -179,6 +190,7 @@ class SynthesisNetwork:
         compute_dtype: Any = DEFAULT_COMPUTE_DTYPE,
         output_side_length: Optional[int] = None,
         mesh: Optional[Any] = None,
+        device: Optional[Any] = None,
     ) -> "SynthesisNetwork":
         params, config = load_generator(Path(path))
         return cls(
@@ -189,6 +201,7 @@ class SynthesisNetwork:
             compute_dtype=compute_dtype,
             output_side_length=output_side_length,
             mesh=mesh,
+            device=device,
         )
 
     @property
@@ -326,13 +339,17 @@ class MultiNetwork:
         compute_dtype: Any = DEFAULT_COMPUTE_DTYPE,
         output_side_length: Optional[int] = None,
         mesh: Optional[Any] = None,
+        device_per_network: bool = False,
         _preloaded: Optional[List[NetworkLike]] = None,
     ) -> None:
+        if mesh is not None and device_per_network:
+            raise ValueError("mesh and device_per_network are mutually exclusive")
         self.network_paths = [Path(p) for p in network_paths]
         self._truncation_psi = truncation_psi
         self._compute_dtype = compute_dtype
         self._output_side_length = output_side_length
         self._mesh = mesh
+        self._device_per_network = device_per_network
         self._networks: Optional[List[NetworkLike]] = _preloaded
         if load and self._networks is None:
             self.load()
@@ -348,6 +365,12 @@ class MultiNetwork:
     def load(self) -> None:
         if self._networks is None:
             LOGGER.info("Loading %d networks", len(self.network_paths))
+            devices = jax.devices() if self._device_per_network else None
+            if devices:
+                LOGGER.info(
+                    "One network per device over %d devices (true DP over frames)",
+                    len(devices),
+                )
             self._networks = [
                 SynthesisNetwork.from_pkl(
                     p,
@@ -355,8 +378,9 @@ class MultiNetwork:
                     compute_dtype=self._compute_dtype,
                     output_side_length=self._output_side_length,
                     mesh=self._mesh,
+                    device=devices[i % len(devices)] if devices else None,
                 )
-                for p in self.network_paths
+                for i, p in enumerate(self.network_paths)
             ]
 
     def unload(self) -> None:

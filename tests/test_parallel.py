@@ -161,3 +161,46 @@ def test_multi_network_over_mesh(tmp_path):
     want = plain.synthesize_all(frames, indices, batch_size=4)
     assert got.shape == want.shape == (8, 16, 16, 3)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_one_network_per_device_serving(tmp_path):
+    """
+    device_per_network places each network wholly on its own device (true DP
+    over frames, SURVEY §2.10): params land on distinct devices, per-index frame
+    groups compute concurrently, output matches single-device within rounding.
+    """
+    import jax
+
+    from gance_tpu.models.pickle_loader import save_generator_pickle
+    from gance_tpu.models.stylegan2 import init_generator_params
+    from gance_tpu.synthesis.runtime import MultiNetwork
+
+    paths = []
+    for i in range(3):
+        params = init_generator_params(jax.random.PRNGKey(i), TINY)
+        p = tmp_path / f"{i}.pkl"
+        save_generator_pickle(params, p)
+        paths.append(p)
+
+    per_device = MultiNetwork(paths, load=True, device_per_network=True)
+    placements = {
+        next(iter(jax.tree.leaves(per_device.network(i).params))).devices().pop()
+        for i in range(3)
+    }
+    assert len(placements) == 3  # three distinct devices
+
+    plain = MultiNetwork(paths, load=True)
+    rng = np.random.RandomState(1)
+    frames = rng.randn(9, TINY.latent_size).astype(np.float32)
+    indices = np.array([0, 1, 2, 0, 1, 2, 2, 1, 0])
+    got = per_device.synthesize_all(frames, indices, batch_size=4)
+    want = plain.synthesize_all(frames, indices, batch_size=4)
+    assert got.shape == want.shape == (9, 16, 16, 3)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        from gance_tpu.parallel.mesh import create_mesh
+
+        MultiNetwork(paths, mesh=create_mesh(), device_per_network=True)
