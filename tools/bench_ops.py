@@ -8,8 +8,7 @@ Usage: python tools/bench_ops.py [blur|model|conv1]
 import sys
 import time
 
-import sys as _sys
-_sys.path.insert(0, "/root/repo")  # run from anywhere without touching PYTHONPATH
+sys.path.insert(0, "/root/repo")  # run from anywhere without touching PYTHONPATH
 import gance_tpu  # noqa: F401  (platform plumbing)
 import jax
 import jax.numpy as jnp
