@@ -23,6 +23,12 @@ def projection_options(func: Callable) -> Callable:
         click.option("--projection-width-height", type=(int, int), default=None),
         click.option("--projection-fps", type=click.FloatRange(min=0), default=None),
         click.option("--steps-per-projection", type=click.IntRange(min=1), default=1000),
+        click.option(
+            "--compute-dtype", type=click.Choice(["float32", "bfloat16"]),
+            default=None,
+            help="Synthesis dtype inside the projection loss: float32 (exact, "
+            "default) or bfloat16 (faster steps; latents/Adam stay fp32).",
+        ),
         click.option("--num-frames-to-project", type=click.IntRange(min=1), default=None),
         # latents histories default ON (reference project_video_to_file.py:236) —
         # the convergence analytics need them; the heavyweight image/noise
@@ -56,6 +62,7 @@ def _run_projection(
     latents_histories_enabled: bool,
     noises_histories_enabled: bool,
     images_histories_enabled: bool,
+    compute_dtype: Optional[str] = None,
     batch_number: Optional[int] = None,
 ) -> None:
     from gance_tpu.projection.file_writer import project_video_to_file
@@ -72,6 +79,7 @@ def _run_projection(
         latents_histories_enabled=latents_histories_enabled,
         noises_histories_enabled=noises_histories_enabled,
         images_histories_enabled=images_histories_enabled,
+        compute_dtype=compute_dtype,
         batch_number=batch_number,
     )
 

@@ -125,7 +125,10 @@ def modulated_conv2d(
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NCHW" if out_nchw else "NHWC"),
             precision=CONV_PRECISION,
-            preferred_element_type=jnp.float32,
+            # follow the compute dtype: the MXU accumulates fp32 internally
+            # either way, and an fp32-preferred output with bf16 inputs makes
+            # the conv non-differentiable (mixed-dtype transposed conv)
+            preferred_element_type=dtype,
         ).astype(dtype)
 
     if demod is not None:
@@ -154,7 +157,7 @@ def dense_layer(
         x,
         weight.astype(x.dtype) * jnp.asarray(coef, x.dtype),
         precision=CONV_PRECISION,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     ).astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype) * lrmul
@@ -187,5 +190,5 @@ def conv2d_layer(
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=CONV_PRECISION,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     ).astype(x.dtype)

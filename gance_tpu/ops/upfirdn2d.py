@@ -102,7 +102,7 @@ def upfirdn2d(
             dimension_numbers=("NCHW", "HWIO", "NCHW"),
             feature_group_count=channels,
             precision=CONV_PRECISION,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=x.dtype,
         )
         return jnp.transpose(out, (0, 2, 3, 1)).astype(x.dtype)
 
@@ -119,7 +119,7 @@ def upfirdn2d(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=channels,
         precision=CONV_PRECISION,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     return out.astype(x.dtype)
 
@@ -274,7 +274,7 @@ def upsample_conv_2d(
         lhs_dilation=(factor, factor),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=CONV_PRECISION,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     ).astype(x.dtype)
 
     if use_pallas_blur:
@@ -325,7 +325,7 @@ def conv_downsample_2d(
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=CONV_PRECISION,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     ).astype(x.dtype)
 
 

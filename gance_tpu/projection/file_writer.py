@@ -227,6 +227,7 @@ def project_video_to_file(
     images_histories_enabled: bool = False,
     batch_number: Optional[int] = None,
     expected_time_per_step: float = DEFAULT_EXPECTED_TIME_PER_STEP,
+    compute_dtype: Optional[str] = None,
 ) -> None:
     """
     Project every frame of a video into a network's latent space, streaming results
@@ -254,10 +255,15 @@ def project_video_to_file(
     else:
         num_projection_frames = video.effective_frame_count
 
+    from gance_tpu.projection.projector import ProjectorSettings
+
+    settings = ProjectorSettings(num_steps=steps_per_projection)
+    if compute_dtype is not None:
+        settings.compute_dtype = compute_dtype
     projector = TPUProjector.from_pkl(
         path_to_network,
-        num_steps=steps_per_projection,
         expected_time_per_step=expected_time_per_step,
+        settings=settings,
     )
 
     attributes = ProjectionAttributes(

@@ -74,6 +74,10 @@ class ProjectorSettings:
     regularize_noise_weight: float = 1e5
     perceptual_size: int = 256
     seed: int = 303
+    # Synthesis compute dtype inside the loss: "float32" (exact, the reference's
+    # behavior) or "bfloat16" (~2-3x faster steps on TPU; latents/Adam state and
+    # the perceptual features stay fp32, gradients flow through the bf16 forward).
+    compute_dtype: str = "float32"
 
 
 def _lr_schedule(t: jax.Array, s: ProjectorSettings) -> jax.Array:
@@ -178,7 +182,10 @@ class TPUProjector:
             name: noises[i] for i, name in enumerate(self._noise_names)
         }
         params["synthesis"] = synthesis
-        return synthesis_apply(params, dlatents, self.config, noise_mode="const")
+        dtype = jnp.bfloat16 if self.settings.compute_dtype == "bfloat16" else jnp.float32
+        return synthesis_apply(
+            params, dlatents, self.config, noise_mode="const", compute_dtype=dtype
+        )
 
     def _build_step(self):
         settings = self.settings

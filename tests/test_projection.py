@@ -272,3 +272,35 @@ def test_projector_distance_decreases():
     assert result.final_distance < start_dist
     # rows-identical invariant
     assert np.array_equal(result.final_latents[0, 0], result.final_latents[0, -1])
+
+
+def test_projector_bf16_compute_converges():
+    """The bf16-forward projector option runs and emits well-formed results."""
+    import jax.numpy as jnp
+
+    from gance_tpu.models.stylegan2 import generator_apply, images_to_uint8
+
+    config = GeneratorConfig(resolution=16, fmap_base=256, fmap_max=32,
+                             latent_size=16, dlatent_size=16, mapping_layers=2,
+                             mapping_fmaps=16)
+    params = init_generator_params(jax.random.PRNGKey(0), config)
+    projector = TPUProjector(
+        params, config,
+        settings=ProjectorSettings(num_steps=8, compute_dtype="bfloat16"),
+    )
+    target = np.asarray(
+        images_to_uint8(
+            generator_apply(params, jnp.ones((1, config.latent_size)), config,
+                            truncation_psi=None)
+        )[0]
+    )
+    distances = []
+    projector_result = projector.project(
+        target,
+        step_callback=lambda step, lat, noi, img: distances.append(step),
+        want_step_images=False,
+    )
+    assert len(distances) == 8
+    assert np.isfinite(projector_result.final_distance)
+    assert projector_result.final_latents.shape == (1, config.num_style_rows,
+                                                    config.dlatent_size)

@@ -26,6 +26,7 @@ def main() -> None:
 
     resolution = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+    compute_dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
 
     config = GeneratorConfig(resolution=resolution)
     with jax.default_device(jax.devices("cpu")[0]):
@@ -34,7 +35,7 @@ def main() -> None:
 
     projector = TPUProjector(
         params, config,
-        settings=ProjectorSettings(num_steps=steps),
+        settings=ProjectorSettings(num_steps=steps, compute_dtype=compute_dtype),
         expected_time_per_step=None,  # fully pipelined: no per-step host sync
     )
     target = (np.random.RandomState(0).rand(resolution, resolution, 3) * 255).astype(
@@ -60,7 +61,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"{resolution}px LPIPS projection steps/sec/chip",
+                "metric": f"{resolution}px LPIPS projection steps/sec/chip ({compute_dtype})",
                 "value": round(steps_per_sec, 2),
                 "unit": "steps/sec",
                 "reference_1000step_frame_sec": 600.0,
