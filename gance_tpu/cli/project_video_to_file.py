@@ -30,6 +30,12 @@ def projection_options(func: Callable) -> Callable:
             "default) or bfloat16 (faster steps; latents/Adam stay fp32).",
         ),
         click.option("--num-frames-to-project", type=click.IntRange(min=1), default=None),
+        click.option(
+            "--projection-batch", type=click.IntRange(min=1), default=1,
+            help="Project this many frames per optimization step (each frame "
+            "keeps independent latents/noises; large batches multiply "
+            "throughput on underutilized chips).",
+        ),
         # latents histories default ON (reference project_video_to_file.py:236) —
         # the convergence analytics need them; the heavyweight image/noise
         # histories default OFF like the reference.
@@ -63,6 +69,7 @@ def _run_projection(
     noises_histories_enabled: bool,
     images_histories_enabled: bool,
     compute_dtype: Optional[str] = None,
+    projection_batch: int = 1,
     batch_number: Optional[int] = None,
 ) -> None:
     from gance_tpu.projection.file_writer import project_video_to_file
@@ -80,6 +87,7 @@ def _run_projection(
         noises_histories_enabled=noises_histories_enabled,
         images_histories_enabled=images_histories_enabled,
         compute_dtype=compute_dtype,
+        projection_batch=projection_batch,
         batch_number=batch_number,
     )
 

@@ -128,6 +128,21 @@ class ProjectionFileWriter:
         self._frame_index += 1
         self._file.flush()
 
+    @contextmanager
+    def batch_frame_writers(self, count: int):
+        """
+        Contexts for `count` consecutive frames written together (batched
+        projection): each frame keeps its own per-frame groups/datasets, so the
+        on-disk schema is identical to sequential writing.
+        """
+        writers = [_FrameWriter(self, self._frame_index + i) for i in range(count)]
+        yield writers
+        for writer in writers:
+            if not writer.finished:
+                raise ValueError("batch_frame_writers exited with unfinished frames")
+        self._frame_index += count
+        self._file.flush()
+
     def record_noises_shapes(self, shapes: NoisesShapesType) -> None:
         if self._noises_shapes is None:
             self._noises_shapes = list(shapes)
@@ -228,6 +243,7 @@ def project_video_to_file(
     batch_number: Optional[int] = None,
     expected_time_per_step: float = DEFAULT_EXPECTED_TIME_PER_STEP,
     compute_dtype: Optional[str] = None,
+    projection_batch: int = 1,
 ) -> None:
     """
     Project every frame of a video into a network's latent space, streaming results
@@ -286,31 +302,46 @@ def project_video_to_file(
         projection_frame_count=num_projection_frames,
     )
 
+    any_histories = (
+        latents_histories_enabled
+        or noises_histories_enabled
+        or images_histories_enabled
+    )
+    frames_iterator = itertools.islice(video.frames, num_frames_to_project)
+
     with ProjectionFileWriter(projection_file_path, attributes) as writer:
-        for index, frame in enumerate(
-            itertools.islice(video.frames, num_frames_to_project)
-        ):
+        while True:
+            chunk = list(itertools.islice(frames_iterator, max(projection_batch, 1)))
+            if not chunk:
+                break
             LOGGER.info(
-                "Rendering projection %s%d/%d",
+                "Rendering projection %s%d..%d/%d",
                 f"batch {batch_number} - " if batch_number is not None else "",
-                index,
+                writer.frame_index,
+                writer.frame_index + len(chunk) - 1,
                 num_projection_frames,
             )
-            any_histories = (
-                latents_histories_enabled
-                or noises_histories_enabled
-                or images_histories_enabled
-            )
-            with writer.frame_writer() as frame_writer:
-                result = projector.project(
-                    frame,
-                    step_callback=frame_writer.record_step if any_histories else None,
+            with writer.batch_frame_writers(len(chunk)) as frame_writers:
+
+                def record_batch_step(step, latents, noises, images):
+                    for i, frame_writer in enumerate(frame_writers):
+                        frame_writer.record_step(
+                            step,
+                            latents[i : i + 1],
+                            [n[i : i + 1] for n in noises],
+                            images[i] if images.size else images[0:0],
+                        )
+
+                results = projector.project_batch(
+                    np.stack(chunk),
+                    step_callback=record_batch_step if any_histories else None,
                     want_step_images=images_histories_enabled,
                 )
-                writer.record_noises_shapes(result.noises_shapes)
-                frame_writer.finish(
-                    target_image=frame,
-                    final_latents=result.final_latents,
-                    final_image=result.final_image,
-                )
+                for frame, frame_writer, result in zip(chunk, frame_writers, results):
+                    writer.record_noises_shapes(result.noises_shapes)
+                    frame_writer.finish(
+                        target_image=frame,
+                        final_latents=result.final_latents,
+                        final_image=result.final_image,
+                    )
     LOGGER.info("Projection totally complete!")

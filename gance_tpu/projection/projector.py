@@ -88,26 +88,33 @@ def _lr_schedule(t: jax.Array, s: ProjectorSettings) -> jax.Array:
 
 
 def _noise_regularization(noises: List[jax.Array]) -> jax.Array:
-    """Pyramid shifted-correlation penalty (NVlabs reg_loss)."""
-    reg = jnp.asarray(0.0, jnp.float32)
+    """
+    Pyramid shifted-correlation penalty (NVlabs reg_loss), per batch element:
+    noises are (B, H, W, 1); returns (B,).
+    """
+    batch = noises[0].shape[0] if noises else 1
+    reg = jnp.zeros((batch,), jnp.float32)
     for noise in noises:
-        v = noise  # (1, H, W, 1)
+        v = noise  # (B, H, W, 1)
         size = v.shape[1]
         while True:
-            reg = reg + jnp.mean(v * jnp.roll(v, 1, axis=2)) ** 2
-            reg = reg + jnp.mean(v * jnp.roll(v, 1, axis=1)) ** 2
+            reg = reg + jnp.mean(v * jnp.roll(v, 1, axis=2), axis=(1, 2, 3)) ** 2
+            reg = reg + jnp.mean(v * jnp.roll(v, 1, axis=1), axis=(1, 2, 3)) ** 2
             if size <= 8:
                 break
-            v = v.reshape(1, size // 2, 2, size // 2, 2, 1).mean(axis=(2, 4))
+            v = v.reshape(batch, size // 2, 2, size // 2, 2, 1).mean(axis=(2, 4))
             size //= 2
     return reg
 
 
 def _normalize_noises(noises: List[jax.Array]) -> List[jax.Array]:
-    return [
-        (n - jnp.mean(n)) * jax.lax.rsqrt(jnp.mean(jnp.square(n - jnp.mean(n))) + 1e-8)
-        for n in noises
-    ]
+    """Zero-mean/unit-std per batch element (noises are (B, H, W, 1))."""
+    out = []
+    for n in noises:
+        mean = jnp.mean(n, axis=(1, 2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(n - mean), axis=(1, 2, 3), keepdims=True)
+        out.append((n - mean) * jax.lax.rsqrt(var + 1e-8))
+    return out
 
 
 class TPUProjector:
@@ -193,9 +200,11 @@ class TPUProjector:
         def loss_fn(w, noises, target_proc, w_jitter):
             images = self._synthesis_from_w(w + w_jitter, noises)
             proc = downsample_to(images, settings.perceptual_size)
-            dist = lpips_distance(self._perceptual_params, proc, target_proc)[0]
+            # per-frame distances; frames optimize independently, so summing
+            # the batch loss gives each frame exactly its single-frame gradient
+            dist = lpips_distance(self._perceptual_params, proc, target_proc)
             reg = _noise_regularization(noises) * settings.regularize_noise_weight
-            return dist + reg, (dist, images)
+            return jnp.sum(dist + reg), (dist, images)
 
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
@@ -213,7 +222,7 @@ class TPUProjector:
             noises = _normalize_noises(noises)
             # History image = this step's forward (pre-update), like the reference's
             # get_images(); reusing it avoids a second synthesis pass per step.
-            image = images_to_uint8(images)[0]
+            image = images_to_uint8(images)
             return w, noises, opt_state, dist, image
 
         return jax.jit(step)
@@ -228,34 +237,71 @@ class TPUProjector:
         Optimize latents to reproduce `target_image` (uint8 (H, W, 3)); stream each
         step through `step_callback(step, latents(1,R,512), noises, image_uint8)`.
         """
+        batch_callback = None
+        if step_callback is not None:
+
+            def batch_callback(step, latents, noises, images):
+                step_callback(
+                    step,
+                    latents[0:1],
+                    [n[0:1] for n in noises],
+                    images[0] if images.size else np.zeros((0, 0, 3), np.uint8),
+                )
+
+        return self.project_batch(
+            np.asarray(target_image)[None, ...],
+            step_callback=batch_callback,
+            want_step_images=want_step_images,
+        )[0]
+
+    def project_batch(
+        self,
+        target_images: np.ndarray,
+        step_callback: Optional[Callable[[int, np.ndarray, List[np.ndarray], np.ndarray], None]] = None,
+        want_step_images: bool = True,
+    ) -> List[ProjectionResult]:
+        """
+        Project a BATCH of frames in one optimization (each frame gets its own
+        latents/noises; the summed loss keeps gradients per-frame exact). At
+        batch 1 the chip is latency-bound, so batching multiplies projection
+        throughput nearly for free — the reference is strictly one frame per
+        child process (projector_file_writer.py:332-464).
+
+        :param target_images: (B, H, W, 3) uint8.
+        :param step_callback: per step: (step, latents (B, R, 512),
+            noises [(B, h, w, 1), ...], images (B, res, res, 3) uint8 — empty
+            when want_step_images is False).
+        :return: one ProjectionResult per input frame.
+        """
         settings = self.settings
         resolution = self.config.resolution
+        batch = int(np.asarray(target_images).shape[0])
 
-        target = jnp.asarray(target_image, jnp.float32) / 127.5 - 1.0
-        target = target[None, ...]
+        target = jnp.asarray(target_images, jnp.float32) / 127.5 - 1.0
         if target.shape[1] != resolution:
             target = jax.image.resize(
-                target, (1, resolution, resolution, 3), method="linear"
+                target, (batch, resolution, resolution, 3), method="linear"
             )
         target_proc = downsample_to(target, settings.perceptual_size)
 
         rng = jax.random.PRNGKey(settings.seed)
-        w = jnp.asarray(self.dlatent_avg)
+        w = jnp.tile(jnp.asarray(self.dlatent_avg), (batch, 1))  # (B, 512)
         noise_rng, rng = jax.random.split(rng)
         noises = [
-            jax.random.normal(jax.random.fold_in(noise_rng, i),
-                              self.params["synthesis"]["noise"][name].shape)
+            jax.random.normal(
+                jax.random.fold_in(noise_rng, i),
+                (batch,) + tuple(self.params["synthesis"]["noise"][name].shape[1:]),
+            )
             for i, name in enumerate(self._noise_names)
         ]
         opt_state = self._optimizer.init((w, noises))
 
-        dist = jnp.asarray(0.0)
-        image = np.zeros((resolution, resolution, 3), np.uint8)
+        dist = jnp.zeros((batch,))
         for step_number in range(settings.num_steps):
             start_time = time.monotonic()
             t = jnp.asarray(step_number / max(settings.num_steps, 1), jnp.float32)
             rng, step_rng = jax.random.split(rng)
-            w, noises, opt_state, dist, image_dev = self._step_fn(
+            w, noises, opt_state, dist, images_dev = self._step_fn(
                 w, noises, opt_state, target_proc, t, step_rng
             )
             if self.expected_time_per_step is not None:
@@ -273,12 +319,12 @@ class TPUProjector:
                     np.asarray(w)[:, None, :], (1, self.config.num_style_rows, 1)
                 )
                 noises_np = [np.asarray(n) for n in noises]
-                image = (
-                    np.asarray(image_dev)
+                images = (
+                    np.asarray(images_dev)
                     if want_step_images
-                    else np.zeros((0, 0, 3), np.uint8)
+                    else np.zeros((batch, 0, 0, 3), np.uint8)
                 )
-                step_callback(step_number, latents, noises_np, image)
+                step_callback(step_number, latents, noises_np, images)
             elapsed = time.monotonic() - start_time
             step_budget = (
                 self.first_step_timeout if step_number == 0 else self.expected_time_per_step
@@ -291,17 +337,19 @@ class TPUProjector:
                     "step 0 uses a compile-aware budget)."
                 )
 
-        image = np.asarray(
-            images_to_uint8(self._synthesis_from_w(w, noises))[0]
-        )
-        final_latents = np.tile(
-            np.asarray(w)[:, None, :], (1, self.config.num_style_rows, 1)
-        )
+        final_images = np.asarray(images_to_uint8(self._synthesis_from_w(w, noises)))
+        latents = np.asarray(w)
         noises_np = [np.asarray(n) for n in noises]
-        return ProjectionResult(
-            final_latents=final_latents,
-            final_image=image,
-            noises=noises_np,
-            noises_shapes=[tuple(n.shape) for n in noises_np],
-            final_distance=float(dist),
-        )
+        distances = np.asarray(dist).reshape(batch)
+        return [
+            ProjectionResult(
+                final_latents=np.tile(
+                    latents[b : b + 1, None, :], (1, self.config.num_style_rows, 1)
+                ),
+                final_image=final_images[b],
+                noises=[n[b : b + 1] for n in noises_np],
+                noises_shapes=[(1,) + tuple(n.shape[1:]) for n in noises_np],
+                final_distance=float(distances[b]),
+            )
+            for b in range(batch)
+        ]

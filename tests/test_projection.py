@@ -304,3 +304,49 @@ def test_projector_bf16_compute_converges():
     assert np.isfinite(projector_result.final_distance)
     assert projector_result.final_latents.shape == (1, config.num_style_rows,
                                                     config.dlatent_size)
+
+
+def test_batched_projection_file_roundtrip(tmp_path):
+    """
+    projection_batch > 1 writes a schema-identical projection file: per-frame
+    groups, ordered histories, verifier-clean, and each frame's latents differ
+    (independent optimizations).
+    """
+    from gance_tpu.projection.file_reader import (
+        load_projection_file,
+        verify_projection_file_assumptions,
+    )
+
+    config = GeneratorConfig(resolution=16, fmap_base=256, fmap_max=32,
+                             latent_size=16, dlatent_size=16, mapping_layers=2,
+                             mapping_fmaps=16)
+    params = init_generator_params(jax.random.PRNGKey(0), config)
+    pkl = tmp_path / "net.pkl"
+    save_generator_pickle(params, pkl)
+
+    rng = np.random.RandomState(7)
+    frames = [(rng.rand(16, 16, 3) * 255).astype(np.uint8) for _ in range(8)]
+    video = tmp_path / "src.mp4"
+    write_source_to_disk_consume(iter(frames), video, video_fps=30.0)
+
+    out = tmp_path / "batched.hdf5"
+    project_video_to_file(
+        path_to_video=video,
+        path_to_network=pkl,
+        projection_file_path=out,
+        steps_per_projection=3,
+        latents_histories_enabled=True,
+        projection_batch=3,  # 8 frames -> chunks of 3, 3, 2
+    )
+
+    with load_projection_file(out) as reader:
+        attrs = reader.projection_attributes
+        assert attrs.complete and attrs.projection_frame_count == 8
+        finals = list(reader.final_latents)
+        assert len(finals) == 8
+        assert finals[0].shape == (config.num_style_rows, config.dlatent_size)
+        # independent per-frame optimizations: latents differ across frames
+        assert not np.allclose(finals[0], finals[1])
+        histories = [len(list(h)) for h in reader.latents_histories]
+        assert histories == [3] * 8
+    verify_projection_file_assumptions(out)
