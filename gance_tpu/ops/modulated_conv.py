@@ -41,6 +41,39 @@ def runtime_weight_coef(fan_in: int, gain: float = 1.0, lrmul: float = 1.0) -> f
     return float(he_std * lrmul)
 
 
+def style_vector(
+    style_w: jax.Array, mod_weight: jax.Array, mod_bias: jax.Array
+) -> jax.Array:
+    """Style affine (dense, gain=1, lrmul=1): s = w @ (mod_weight*coef) + bias + 1.
+    Returns fp32 (B, Cin)."""
+    mod_coef = runtime_weight_coef(mod_weight.shape[0])
+    return (
+        jnp.dot(
+            style_w.astype(jnp.float32),
+            mod_weight.astype(jnp.float32) * mod_coef,
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        + mod_bias.astype(jnp.float32)
+        + 1.0
+    )
+
+
+def demod_vector(styles: jax.Array, w_scaled: jax.Array) -> jax.Array:
+    """Demodulation d[b,o] = rsqrt( sum_i s[b,i]^2 * sum_khw w[...,i,o]^2 + 1e-8 ).
+    `w_scaled` is the runtime-scaled fp32 conv weight (kh,kw,Cin,Cout)."""
+    w_sq_sum = jnp.sum(jnp.square(w_scaled), axis=(0, 1))  # (Cin, Cout)
+    return lax.rsqrt(
+        jnp.dot(
+            jnp.square(styles),
+            w_sq_sum,
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        + 1e-8
+    )
+
+
 def modulated_conv2d(
     x: jax.Array,
     style_w: jax.Array,
@@ -75,38 +108,13 @@ def modulated_conv2d(
     dtype = compute_dtype or x.dtype
     kh, kw, cin, cout = weight.shape
 
-    # Style affine (dense layer, gain=1, lrmul=1): s = w @ mod_weight * coef + bias + 1
-    mod_coef = runtime_weight_coef(mod_weight.shape[0])
-    styles = (
-        jnp.dot(
-            style_w.astype(jnp.float32),
-            mod_weight.astype(jnp.float32) * mod_coef,
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        + mod_bias.astype(jnp.float32)
-        + 1.0
-    )  # (B, Cin)
+    styles = style_vector(style_w, mod_weight, mod_bias)  # (B, Cin)
 
     # Runtime-scaled conv weight (shared across batch).
     w_coef = runtime_weight_coef(kh * kw * cin)
     w = weight.astype(jnp.float32) * w_coef
 
-    if demodulate:
-        # d[b, o] = rsqrt( Σ_{khw,i} (w * s[b,i])² + 1e-8 )
-        #         = rsqrt( Σ_i s[b,i]² · (Σ_{khw} w[...,i,o]²) + 1e-8 )
-        w_sq_sum = jnp.sum(jnp.square(w), axis=(0, 1))  # (Cin, Cout)
-        demod = lax.rsqrt(
-            jnp.dot(
-                jnp.square(styles),
-                w_sq_sum,
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            + 1e-8
-        )  # (B, Cout)
-    else:
-        demod = None
+    demod = demod_vector(styles, w) if demodulate else None  # (B, Cout)
 
     # Non-fused path: scale inputs, shared conv, scale outputs.
     x = x * styles[:, None, None, :].astype(x.dtype)
