@@ -1,0 +1,100 @@
+"""
+Per-op profile of the full synthesis model on the real TPU.
+
+Runs a jax.profiler trace around a few chained forward batches, parses the
+written xplane protobuf and aggregates device self-time by HLO op category /
+fusion name. This is the tool behind ROUND_NOTES.md's performance model table.
+
+Usage: python tools/profile_model.py [trace_dir] [top_k]
+"""
+
+import collections
+import glob
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import gance_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_trace(trace_dir: str, iters: int = 3, batch: int = 24) -> None:
+    from gance_tpu.models.stylegan2 import (
+        GeneratorConfig,
+        generator_apply,
+        images_to_uint8,
+        init_generator_params,
+    )
+
+    config = GeneratorConfig(resolution=1024)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_generator_params(jax.random.PRNGKey(0), config)
+    params = jax.device_put(params, jax.devices()[0])
+    z = jax.device_put(
+        np.random.RandomState(0).randn(batch, config.latent_size).astype(np.float32)
+    )
+
+    @jax.jit
+    def fwd(p, z, acc):
+        images = images_to_uint8(
+            generator_apply(p, z, config, truncation_psi=1.2, compute_dtype=jnp.bfloat16)
+        )
+        return acc + jnp.sum(images.astype(jnp.uint32))
+
+    acc = jnp.zeros((), jnp.uint32)
+    t0 = time.time()
+    acc = fwd(params, z, acc)
+    _ = int(acc)
+    print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    with jax.profiler.trace(trace_dir):
+        for _ in range(iters):
+            acc = fwd(params, z, acc)
+        _ = int(acc)
+    print(f"traced {iters} iters", file=sys.stderr)
+
+
+def summarize(trace_dir: str, iters: int, top_k: int = 30) -> None:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
+    if not paths:
+        raise SystemExit(f"no xplane.pb under {trace_dir}")
+    space = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        space.ParseFromString(f.read())
+
+    totals: dict = collections.Counter()
+    total_device = 0
+    for plane in space.planes:
+        if "TPU" not in plane.name or "XLA Ops" not in [
+            line.name for line in plane.lines
+        ]:
+            # device planes carry an "XLA Ops" line with per-op events
+            pass
+        if "/device:TPU" not in plane.name and "TPU" not in plane.name:
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for event in line.events:
+                meta = plane.event_metadata[event.metadata_id]
+                dur = event.duration_ps / 1e9  # -> ms
+                totals[meta.name] += dur
+                total_device += dur
+
+    print(f"\ntotal device op time: {total_device / iters:.2f} ms/iter over {iters} iters")
+    print(f"{'op':78s} {'ms/iter':>9s} {'%':>6s}")
+    for name, ms in totals.most_common(top_k):
+        print(f"{name[:78]:78s} {ms / iters:9.3f} {100 * ms / total_device:5.1f}%")
+
+
+if __name__ == "__main__":
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gance_profile"
+    top_k = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    iters = 3
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    run_trace(trace_dir, iters=iters)
+    summarize(trace_dir, iters, top_k)
