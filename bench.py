@@ -36,7 +36,9 @@ def main() -> None:
         init_generator_params,
     )
 
-    batch = int(os.environ.get("BENCH_BATCH", "24"))  # largest batch that fits v5e HBM (28+ OOMs)
+    # 24 is the sweet spot: 26/28/32 fit HBM since the phase rewrite but run
+    # 15-20% slower per frame (XLA reshuffles past 24; measured r2).
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
     iters = int(os.environ.get("BENCH_ITERS", "12"))
     resolution = int(os.environ.get("BENCH_RESOLUTION", "1024"))
 

@@ -362,13 +362,18 @@ def _torgb(
     return t if y is None else y + t
 
 
-def _phase_top_block_enabled(top_cout: int) -> bool:
+def _phase_top_block_enabled(top_cout: int, compute_dtype: jnp.dtype) -> bool:
     """
     Whether the top block runs in polyphase form (ops/phase_block.py): the
     FIR blur folds into the up-conv's MXU matmul and the block's channel
     count stacks x4 to fill the 128 TPU lanes. Numerically equivalent up to
-    fp reassociation; profiled ~25 ms faster per batch-of-24 at 1024px.
-    GANCE_TPU_PHASE1024: 'auto' (default; on iff running on TPU), 'on', 'off'.
+    fp reassociation; profiled 163.7 -> 195.1 f/s at 1024px bf16 batch 24.
+    GANCE_TPU_PHASE1024: 'auto' (default; on iff running on TPU with a
+    sub-fp32 compute dtype), 'on', 'off'. The auto dtype gate exists because
+    folding the blur into fp32-HIGHEST convs runs the extra FLOPs at the slow
+    exact-matmul rate (measured 1.26x slower end-to-end, and the fp32
+    forward+backward compile is pathological) — the VPU blur is free by
+    comparison there.
     """
     if top_cout >= 128:
         return False  # full lanes already; phase form would only add FLOPs
@@ -377,7 +382,7 @@ def _phase_top_block_enabled(top_cout: int) -> bool:
         return True
     if mode == "off":
         return False
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and jnp.dtype(compute_dtype).itemsize < 4
 
 
 def synthesis_apply(
@@ -421,7 +426,7 @@ def synthesis_apply(
     y = _torgb(x, synthesis["4x4"]["ToRGB"], dlatents[:, 1], None, config, compute_dtype)
 
     top = config.resolution_log2
-    use_phase = _phase_top_block_enabled(config.nf(top - 1))
+    use_phase = _phase_top_block_enabled(config.nf(top - 1), compute_dtype)
 
     for res in range(3, top + 1):
         block = synthesis[f"{2**res}x{2**res}"]

@@ -170,10 +170,21 @@ class TestGeneratorParity:
         from gance_tpu.models.stylegan2 import _phase_top_block_enabled
 
         monkeypatch.setenv("GANCE_TPU_PHASE1024", "on")
-        assert not _phase_top_block_enabled(128)
-        assert _phase_top_block_enabled(64)
+        assert not _phase_top_block_enabled(128, jnp.bfloat16)
+        assert _phase_top_block_enabled(64, jnp.bfloat16)
+        assert _phase_top_block_enabled(64, jnp.float32)  # explicit 'on' wins
         monkeypatch.setenv("GANCE_TPU_PHASE1024", "off")
-        assert not _phase_top_block_enabled(64)
+        assert not _phase_top_block_enabled(64, jnp.bfloat16)
+
+    def test_auto_mode_gates_on_dtype_and_backend(self, monkeypatch):
+        """auto: phase only on TPU backends AND sub-fp32 compute dtypes (the
+        fp32-HIGHEST fold measured 1.26x slower; see _phase_top_block_enabled)."""
+        from gance_tpu.models.stylegan2 import _phase_top_block_enabled
+
+        monkeypatch.setenv("GANCE_TPU_PHASE1024", "auto")
+        # tests run on the CPU backend: auto is always off here
+        assert not _phase_top_block_enabled(64, jnp.bfloat16)
+        assert not _phase_top_block_enabled(64, jnp.float32)
 
 
 class TestPhaseSplits:
