@@ -392,6 +392,7 @@ def synthesis_apply(
     noise_mode: str = "const",
     rng: Optional[jax.Array] = None,
     compute_dtype: jnp.dtype = jnp.float32,
+    phase_top_block_mode: Optional[bool] = None,
 ) -> jax.Array:
     """
     G_synthesis (skip architecture): w+ (B, num_style_rows, 512) -> image
@@ -399,6 +400,10 @@ def synthesis_apply(
 
     :param noise_mode: 'const' (buffers from params — the reference's
         randomize_noise=False), 'random' (needs `rng`), or 'none'.
+    :param phase_top_block_mode: force the polyphase top block on/off; None
+        (default) resolves GANCE_TPU_PHASE1024 at trace time (note: the env
+        read does not key the jit cache — pass an explicit bool for
+        programmatic control within one process).
     """
     if noise_mode not in ("const", "random", "none"):
         raise ValueError(f"bad noise_mode {noise_mode!r}")
@@ -426,7 +431,10 @@ def synthesis_apply(
     y = _torgb(x, synthesis["4x4"]["ToRGB"], dlatents[:, 1], None, config, compute_dtype)
 
     top = config.resolution_log2
-    use_phase = _phase_top_block_enabled(config.nf(top - 1), compute_dtype)
+    if phase_top_block_mode is None:
+        use_phase = _phase_top_block_enabled(config.nf(top - 1), compute_dtype)
+    else:
+        use_phase = phase_top_block_mode and config.nf(top - 1) < 128
 
     for res in range(3, top + 1):
         block = synthesis[f"{2**res}x{2**res}"]
@@ -483,6 +491,7 @@ def generator_apply(
     noise_mode: str = "const",
     rng: Optional[jax.Array] = None,
     compute_dtype: jnp.dtype = jnp.float32,
+    phase_top_block_mode: Optional[bool] = None,
 ) -> jax.Array:
     """Full G: z -> mapping -> broadcast -> truncation -> synthesis."""
     w = mapping_apply(params, z, config)
@@ -491,7 +500,7 @@ def generator_apply(
         dlatents = truncate_dlatents(dlatents, params["dlatent_avg"], truncation_psi)
     return synthesis_apply(
         params, dlatents, config, noise_mode=noise_mode, rng=rng,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, phase_top_block_mode=phase_top_block_mode,
     )
 
 

@@ -159,6 +159,27 @@ class TestGeneratorParity:
         assert got.shape == ref.shape == (2, 64, 64, 3)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
 
+    def test_explicit_mode_arg_overrides_env(self, monkeypatch):
+        """phase_top_block_mode=True/False controls the path regardless of the
+        env flag (programmatic, jit-cache-stable control)."""
+        from gance_tpu.models.stylegan2 import (
+            GeneratorConfig,
+            broadcast_dlatents,
+            init_generator_params,
+            mapping_apply,
+            synthesis_apply,
+        )
+
+        monkeypatch.setenv("GANCE_TPU_PHASE1024", "off")
+        config = GeneratorConfig(resolution=64, fmap_base=1024)
+        params = init_generator_params(jax.random.PRNGKey(0), config)
+        dl = broadcast_dlatents(
+            mapping_apply(params, _rand(11, (2, config.latent_size)), config), config
+        )
+        ref = synthesis_apply(params, dl, config, phase_top_block_mode=False)
+        got = synthesis_apply(params, dl, config, phase_top_block_mode=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
     def test_parity_random_noise(self, monkeypatch):
         rng = jax.random.PRNGKey(42)
         ref = self._outputs(monkeypatch, "off", "random", rng)

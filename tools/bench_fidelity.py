@@ -9,7 +9,7 @@ numbers recorded in ROUND_NOTES.md (round-2 cert: PSNR 41-43 dB).
 Usage: python tools/bench_fidelity.py [n_seeds] [batch]
 """
 
-import os
+
 import sys
 import time
 
@@ -35,10 +35,10 @@ def main(n_seeds: int = 3, batch: int = 4) -> None:
 
     def make_fwd(compute_dtype, phase: bool):
         def fwd(p, z):
-            os.environ["GANCE_TPU_PHASE1024"] = "on" if phase else "off"
             return images_to_uint8(
                 generator_apply(
-                    p, z, config, truncation_psi=1.2, compute_dtype=compute_dtype
+                    p, z, config, truncation_psi=1.2, compute_dtype=compute_dtype,
+                    phase_top_block_mode=phase,
                 )
             )
 
