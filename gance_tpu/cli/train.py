@@ -37,6 +37,11 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
     help="Write the EMA generator here as an NVlabs-format .pkl.",
 )
 @click.option("--data-parallel", type=int, default=None, help="Mesh data axis size.")
+@click.option(
+    "--compute-dtype", type=click.Choice(["float32", "bfloat16"]), default="float32",
+    help="bfloat16 = mixed precision: bf16 fwd/bwd on the MXU, fp32 master "
+    "weights/Adam/EMA/losses (no loss scaling needed, unlike fp16).",
+)
 @click.option("--seed", type=int, default=0)
 @click.option("--log", type=click.Path(dir_okay=False), default=None)
 def cli(  # pylint: disable=too-many-arguments,too-many-locals
@@ -53,6 +58,7 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
     checkpoint_every: int,
     output_network: str,
     data_parallel: Optional[int],
+    compute_dtype: str,
     seed: int,
     log: Optional[str],
 ) -> None:
@@ -81,7 +87,9 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
         dlatent_size=latent_size,
         mapping_fmaps=latent_size,
     )
-    train_config = TrainingConfig(learning_rate=learning_rate, r1_gamma=r1_gamma)
+    train_config = TrainingConfig(
+        learning_rate=learning_rate, r1_gamma=r1_gamma, compute_dtype=compute_dtype
+    )
 
     from gance_tpu.parallel.data import StreamingImageDataset
 

@@ -57,6 +57,11 @@ class TrainingConfig:
     r1_interval: int = 16
     style_mixing_prob: float = 0.9
     ema_beta: float = 0.999
+    # Mixed precision: 'bfloat16' runs G/D forward+backward in bf16 on the MXU
+    # while master weights, gradients (via the cast transpose), Adam moments,
+    # EMA and the losses stay fp32 — the standard TPU training recipe (bf16
+    # needs no loss scaling, unlike fp16). 'float32' is the exact path.
+    compute_dtype: str = "float32"
 
 
 class TrainingState(NamedTuple):
@@ -129,6 +134,7 @@ def make_train_step(
     'data' axis (params arrive pre-sharded via shard_training_state).
     """
     opt = _optimizer(train_config)
+    compute_dtype = jnp.dtype(train_config.compute_dtype)
     constrain = (
         (lambda x: jax.lax.with_sharding_constraint(x, shard_batch(mesh)))
         if mesh is not None
@@ -141,20 +147,29 @@ def make_train_step(
         )
         noise_rng = jax.random.fold_in(rng, 1)
         return synthesis_apply(
-            g_params, dlatents, model_config, noise_mode="random", rng=noise_rng
+            g_params, dlatents, model_config, noise_mode="random", rng=noise_rng,
+            compute_dtype=compute_dtype,
         )
 
     def d_loss_fn(d_params, g_params, reals, z1, z2, rng, apply_r1):
         fakes = constrain(generate(g_params, z1, z2, rng))
-        fake_logits = discriminator_apply(d_params, fakes, model_config)
-        real_logits = discriminator_apply(d_params, reals, model_config)
+        fake_logits = discriminator_apply(
+            d_params, fakes, model_config, compute_dtype=compute_dtype
+        )
+        real_logits = discriminator_apply(
+            d_params, reals, model_config, compute_dtype=compute_dtype
+        )
         loss = jnp.mean(jax.nn.softplus(fake_logits)) + jnp.mean(
             jax.nn.softplus(-real_logits)
         )
 
         # R1: gradient penalty on reals (lazy-reg strength scaling like NVlabs)
         def real_score(images):
-            return jnp.sum(discriminator_apply(d_params, images, model_config))
+            return jnp.sum(
+                discriminator_apply(
+                    d_params, images, model_config, compute_dtype=compute_dtype
+                )
+            )
 
         def r1_term() -> jax.Array:
             grads = jax.grad(real_score)(reals)
@@ -166,7 +181,9 @@ def make_train_step(
 
     def g_loss_fn(g_params, d_params, z1, z2, rng):
         fakes = constrain(generate(g_params, z1, z2, rng))
-        fake_logits = discriminator_apply(d_params, fakes, model_config)
+        fake_logits = discriminator_apply(
+            d_params, fakes, model_config, compute_dtype=compute_dtype
+        )
         return jnp.mean(jax.nn.softplus(-fake_logits))
 
     def train_step(

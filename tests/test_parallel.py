@@ -117,6 +117,39 @@ def test_train_step_runs_and_learns():
     assert not np.allclose(ema_leaf, after)
 
 
+def test_train_step_mixed_precision_bf16():
+    """bf16 compute_dtype: fwd/bwd run in bf16, master state stays fp32, and
+    one step lands close to the fp32 step (same seeds, looser tolerance)."""
+    import dataclasses
+
+    bf16_cfg = dataclasses.replace(TRAIN, compute_dtype="bfloat16")
+    mesh = create_mesh(data_parallel=4)
+    reals = jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 16, 3)) * 2 - 1
+
+    results = {}
+    for name, cfg in (("fp32", TRAIN), ("bf16", bf16_cfg)):
+        state = init_training_state(jax.random.PRNGKey(0), TINY, cfg)
+        state = shard_training_state(mesh, state, cfg)
+        step = make_train_step(TINY, cfg, mesh=mesh)
+        state, metrics = step(state, reals, jax.random.PRNGKey(10))
+        results[name] = (state, {k: float(v) for k, v in metrics.items()})
+
+    state_bf16, m_bf16 = results["bf16"]
+    state_fp32, m_fp32 = results["fp32"]
+    # master weights / Adam moments / EMA stay fp32
+    for leaf in jax.tree.leaves(
+        (state_bf16.g_params, state_bf16.d_params, state_bf16.ema_params)
+    ):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    assert np.isfinite(m_bf16["d_loss"]) and np.isfinite(m_bf16["g_loss"])
+    # losses in the same ballpark as the exact step (bf16 rounding only)
+    assert abs(m_bf16["d_loss"] - m_fp32["d_loss"]) < 0.15, (m_bf16, m_fp32)
+    assert abs(m_bf16["g_loss"] - m_fp32["g_loss"]) < 0.15, (m_bf16, m_fp32)
+    w_b = np.asarray(state_bf16.g_params["mapping"]["Dense0"]["weight"])
+    w_f = np.asarray(state_fp32.g_params["mapping"]["Dense0"]["weight"])
+    assert np.abs(w_b - w_f).max() < 0.05  # one Adam step, lr 2e-3
+
+
 def test_checkpoint_resume(tmp_path):
     state = init_training_state(jax.random.PRNGKey(0), TINY, TRAIN)
     train_step = make_train_step(TINY, TRAIN)
