@@ -42,6 +42,11 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
     help="bfloat16 = mixed precision: bf16 fwd/bwd on the MXU, fp32 master "
     "weights/Adam/EMA/losses (no loss scaling needed, unlike fp16).",
 )
+@click.option(
+    "--remat/--no-remat", default=False,
+    help="Rematerialize G/D blocks in the backward pass (jax.checkpoint): "
+    "trades ~1/3 extra FLOPs for the HBM high-resolution training needs.",
+)
 @click.option("--seed", type=int, default=0)
 @click.option("--log", type=click.Path(dir_okay=False), default=None)
 def cli(  # pylint: disable=too-many-arguments,too-many-locals
@@ -59,6 +64,7 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
     output_network: str,
     data_parallel: Optional[int],
     compute_dtype: str,
+    remat: bool,
     seed: int,
     log: Optional[str],
 ) -> None:
@@ -88,7 +94,8 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
         mapping_fmaps=latent_size,
     )
     train_config = TrainingConfig(
-        learning_rate=learning_rate, r1_gamma=r1_gamma, compute_dtype=compute_dtype
+        learning_rate=learning_rate, r1_gamma=r1_gamma,
+        compute_dtype=compute_dtype, remat=remat,
     )
 
     from gance_tpu.parallel.data import StreamingImageDataset

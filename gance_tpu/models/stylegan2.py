@@ -393,6 +393,7 @@ def synthesis_apply(
     rng: Optional[jax.Array] = None,
     compute_dtype: jnp.dtype = jnp.float32,
     phase_top_block_mode: Optional[bool] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """
     G_synthesis (skip architecture): w+ (B, num_style_rows, 512) -> image
@@ -404,6 +405,11 @@ def synthesis_apply(
         (default) resolves GANCE_TPU_PHASE1024 at trace time (note: the env
         read does not key the jit cache — pass an explicit bool for
         programmatic control within one process).
+    :param remat: rematerialize each synthesis block under autodiff
+        (jax.checkpoint): the backward pass recomputes a block's activations
+        instead of storing them — the standard TPU trade of FLOPs for HBM
+        that makes high-resolution training fit (training OOMed at 256px
+        batch 8 on 16GB without it). No effect on forward-only use.
     """
     if noise_mode not in ("const", "random", "none"):
         raise ValueError(f"bad noise_mode {noise_mode!r}")
@@ -438,6 +444,11 @@ def synthesis_apply(
 
     for res in range(3, top + 1):
         block = synthesis[f"{2**res}x{2**res}"]
+        dl_rows = (
+            dlatents[:, res * 2 - 5],
+            dlatents[:, res * 2 - 4],
+            dlatents[:, res * 2 - 3],
+        )
         if res == top and use_phase:
             from gance_tpu.ops.phase_block import phase_top_block
 
@@ -450,34 +461,39 @@ def synthesis_apply(
                     return jax.random.normal(nrn, (batch, size, size, 1), compute_dtype)
                 return ncn
 
+            def phase_fn(x, blk, dls, n0, n1, y):
+                return phase_top_block(
+                    x, blk, dls, n0, n1, y, config.resample_kernel, compute_dtype
+                )
+
+            if remat:
+                phase_fn = jax.checkpoint(phase_fn)
             y = upsample_2d_nchw(y, kernel=config.resample_kernel)
-            y = phase_top_block(
-                x,
-                block,
-                (
-                    dlatents[:, res * 2 - 5],
-                    dlatents[:, res * 2 - 4],
-                    dlatents[:, res * 2 - 3],
-                ),
-                fine_noise(res * 2 - 5),
-                fine_noise(res * 2 - 4),
-                y,
-                config.resample_kernel,
-                compute_dtype,
+            y = phase_fn(
+                x, block, dl_rows,
+                fine_noise(res * 2 - 5), fine_noise(res * 2 - 4), y,
             )
             break
-        nc, nr = layer_noise(res * 2 - 5)
-        x = _synthesis_layer(
-            x, block["Conv0_up"], dlatents[:, res * 2 - 5], nc, nr, True, config,
-            compute_dtype,
-        )
-        nc, nr = layer_noise(res * 2 - 4)
-        x = _synthesis_layer(
-            x, block["Conv1"], dlatents[:, res * 2 - 4], nc, nr, False, config,
-            compute_dtype,
-        )
-        y = upsample_2d_nchw(y, kernel=config.resample_kernel)
-        y = _torgb(x, block["ToRGB"], dlatents[:, res * 2 - 3], y, config, compute_dtype)
+
+        def block_fn(x, y, blk, dls, noises):
+            (nc0, nr0), (nc1, nr1) = noises
+            x = _synthesis_layer(
+                x, blk["Conv0_up"], dls[0], nc0, nr0, True, config, compute_dtype
+            )
+            x = _synthesis_layer(
+                x, blk["Conv1"], dls[1], nc1, nr1, False, config, compute_dtype
+            )
+            y = upsample_2d_nchw(y, kernel=config.resample_kernel)
+            y = _torgb(x, blk["ToRGB"], dls[2], y, config, compute_dtype)
+            return x, y
+
+        if remat:
+            # One checkpoint per block: the backward pass recomputes this
+            # block's activations instead of storing all of them (HBM <->
+            # FLOPs trade that makes high-res training fit on one chip).
+            block_fn = jax.checkpoint(block_fn)
+        noises = (layer_noise(res * 2 - 5), layer_noise(res * 2 - 4))
+        x, y = block_fn(x, y, block, dl_rows, noises)
 
     # one NCHW -> NHWC relayout of the final image only
     return jnp.transpose(y, (0, 2, 3, 1)).astype(jnp.float32)
@@ -559,9 +575,14 @@ def discriminator_apply(
     images: jax.Array,
     config: GeneratorConfig,
     compute_dtype: jnp.dtype = jnp.float32,
+    remat: bool = False,
 ) -> jax.Array:
     """
     D_stylegan2 (resnet): image (B, R, R, 3) -> logits (B, 1).
+
+    :param remat: rematerialize each resnet block under autodiff (see
+        synthesis_apply) — R1's grad-of-grad through D is the training
+        memory peak.
     """
     top = config.resolution_log2
     x = images.astype(compute_dtype)
@@ -570,8 +591,8 @@ def discriminator_apply(
     x = bias_act(x, frgb["bias"], act="lrelu")
 
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
-    for res in range(top, 2, -1):
-        block = params[f"{2**res}x{2**res}"]
+
+    def d_block(x, block):
         t = x
         x = conv2d_layer(x, block["Conv0"]["weight"])
         x = bias_act(x, block["Conv0"]["bias"], act="lrelu")
@@ -580,7 +601,12 @@ def discriminator_apply(
         x = bias_act(x, block["Conv1_down"]["bias"], act="lrelu")
         t = conv2d_layer(t, block["Skip"]["weight"], down=True,
                          resample_kernel=config.resample_kernel)
-        x = (x + t) * jnp.asarray(inv_sqrt2, x.dtype)
+        return (x + t) * jnp.asarray(inv_sqrt2, x.dtype)
+
+    if remat:
+        d_block = jax.checkpoint(d_block)
+    for res in range(top, 2, -1):
+        x = d_block(x, params[f"{2**res}x{2**res}"])
 
     block = params["4x4"]
     x = minibatch_stddev(x, config.mbstd_group_size, config.mbstd_num_features)

@@ -150,6 +150,38 @@ def test_train_step_mixed_precision_bf16():
     assert np.abs(w_b - w_f).max() < 0.05  # one Adam step, lr 2e-3
 
 
+def test_train_step_remat_is_numerically_identical():
+    """jax.checkpoint recomputes the same ops: losses and updated params must
+    match the non-remat step bit-for-bit (same seeds, same dtype)."""
+    import dataclasses
+
+    remat_cfg = dataclasses.replace(TRAIN, remat=True)
+    mesh = create_mesh(data_parallel=4)
+    reals = jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 16, 3)) * 2 - 1
+
+    results = {}
+    for name, cfg in (("plain", TRAIN), ("remat", remat_cfg)):
+        state = init_training_state(jax.random.PRNGKey(0), TINY, cfg)
+        state = shard_training_state(mesh, state, cfg)
+        step = make_train_step(TINY, cfg, mesh=mesh)
+        state, metrics = step(state, reals, jax.random.PRNGKey(10))
+        results[name] = (state, metrics)
+
+    s_plain, m_plain = results["plain"]
+    s_remat, m_remat = results["remat"]
+    np.testing.assert_allclose(
+        float(m_remat["d_loss"]), float(m_plain["d_loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_remat["g_loss"]), float(m_plain["g_loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_remat.g_params["mapping"]["Dense0"]["weight"]),
+        np.asarray(s_plain.g_params["mapping"]["Dense0"]["weight"]),
+        atol=1e-6,
+    )
+
+
 def test_checkpoint_resume(tmp_path):
     state = init_training_state(jax.random.PRNGKey(0), TINY, TRAIN)
     train_step = make_train_step(TINY, TRAIN)
