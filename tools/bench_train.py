@@ -33,6 +33,9 @@ def main(resolution: int, batch: int, steps: int) -> None:
          ).astype(np.float32)
     )
 
+    import os
+
+    only = os.environ.get("BENCH_TRAIN_ONLY", "")  # e.g. "bfloat16+remat"
     for dtype, remat in (
         ("float32", False),
         ("float32", True),
@@ -40,6 +43,8 @@ def main(resolution: int, batch: int, steps: int) -> None:
         ("bfloat16", True),
     ):
         label = f"{dtype}{'+remat' if remat else ''}"
+        if only and label != only:
+            continue
         cfg = dataclasses.replace(
             TrainingConfig(), compute_dtype=dtype, remat=remat
         )
