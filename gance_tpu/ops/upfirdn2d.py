@@ -138,26 +138,6 @@ def _upsample2x_polyphase(x: jax.Array, k1d: np.ndarray) -> jax.Array:
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
-def upsample2x_phase_planes_nchw(xc: jax.Array, k1d: KernelLike) -> tuple:
-    """
-    The four polyphase planes of the 2x upsample, NOT interleaved:
-    planes[dh*2+dw][b,c,m,n] = upsampled[b,c,2m+dh,2n+dw]. Used by the phase
-    top block, which keeps the whole RGB chain in phase space and interleaves
-    exactly once at the very end.
-    """
-    lo0, hi0, hi1, lo1 = (float(v) for v in np.asarray(k1d))  # [.5,1.5,1.5,.5]
-    xp = jnp.pad(xc, ((0, 0), (0, 0), (1, 1), (1, 1)))
-    # column (W) phases first, then row (H) phases — same association order as
-    # the interleaved form below, so both paths are bit-identical.
-    c_even = lo0 * xp[..., :-2] + hi1 * xp[..., 1:-1]
-    c_odd = hi0 * xp[..., 1:-1] + lo1 * xp[..., 2:]
-    planes = {}
-    for dw, cols in ((0, c_even), (1, c_odd)):
-        planes[(0, dw)] = lo0 * cols[:, :, :-2] + hi1 * cols[:, :, 1:-1]
-        planes[(1, dw)] = hi0 * cols[:, :, 1:-1] + lo1 * cols[:, :, 2:]
-    return planes[(0, 0)], planes[(0, 1)], planes[(1, 0)], planes[(1, 1)]
-
-
 def upsample2x_polyphase_nchw(xc: jax.Array, k1d: KernelLike) -> jax.Array:
     """
     The polyphase 2x upsample on NCHW input, no layout sandwiches — the native
@@ -165,12 +145,21 @@ def upsample2x_polyphase_nchw(xc: jax.Array, k1d: KernelLike) -> jax.Array:
     interleaving there materializes hugely padded tiles in a full-model context.
     With W on the lanes the interleaves are dense).
     """
+    lo0, hi0, hi1, lo1 = (float(v) for v in np.asarray(k1d))  # [.25,.75,.75,.25]
     b, c, h, w = xc.shape
-    p00, p01, p10, p11 = upsample2x_phase_planes_nchw(xc, k1d)
-    rows = jnp.stack([jnp.stack([p00, p01], axis=-1).reshape(b, c, h, 2 * w),
-                      jnp.stack([p10, p11], axis=-1).reshape(b, c, h, 2 * w)],
-                     axis=3)
-    return rows.reshape(b, c, 2 * h, 2 * w)
+    xp = jnp.pad(xc, ((0, 0), (0, 0), (1, 1), (1, 1)))
+
+    # horizontal phases (rows still padded): even = lo0*x[w-1] + hi1*x[w]
+    left, mid, right = xp[..., :-2], xp[..., 1:-1], xp[..., 2:]
+    h_even = lo0 * left + hi1 * mid
+    h_odd = hi0 * mid + lo1 * right
+    hs = jnp.stack([h_even, h_odd], axis=-1).reshape(b, c, h + 2, 2 * w)
+
+    # vertical phases
+    up, vmid, down = hs[:, :, :-2], hs[:, :, 1:-1], hs[:, :, 2:]
+    v_even = lo0 * up + hi1 * vmid
+    v_odd = hi0 * vmid + lo1 * down
+    return jnp.stack([v_even, v_odd], axis=3).reshape(b, c, 2 * h, 2 * w)
 
 
 def upsample_2d_nchw(
