@@ -441,6 +441,11 @@ def synthesis_apply(
         use_phase = _phase_top_block_enabled(config.nf(top - 1), compute_dtype)
     else:
         use_phase = phase_top_block_mode and config.nf(top - 1) < 128
+    if use_phase:
+        from gance_tpu.ops.phase_block import phase_path_supported
+
+        # Non-(1,3,3,1)-style FIRs stay on the generic upfirdn2d path.
+        use_phase = phase_path_supported(config.resample_kernel)
 
     for res in range(3, top + 1):
         block = synthesis[f"{2**res}x{2**res}"]

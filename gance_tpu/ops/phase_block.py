@@ -82,6 +82,17 @@ def resample_root(resample_kernel: Tuple[int, ...], factor: int = 2) -> np.ndarr
     return root.astype(np.float32)
 
 
+def phase_path_supported(resample_kernel: Tuple[int, ...]) -> bool:
+    """Whether the polyphase top block can represent this resampling FIR
+    (symmetric separable 4-tap — config-f's (1,3,3,1)). Other kernels must
+    stay on the generic upfirdn2d path."""
+    try:
+        root = resample_root(resample_kernel)
+    except ValueError:
+        return False
+    return bool(np.allclose(root, root[::-1]))
+
+
 def fold_upconv_blur_weights(w: Array, k1d: np.ndarray) -> Array:
     """
     Fold the stride-2 transposed conv + 4-tap FIR into one (3,3,cin,4*cout)
@@ -201,24 +212,25 @@ def phase_conv(
 
 def interleave_phases_nchw(rgb_ph: Array, h: int, w: int) -> Array:
     """
-    (B, H/2+1, W/2+1, 12) Conv1-convention RGB phase planes (channel =
-    ph*3 + k) -> (B, 3, H, W) NCHW fine image. sigma=0 rows [0, H/2) are fine
-    rows 2m; sigma=1 rows [1, H/2] are fine rows 2m-1.
+    (B, H/2+1, W/2+1, 4*C) Conv1-convention RGB phase planes (channel =
+    ph*C + k; C=3 for RGB) -> (B, C, H, W) NCHW fine image. sigma=0 rows
+    [0, H/2) are fine rows 2m; sigma=1 rows [1, H/2] are fine rows 2m-1.
     """
     b = rgb_ph.shape[0]
+    c = rgb_ph.shape[-1] // 4
     hh, hw = h // 2, w // 2
-    r = rgb_ph.reshape(b, hh + 1, hw + 1, 2, 2, 3)
-    # -> (B, 3, sig_h, sig_w, H/2+1, W/2+1)
+    r = rgb_ph.reshape(b, hh + 1, hw + 1, 2, 2, c)
+    # -> (B, C, sig_h, sig_w, H/2+1, W/2+1)
     r = jnp.transpose(r, (0, 5, 3, 4, 1, 2))
     even_h = r[:, :, 0][:, :, :, 0:hh]          # fine rows 2m, m in [0,hh)
     odd_h = r[:, :, 1][:, :, :, 1 : hh + 1]      # fine rows 2m-1, m in [1,hh]
     # interleave rows: fine row 2j <- even_h[j], 2j+1 <- odd_h[j] (=2(j+1)-1)
-    rows = jnp.stack([even_h, odd_h], axis=4)    # (B,3,sig_w,hh,2,hw+1)
-    rows = rows.reshape(b, 3, 2, h, hw + 1)
+    rows = jnp.stack([even_h, odd_h], axis=4)    # (B,C,sig_w,hh,2,hw+1)
+    rows = rows.reshape(b, c, 2, h, hw + 1)
     even_w = rows[:, :, 0][:, :, :, 0:hw]
     odd_w = rows[:, :, 1][:, :, :, 1 : hw + 1]
-    cols = jnp.stack([even_w, odd_w], axis=4)    # (B,3,h,hw,2)
-    return cols.reshape(b, 3, h, w)
+    cols = jnp.stack([even_w, odd_w], axis=4)    # (B,C,h,hw,2)
+    return cols.reshape(b, c, h, w)
 
 
 def _tile4(vec: Array) -> Array:

@@ -180,6 +180,55 @@ class TestGeneratorParity:
         got = synthesis_apply(params, dl, config, phase_top_block_mode=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
 
+    def test_unsupported_resample_kernel_falls_back(self, monkeypatch):
+        """A non-4-tap FIR can't be phase-folded: forced phase mode must fall
+        back to the standard path instead of crashing (code-review finding)."""
+        from gance_tpu.models.stylegan2 import (
+            GeneratorConfig,
+            broadcast_dlatents,
+            init_generator_params,
+            mapping_apply,
+            synthesis_apply,
+        )
+
+        monkeypatch.setenv("GANCE_TPU_PHASE1024", "on")
+        config = GeneratorConfig(
+            resolution=32, fmap_base=256, resample_kernel=(1, 2, 1)
+        )
+        assert config.nf(config.resolution_log2 - 1) < 128
+        params = init_generator_params(jax.random.PRNGKey(0), config)
+        dl = broadcast_dlatents(
+            mapping_apply(params, _rand(12, (1, config.latent_size)), config), config
+        )
+        out_on = synthesis_apply(params, dl, config)
+        monkeypatch.setenv("GANCE_TPU_PHASE1024", "off")
+        out_off = synthesis_apply(params, dl, config)
+        np.testing.assert_array_equal(np.asarray(out_on), np.asarray(out_off))
+
+    def test_non_rgb_channel_count(self, monkeypatch):
+        """num_channels != 3 must work under the phase path (the interleave
+        is channel-count generic; code-review finding)."""
+        from gance_tpu.models.stylegan2 import (
+            GeneratorConfig,
+            broadcast_dlatents,
+            init_generator_params,
+            mapping_apply,
+            synthesis_apply,
+        )
+
+        config = GeneratorConfig(resolution=32, fmap_base=256, num_channels=1)
+        assert config.nf(config.resolution_log2 - 1) < 128
+        params = init_generator_params(jax.random.PRNGKey(0), config)
+        dl = broadcast_dlatents(
+            mapping_apply(params, _rand(13, (1, config.latent_size)), config), config
+        )
+        monkeypatch.setenv("GANCE_TPU_PHASE1024", "on")
+        got = synthesis_apply(params, dl, config)
+        monkeypatch.setenv("GANCE_TPU_PHASE1024", "off")
+        ref = synthesis_apply(params, dl, config)
+        assert got.shape == ref.shape == (1, 32, 32, 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
     def test_parity_random_noise(self, monkeypatch):
         rng = jax.random.PRNGKey(42)
         ref = self._outputs(monkeypatch, "off", "random", rng)

@@ -69,12 +69,8 @@ def summarize(trace_dir: str, iters: int, top_k: int = 30) -> None:
     totals: dict = collections.Counter()
     total_device = 0
     for plane in space.planes:
-        if "TPU" not in plane.name or "XLA Ops" not in [
-            line.name for line in plane.lines
-        ]:
-            # device planes carry an "XLA Ops" line with per-op events
-            pass
-        if "/device:TPU" not in plane.name and "TPU" not in plane.name:
+        # device planes carry an "XLA Ops" line with per-op events
+        if "TPU" not in plane.name:
             continue
         for line in plane.lines:
             if line.name != "XLA Ops":
