@@ -180,6 +180,35 @@ class TestGeneratorParity:
         got = synthesis_apply(params, dl, config, phase_top_block_mode=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
 
+    @pytest.mark.parametrize(
+        "resolution,fmap_base",
+        [
+            (8, 256),     # minimum model: top block is the first loop block
+            (32, 768),    # cout = 48: non-power-of-two channels
+            (64, 512),    # cout = 16: tiny channels
+        ],
+    )
+    def test_parity_across_configs(self, monkeypatch, resolution, fmap_base):
+        """Phase parity holds for odd channel counts and the smallest models."""
+        from gance_tpu.models.stylegan2 import (
+            GeneratorConfig,
+            broadcast_dlatents,
+            init_generator_params,
+            mapping_apply,
+            synthesis_apply,
+        )
+
+        config = GeneratorConfig(resolution=resolution, fmap_base=fmap_base)
+        assert config.nf(config.resolution_log2 - 1) < 128
+        params = init_generator_params(jax.random.PRNGKey(3), config)
+        dl = broadcast_dlatents(
+            mapping_apply(params, _rand(14, (2, config.latent_size)), config), config
+        )
+        ref = synthesis_apply(params, dl, config, phase_top_block_mode=False)
+        got = synthesis_apply(params, dl, config, phase_top_block_mode=True)
+        assert got.shape == ref.shape == (2, resolution, resolution, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
     def test_unsupported_resample_kernel_falls_back(self, monkeypatch):
         """A non-4-tap FIR can't be phase-folded: forced phase mode must fall
         back to the standard path instead of crashing (code-review finding)."""
