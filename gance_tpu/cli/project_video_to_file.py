@@ -36,6 +36,13 @@ def projection_options(func: Callable) -> Callable:
             "keeps independent latents/noises; large batches multiply "
             "throughput on underutilized chips).",
         ),
+        click.option(
+            "--data-parallel", type=click.IntRange(min=1), default=None,
+            help="Data-parallelize each projection batch's frames over a "
+            "('data','model') device mesh with this data-axis size — frames "
+            "are independent, so throughput scales near-linearly with chips. "
+            "Use with --projection-batch >= data-parallel size.",
+        ),
         # latents histories default ON (reference project_video_to_file.py:236) —
         # the convergence analytics need them; the heavyweight image/noise
         # histories default OFF like the reference.
@@ -70,9 +77,16 @@ def _run_projection(
     images_histories_enabled: bool,
     compute_dtype: Optional[str] = None,
     projection_batch: int = 1,
+    data_parallel: Optional[int] = None,
     batch_number: Optional[int] = None,
 ) -> None:
     from gance_tpu.projection.file_writer import project_video_to_file
+
+    mesh = None
+    if data_parallel is not None:
+        from gance_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(data_parallel=data_parallel)
 
     project_video_to_file(
         path_to_video=video_path,
@@ -88,6 +102,7 @@ def _run_projection(
         images_histories_enabled=images_histories_enabled,
         compute_dtype=compute_dtype,
         projection_batch=projection_batch,
+        mesh=mesh,
         batch_number=batch_number,
     )
 

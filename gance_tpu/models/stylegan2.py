@@ -362,6 +362,38 @@ def _torgb(
     return t if y is None else y + t
 
 
+def phase_mode_from_env() -> str:
+    """
+    Validated GANCE_TPU_PHASE1024 value: 'auto' (default), 'on', or 'off'.
+    Unknown values raise instead of silently falling through to auto.
+    """
+    mode = os.environ.get("GANCE_TPU_PHASE1024", "auto").strip().lower()
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(
+            f"GANCE_TPU_PHASE1024={mode!r}: expected 'auto', 'on', or 'off'"
+        )
+    return mode
+
+
+def resolve_phase_top_block(config: "GeneratorConfig", compute_dtype: Any) -> bool:
+    """
+    Resolve the polyphase-top-block decision EAGERLY (env + backend + dtype +
+    architecture) to a plain bool, suitable as a static jit argument. Callers
+    that jit synthesis should resolve with this per call and pass the bool to
+    `synthesis_apply(phase_top_block_mode=...)` so env flips key the jit cache
+    (a trace-time env read inside the jitted function cannot).
+    """
+    return _phase_top_block_enabled(
+        config.nf(config.resolution_log2 - 1), compute_dtype
+    ) and _phase_kernel_supported(config)
+
+
+def _phase_kernel_supported(config: "GeneratorConfig") -> bool:
+    from gance_tpu.ops.phase_block import phase_path_supported
+
+    return phase_path_supported(config.resample_kernel)
+
+
 def _phase_top_block_enabled(top_cout: int, compute_dtype: jnp.dtype) -> bool:
     """
     Whether the top block runs in polyphase form (ops/phase_block.py): the
@@ -377,7 +409,7 @@ def _phase_top_block_enabled(top_cout: int, compute_dtype: jnp.dtype) -> bool:
     """
     if top_cout >= 128:
         return False  # full lanes already; phase form would only add FLOPs
-    mode = os.environ.get("GANCE_TPU_PHASE1024", "auto")
+    mode = phase_mode_from_env()
     if mode == "on":
         return True
     if mode == "off":

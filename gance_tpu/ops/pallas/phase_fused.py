@@ -24,7 +24,12 @@ What makes this kernel simple where round-1's blur kernels were not:
     is mul(demod) + add + lrelu — and sqrt(2)*s_rgb folds into the per-batch
     ToRGB matrix.
 
-Status / enablement: see phase_block.phase_top_block (GANCE_TPU_PHASE_FUSED).
+Status: PARKED — this kernel is hardware-correct but NOT wired into any
+production path and has no enablement flag. Measured 36.1 ms vs XLA's 26.0 ms
+for the same fused region on v5e (ROUND_NOTES round 2: Mosaic does not overlap
+the VPU epilogue / halo DMA under the tap matmuls, and each shape costs a
+15-25 min uncached remote Mosaic compile on this tunnel). Kept as a measured
+engineering artifact; revisit if Mosaic scheduling improves.
 Numerics: parity with the XLA path is pinned by tests/test_phase_fused.py.
 """
 

@@ -297,8 +297,25 @@ def phase_top_block(
     xp = _add_phase_noise(xp, noise_up_ph, up["noise_strength"])
     xp = bias_act(xp, _tile4(up["bias"]), act="lrelu")
 
+    # Phase folding assumes the standard StyleGAN2 top-block shape chain:
+    # Conv1 is 3x3 with cin == cout == Conv0_up's cout, and ToRGB consumes that
+    # same channel count. True for every GeneratorConfig, but assert it so a
+    # future architecture change fails loudly instead of mis-scaling the
+    # equalized-LR coefficients silently (round-2 advisor finding).
+    c1_kh, c1_kw, c1_cin, c1_cout = c1["weight"].shape
+    if (c1_kh, c1_kw, c1_cin, c1_cout) != (3, 3, cout, cout):
+        raise ValueError(
+            f"phase_top_block: Conv1 weight {c1['weight'].shape} breaks the "
+            f"(3, 3, {cout}, {cout}) top-block invariant"
+        )
+    if torgb["weight"].shape[2] != c1_cout:
+        raise ValueError(
+            f"phase_top_block: ToRGB cin {torgb['weight'].shape[2]} != Conv1 "
+            f"cout {c1_cout}"
+        )
+
     # --- Conv1 as a 2x2 phase conv (sigma-shift convention) ---
-    v = c1["weight"].astype(jnp.float32) * runtime_weight_coef(3 * 3 * cout)
+    v = c1["weight"].astype(jnp.float32) * runtime_weight_coef(c1_kh * c1_kw * c1_cin)
     s_c1 = style_vector(dl_c1, c1["mod_weight"], c1["mod_bias"])  # (B, cout)
     d_c1 = demod_vector(s_c1, v)
     xp = xp * _tile4(s_c1).astype(xp.dtype)[:, None, None, :]
@@ -311,7 +328,9 @@ def phase_top_block(
     z = bias_act(z, _tile4(c1["bias"]), act="lrelu")
 
     # --- ToRGB (phase-diagonal 1x1) + interleave + skip add ---
-    wr = torgb["weight"].astype(jnp.float32) * runtime_weight_coef(cout)
+    wr = torgb["weight"].astype(jnp.float32) * runtime_weight_coef(
+        torgb["weight"].shape[2]
+    )
     s_rgb = style_vector(dl_rgb, torgb["mod_weight"], torgb["mod_bias"])  # (B, cout)
     z = z * _tile4(s_rgb).astype(z.dtype)[:, None, None, :]
     n_rgb = wr.shape[-1]

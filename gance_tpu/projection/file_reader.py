@@ -5,14 +5,25 @@ projection_file_reader.py; SURVEY.md §2.5 row 2).
 Ordering contract preserved: groups/datasets are sorted by the trailing `_<int>` in
 their names (:50-65 — the CHANGELOG 0.13.0 lexicographic-sort bug fix). v1 attr
 migration handled in ProjectionAttributes.from_attrs_dict.
+
+Reference-layout compat: the reference writer zips history payloads against groups
+in the wrong order (projector_file_writer.py:750-760 vs :869-880 — group order is
+[latents, images, noises] but the payload list is [latents, flattened_noises,
+images]), so GANCE-era files store flattened noises under `images_histories` and
+images under `noises_histories`. Our writer stores each payload correctly
+(file_writer.py:16-20); this reader DETECTS the reference layout by payload shape
+(images are 3-D uint8, flattened noises are 1-D float) and unswaps on read, so
+both our files and real GANce-written files read back with correct histories.
 """
 
 from contextlib import contextmanager
 from pathlib import Path
-from typing import Iterator
+from typing import Iterator, Optional
 
 import h5py
 import numpy as np
+
+from gance_tpu.utils.logging import LOGGER
 
 from gance_tpu.projection.projection_types import (
     FINAL_IMAGE_GROUP_NAME,
@@ -54,9 +65,64 @@ class ProjectionFileReader:
         self.projection_attributes = ProjectionAttributes.from_attrs_dict(
             dict(self._file.attrs)
         )
+        self._histories_swapped: Optional[bool] = None
 
     def close(self) -> None:
         self._file.close()
+
+    @property
+    def histories_swapped(self) -> bool:
+        """
+        True when this file was written with the reference's swapped image/noise
+        history layout (see module docstring); detected from payload shapes.
+        """
+        if self._histories_swapped is None:
+            self._histories_swapped = self._detect_swapped_histories()
+        return self._histories_swapped
+
+    def _detect_swapped_histories(self) -> bool:
+        """
+        Peek at one step dataset: a 1-D float payload under `images_histories`
+        (or a 3-D uint8 payload under `noises_histories`) is the reference's
+        swapped layout; the converse is ours. Empty/absent groups -> not swapped.
+        """
+        for group_name, expect_images in (
+            (IMAGES_HISTORIES_GROUP_NAME, True),
+            (NOISES_HISTORIES_GROUP_NAME, False),
+        ):
+            group = self._file.get(group_name)
+            if group is None:
+                continue
+            for per_frame in group.values():
+                if not isinstance(per_frame, h5py.Group):
+                    continue
+                for dataset in per_frame.values():
+                    looks_like_images = (
+                        dataset.ndim == 3 and dataset.dtype == np.uint8
+                    )
+                    looks_like_noises = dataset.ndim == 1 and np.issubdtype(
+                        dataset.dtype, np.floating
+                    )
+                    if looks_like_images or looks_like_noises:
+                        swapped = looks_like_images != expect_images
+                        if swapped:
+                            LOGGER.warning(
+                                "Projection file has the reference's swapped "
+                                "images/noises history layout; unswapping on read."
+                            )
+                        return swapped
+        return False
+
+    def _history_group(self, name: str) -> h5py.Group:
+        """Resolve a history group name through the reference-layout unswap."""
+        if name in (IMAGES_HISTORIES_GROUP_NAME, NOISES_HISTORIES_GROUP_NAME):
+            if self.histories_swapped:
+                name = (
+                    NOISES_HISTORIES_GROUP_NAME
+                    if name == IMAGES_HISTORIES_GROUP_NAME
+                    else IMAGES_HISTORIES_GROUP_NAME
+                )
+        return self._file[name]
 
     @property
     def target_images(self) -> Iterator[np.ndarray]:
@@ -79,11 +145,15 @@ class ProjectionFileReader:
 
     @property
     def noises_histories(self) -> Iterator[Iterator[np.ndarray]]:
-        return _double_iter(self._file[NOISES_HISTORIES_GROUP_NAME], inner_matrix=False)
+        return _double_iter(
+            self._history_group(NOISES_HISTORIES_GROUP_NAME), inner_matrix=False
+        )
 
     @property
     def images_histories(self) -> Iterator[Iterator[np.ndarray]]:
-        return _double_iter(self._file[IMAGES_HISTORIES_GROUP_NAME], inner_matrix=False)
+        return _double_iter(
+            self._history_group(IMAGES_HISTORIES_GROUP_NAME), inner_matrix=False
+        )
 
     def final_latents_at_frame(self, frame_index: int) -> np.ndarray:
         """Random access into the final latents (reference :437-455)."""

@@ -244,10 +244,15 @@ def project_video_to_file(
     expected_time_per_step: float = DEFAULT_EXPECTED_TIME_PER_STEP,
     compute_dtype: Optional[str] = None,
     projection_batch: int = 1,
+    mesh: Optional[object] = None,
 ) -> None:
     """
     Project every frame of a video into a network's latent space, streaming results
     into a projection file (reference projector_file_writer.py:617-802).
+
+    :param mesh: when given, each projection batch data-parallelizes its frames
+        over the mesh 'data' axis (multi-chip projection — the batch size should
+        be a multiple of the data-axis size times the single-chip sweet spot).
     """
     from gance_tpu.projection.projector import TPUProjector  # local: heavy import
 
@@ -280,6 +285,7 @@ def project_video_to_file(
         path_to_network,
         expected_time_per_step=expected_time_per_step,
         settings=settings,
+        mesh=mesh,
     )
 
     attributes = ProjectionAttributes(

@@ -16,6 +16,15 @@ perceptual metric is pluggable:
 
 Distance (LPIPS form): unit-normalize each layer's channels, L2 across channels,
 mean over space, sum over layers.
+
+True-LPIPS extensions (used when importing the NVlabs `vgg16_zhang_perceptual.pkl`
+via projection/vgg_import.py — SURVEY.md §2.9 row 5):
+  * `lin{b}_w` (C,) per feature block: Zhang's learned per-channel linear weighting
+    of the squared normalized-feature differences. Absent -> uniform weighting
+    (the previous behavior, and what random-filter mode uses).
+  * `input_shift` / `input_scale` (3,): Zhang's ScalingLayer constants mapping
+    [-1, 1] RGB onto the VGG training distribution; applied before the conv stack
+    when present.
 """
 
 from pathlib import Path
@@ -31,6 +40,11 @@ VGG16_BLOCKS: Tuple[Tuple[int, int], ...] = ((64, 2), (128, 2), (256, 3), (512, 
 
 # Layers whose activations feed the distance (outputs of each block, pre-pool).
 DEFAULT_FEATURE_BLOCKS: Tuple[int, ...] = (0, 1, 2, 3, 4)
+
+# Zhang's ScalingLayer constants (lpips/networks_basic.py): map [-1, 1] RGB onto
+# the ImageNet-normalized distribution the pretrained VGG expects.
+ZHANG_INPUT_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+ZHANG_INPUT_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 def random_vgg_params(seed: int = 0, in_channels: int = 3) -> Dict[str, np.ndarray]:
@@ -50,7 +64,17 @@ def random_vgg_params(seed: int = 0, in_channels: int = 3) -> Dict[str, np.ndarr
 
 
 def load_vgg_params(path: Path) -> Dict[str, np.ndarray]:
-    """Load VGG conv weights from an .npz with the block{b}_conv{c}_{w,b} keys."""
+    """
+    Load perceptual-net weights: an .npz with the block{b}_conv{c}_{w,b} (+
+    optional lin{b}_w / input_shift / input_scale) keys, or the NVlabs
+    `vgg16_zhang_perceptual.pkl` directly (converted via projection/vgg_import.py
+    — the exact asset the reference's projector consumes).
+    """
+    path = Path(path)
+    if path.suffix == ".pkl":
+        from gance_tpu.projection.vgg_import import load_nvlabs_lpips_pickle
+
+        return load_nvlabs_lpips_pickle(path)
     blob = np.load(str(path))
     return {k: np.asarray(blob[k], np.float32) for k in blob.files}
 
@@ -77,6 +101,10 @@ def vgg_features(
     :param images: (B, H, W, 3) float in [-1, 1].
     """
     x = images
+    if "input_shift" in params:
+        shift = jnp.asarray(params["input_shift"], x.dtype)
+        scale = jnp.asarray(params["input_scale"], x.dtype)
+        x = (x - shift) / scale
     feats: List[jax.Array] = []
     for b, (_, n_convs) in enumerate(VGG16_BLOCKS):
         for c in range(n_convs):
@@ -100,16 +128,22 @@ def lpips_distance(
 ) -> jax.Array:
     """
     LPIPS-form distance per batch element: for each selected block, channel-unit-
-    normalize activations, squared L2 over channels, mean over space, sum blocks.
+    normalize activations, squared L2 over channels (weighted by the learned
+    `lin{b}_w` vector when present — true LPIPS; uniform otherwise), mean over
+    space, sum blocks.
     :return: (B,) distances.
     """
     feats_a = vgg_features(params, images_a, feature_blocks)
     feats_b = vgg_features(params, images_b, feature_blocks)
     total = None
-    for fa, fb in zip(feats_a, feats_b):
+    for block, (fa, fb) in zip(feature_blocks, zip(feats_a, feats_b)):
         na = fa * lax.rsqrt(jnp.sum(jnp.square(fa), axis=-1, keepdims=True) + 1e-10)
         nb = fb * lax.rsqrt(jnp.sum(jnp.square(fb), axis=-1, keepdims=True) + 1e-10)
-        d = jnp.mean(jnp.sum(jnp.square(na - nb), axis=-1), axis=(1, 2))
+        sq = jnp.square(na - nb)
+        lin = params.get(f"lin{block}_w")
+        if lin is not None:
+            sq = sq * jnp.asarray(lin, sq.dtype)
+        d = jnp.mean(jnp.sum(sq, axis=-1), axis=(1, 2))
         total = d if total is None else total + d
     return total
 

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec
 
 from gance_tpu.models.pickle_loader import load_generator
 from gance_tpu.models.stylegan2 import (
@@ -129,9 +130,27 @@ class TPUProjector:
         expected_time_per_step: Optional[float] = None,
         settings: Optional[ProjectorSettings] = None,
         first_step_timeout: Optional[float] = None,
+        mesh: Optional[Any] = None,
     ) -> None:
         self.params = params
         self.config = config
+        # Multi-chip projection: frames are embarrassingly parallel (each frame
+        # owns its latents/noises/Adam state, and the summed batch loss keeps
+        # per-frame gradients exact), so projection data-parallelizes over the
+        # mesh 'data' axis mechanically — every batch-leading array shards over
+        # 'data', params replicate, and GSPMD inserts nothing but the trivial
+        # collectives. This multiplies per-chip projection throughput by the
+        # data-axis size; the reference is strictly one frame per child process
+        # (projector_file_writer.py:617 — the 8h-for-5s-of-video bottleneck).
+        self.mesh = mesh
+        if mesh is not None:
+            self._replicated_sharding = NamedSharding(mesh, PartitionSpec())
+            self._data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            self._data_axis_size = int(mesh.shape["data"])
+        else:
+            self._replicated_sharding = None
+            self._data_sharding = None
+            self._data_axis_size = 1
         # Copy the settings (never mutate a caller-owned object); an explicit
         # num_steps kwarg overrides the settings value, otherwise settings win.
         self.settings = replace(settings) if settings else ProjectorSettings()
@@ -159,6 +178,10 @@ class TPUProjector:
         )
         self._optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=0.1)
         self._compute_dlatent_stats()
+        if mesh is not None:
+            # Place AFTER the eager dlatent-stats pass (which runs single-device):
+            # replicated params keep the synthesis forward pure-DP over frames.
+            self.params = jax.device_put(self.params, self._replicated_sharding)
         self._step_fn = self._build_step()
 
     @classmethod
@@ -167,6 +190,12 @@ class TPUProjector:
     ) -> "TPUProjector":
         params, config = load_generator(Path(path))
         return cls(params, config, num_steps=num_steps, **kwargs)
+
+    def _place_data(self, value: jax.Array) -> jax.Array:
+        """Shard a batch-leading array over the mesh 'data' axis (no-op off-mesh)."""
+        if self._data_sharding is None:
+            return value
+        return jax.device_put(value, self._data_sharding)
 
     def _compute_dlatent_stats(self) -> None:
         """Sampled w average/std (NVlabs uses 10k z samples)."""
@@ -275,25 +304,43 @@ class TPUProjector:
         """
         settings = self.settings
         resolution = self.config.resolution
-        batch = int(np.asarray(target_images).shape[0])
+        target_images = np.asarray(target_images)
+        batch = int(target_images.shape[0])
+
+        # Multi-chip: pad the frame batch up to a data-axis multiple (repeating
+        # the last frame — numerically benign) so it shards evenly; padded rows
+        # optimize like real frames and are dropped from every output.
+        pad = (-batch) % self._data_axis_size
+        if pad:
+            target_images = np.concatenate(
+                [target_images, np.repeat(target_images[-1:], pad, axis=0)]
+            )
+        work_batch = batch + pad
 
         target = jnp.asarray(target_images, jnp.float32) / 127.5 - 1.0
         if target.shape[1] != resolution:
             target = jax.image.resize(
-                target, (batch, resolution, resolution, 3), method="linear"
+                target, (work_batch, resolution, resolution, 3), method="linear"
             )
-        target_proc = downsample_to(target, settings.perceptual_size)
+        target_proc = self._place_data(downsample_to(target, settings.perceptual_size))
 
         rng = jax.random.PRNGKey(settings.seed)
-        w = jnp.tile(jnp.asarray(self.dlatent_avg), (batch, 1))  # (B, 512)
+        w = self._place_data(
+            jnp.tile(jnp.asarray(self.dlatent_avg), (work_batch, 1))
+        )  # (B, 512)
         noise_rng, rng = jax.random.split(rng)
         noises = [
-            jax.random.normal(
-                jax.random.fold_in(noise_rng, i),
-                (batch,) + tuple(self.params["synthesis"]["noise"][name].shape[1:]),
+            self._place_data(
+                jax.random.normal(
+                    jax.random.fold_in(noise_rng, i),
+                    (work_batch,)
+                    + tuple(self.params["synthesis"]["noise"][name].shape[1:]),
+                )
             )
             for i, name in enumerate(self._noise_names)
         ]
+        # init() builds zeros_like mirrors of (w, noises), so the Adam state
+        # inherits their 'data' sharding; step count / lr stay replicated scalars.
         opt_state = self._optimizer.init((w, noises))
 
         dist = jnp.zeros((batch,))
@@ -316,11 +363,11 @@ class TPUProjector:
                 # (NVlabs get_dlatents reads the updated variable while get_images
                 # returns the forward images the loss saw).
                 latents = np.tile(
-                    np.asarray(w)[:, None, :], (1, self.config.num_style_rows, 1)
+                    np.asarray(w)[:batch, None, :], (1, self.config.num_style_rows, 1)
                 )
-                noises_np = [np.asarray(n) for n in noises]
+                noises_np = [np.asarray(n)[:batch] for n in noises]
                 images = (
-                    np.asarray(images_dev)
+                    np.asarray(images_dev)[:batch]
                     if want_step_images
                     else np.zeros((batch, 0, 0, 3), np.uint8)
                 )
@@ -340,7 +387,7 @@ class TPUProjector:
         final_images = np.asarray(images_to_uint8(self._synthesis_from_w(w, noises)))
         latents = np.asarray(w)
         noises_np = [np.asarray(n) for n in noises]
-        distances = np.asarray(dist).reshape(batch)
+        distances = np.asarray(dist).reshape(-1)[:batch]
         return [
             ProjectionResult(
                 final_latents=np.tile(

@@ -54,9 +54,16 @@ DEFAULT_COMPUTE_DTYPE = {
 }[os.environ.get("GANCE_TPU_COMPUTE_DTYPE", "float32").lower()]
 
 
+# phase_top_block_mode is resolved EAGERLY per call (resolve_phase_top_block) and
+# passed as a static bool so flipping GANCE_TPU_PHASE1024 mid-process keys a fresh
+# jit entry instead of silently serving the stale program (the trace-time env read
+# inside synthesis_apply cannot key the cache).
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "truncation_psi", "compute_dtype", "output_side_length"),
+    static_argnames=(
+        "config", "truncation_psi", "compute_dtype", "output_side_length",
+        "phase_top_block_mode",
+    ),
 )
 def _jit_images_from_z(
     params: Params,
@@ -65,10 +72,11 @@ def _jit_images_from_z(
     truncation_psi: Optional[float],
     compute_dtype: Any = jnp.float32,
     output_side_length: Optional[int] = None,
+    phase_top_block_mode: Optional[bool] = None,
 ) -> jax.Array:
     images = generator_apply(
         params, z, config, truncation_psi=truncation_psi, noise_mode="const",
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, phase_top_block_mode=phase_top_block_mode,
     )
     if output_side_length is not None and output_side_length != config.resolution:
         images = resize_images(images, output_side_length)
@@ -76,7 +84,10 @@ def _jit_images_from_z(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "compute_dtype", "output_side_length")
+    jax.jit,
+    static_argnames=(
+        "config", "compute_dtype", "output_side_length", "phase_top_block_mode"
+    ),
 )
 def _jit_images_from_dlatents(
     params: Params,
@@ -84,9 +95,11 @@ def _jit_images_from_dlatents(
     config: GeneratorConfig,
     compute_dtype: Any = jnp.float32,
     output_side_length: Optional[int] = None,
+    phase_top_block_mode: Optional[bool] = None,
 ) -> jax.Array:
     images = synthesis_apply(
-        params, dlatents, config, noise_mode="const", compute_dtype=compute_dtype
+        params, dlatents, config, noise_mode="const", compute_dtype=compute_dtype,
+        phase_top_block_mode=phase_top_block_mode,
     )
     if output_side_length is not None and output_side_length != config.resolution:
         images = resize_images(images, output_side_length)
@@ -215,6 +228,12 @@ class SynthesisNetwork:
 
     # ---- batched (the TPU-native path) ----
 
+    def _resolved_phase_mode(self) -> bool:
+        """Per-call env resolution so GANCE_TPU_PHASE1024 flips key the jit cache."""
+        from gance_tpu.models.stylegan2 import resolve_phase_top_block
+
+        return resolve_phase_top_block(self.config, self.compute_dtype)
+
     def device_images_from_vectors(self, z_batch: np.ndarray) -> jax.Array:
         """(B, latent) z batch -> device-resident (B, R, R, 3) uint8 (async)."""
         return _jit_images_from_z(
@@ -224,6 +243,7 @@ class SynthesisNetwork:
             self.truncation_psi,
             self.compute_dtype,
             self.output_side_length,
+            self._resolved_phase_mode(),
         )
 
     def device_images_from_matrices(self, dlatent_batch: np.ndarray) -> jax.Array:
@@ -238,6 +258,7 @@ class SynthesisNetwork:
             self.config,
             self.compute_dtype,
             self.output_side_length,
+            self._resolved_phase_mode(),
         )
 
     def device_images_generic(self, batch: np.ndarray) -> jax.Array:

@@ -61,13 +61,24 @@ def test_generator_render_is_deterministic():
     np.testing.assert_array_equal(_render(), _render())
 
 
-def test_phase_path_matches_same_golden():
-    """The polyphase top block rounds to the SAME uint8 goldens at this scale
-    (fp reassociation stays below the quantization step here), so the phase
-    path is pinned against the identical constants."""
+def test_phase_path_matches_golden_within_quantization():
+    """
+    The polyphase top block must match the standard path's goldens to within the
+    uint8 quantization step. PRIMARY assert: float-domain parity is covered by
+    tests/test_phase_block.py (atol 5e-5); here the uint8 render may flip a pixel
+    sitting exactly on a rounding boundary under a different fp association
+    order (or a future XLA version), so the pin is a <=1-step bound plus a small
+    cap on how many pixels flip — not a bit-exact CRC (round-2 advisor finding:
+    a shared-CRC pin tests fp luck, not parity).
+    """
+    standard = _render()
     images = _render(phase_top_block_mode=True)
+    diff = np.abs(images.astype(np.int64) - standard.astype(np.int64))
+    assert int(diff.max()) <= 1
+    flipped = int((diff > 0).sum())
+    assert flipped <= images.size // 100, f"{flipped} pixels flipped vs standard"
     for (b, y, x), want in GOLDEN_PIXELS.items():
         got = tuple(int(v) for v in images[b, y, x])
-        assert got == want, f"pixel[{b},{y},{x}] drifted: {got} != {want}"
-    assert int(images.astype(np.int64).sum()) == GOLDEN_SUM
-    assert zlib.crc32(images.tobytes()) == GOLDEN_CRC32
+        assert all(abs(g - w) <= 1 for g, w in zip(got, want)), (
+            f"pixel[{b},{y},{x}] drifted beyond quantization: {got} != {want}"
+        )

@@ -322,3 +322,63 @@ class TestPhaseSplits:
         ph = planes.reshape(2, 5, 7, 20)
         got = interleave_phases_nhwc(ph, 10, 14)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(fine))
+
+
+class TestPhaseEnvJitKeying:
+    """VERDICT r2 item 9: env flips must key the runtime's jit cache."""
+
+    def test_env_flip_between_calls_serves_both_paths(self, monkeypatch):
+        """
+        A SynthesisNetwork call after flipping GANCE_TPU_PHASE1024 must trace
+        and run the newly selected path (the resolved bool is a static jit arg),
+        never serve the stale program.
+        """
+        import gance_tpu.ops.phase_block as phase_block_mod
+        from gance_tpu.models.stylegan2 import GeneratorConfig, init_generator_params
+        from gance_tpu.synthesis.runtime import SynthesisNetwork
+
+        # Distinct architecture so this test owns its jit cache entries.
+        config = GeneratorConfig(
+            resolution=64, fmap_base=1152, fmap_max=96, latent_size=48,
+            dlatent_size=48, mapping_layers=2, mapping_fmaps=48,
+        )
+        assert config.nf(config.resolution_log2 - 1) < 128
+        params = init_generator_params(jax.random.PRNGKey(5), config)
+        net = SynthesisNetwork(params=params, config=config, compute_dtype=jnp.float32)
+        z = np.asarray(_rand(21, (2, config.latent_size)))
+
+        phase_traces = []
+        real_phase_top_block = phase_block_mod.phase_top_block
+
+        def spy(*args, **kwargs):
+            phase_traces.append(True)
+            return real_phase_top_block(*args, **kwargs)
+
+        monkeypatch.setattr(phase_block_mod, "phase_top_block", spy)
+
+        monkeypatch.setenv("GANCE_TPU_PHASE1024", "off")
+        images_off = net.images_from_vectors(z)
+        assert not phase_traces
+
+        monkeypatch.setenv("GANCE_TPU_PHASE1024", "on")
+        images_on = net.images_from_vectors(z)
+        assert phase_traces, "flipping the env did not retrace onto the phase path"
+
+        # parity between the two programs (uint8 boundary pixels may flip by 1)
+        assert int(np.abs(images_on.astype(int) - images_off.astype(int)).max()) <= 1
+
+        # flipping back must serve the standard path again (cached, no new trace)
+        phase_traces.clear()
+        monkeypatch.setenv("GANCE_TPU_PHASE1024", "off")
+        images_off_again = net.images_from_vectors(z)
+        assert not phase_traces
+        np.testing.assert_array_equal(images_off_again, images_off)
+
+    def test_unknown_env_value_raises(self, monkeypatch):
+        from gance_tpu.models.stylegan2 import phase_mode_from_env
+
+        monkeypatch.setenv("GANCE_TPU_PHASE1024", "ON")  # case-insensitive ok
+        assert phase_mode_from_env() == "on"
+        monkeypatch.setenv("GANCE_TPU_PHASE1024", "1")
+        with pytest.raises(ValueError, match="GANCE_TPU_PHASE1024"):
+            phase_mode_from_env()

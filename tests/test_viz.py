@@ -155,3 +155,49 @@ def test_stage_timer():
     stats = timer.summary()
     assert stats["count"] == 5
     assert stats["rate_per_sec"] > 0
+
+
+def test_one_shot_vectors_video(tmp_path, rng):
+    """vectors_single_network_visualization writes a 2:1 quick-look video
+    (reference network_visualization.py:704-758)."""
+    from gance_tpu.media.video import frames_in_video
+    from gance_tpu.synthesis.runtime import FakeSynthesisNetwork
+    from gance_tpu.types import VectorsLabel
+    from gance_tpu.viz.one_shot import vectors_single_network_visualization
+
+    network = FakeSynthesisNetwork(resolution=64, expected_vector_length=16)
+    data = rng.randn(5 * 16).astype(np.float32)
+    out = tmp_path / "quicklook.mp4"
+    vectors_single_network_visualization(
+        vectors_label=VectorsLabel(data=data, vector_length=16, label="demo"),
+        output_video_path=out,
+        network=network,
+        video_height=64,
+        video_fps=10.0,
+    )
+    assert out.is_file()
+    video = frames_in_video(out)
+    frames = list(video.frames)
+    assert len(frames) == 5
+    assert frames[0].shape == (64, 128, 3)  # [scatter | synthesis], 2:1
+
+
+def test_one_shot_single_vector_image(tmp_path, rng):
+    """single_vector_single_network_visualization writes one 2:1 image
+    (reference network_visualization.py:761-800)."""
+    from gance_tpu.media.images import read_image
+    from gance_tpu.synthesis.runtime import FakeSynthesisNetwork
+    from gance_tpu.viz.one_shot import single_vector_single_network_visualization
+
+    network = FakeSynthesisNetwork(resolution=32, expected_vector_length=16)
+    out = tmp_path / "single.png"
+    single_vector_single_network_visualization(
+        vector=rng.randn(16).astype(np.float32),
+        title="one vector",
+        output_image_path=out,
+        network=network,
+        image_height=64,
+        y_range=(-3.0, 3.0),
+    )
+    image = read_image(out)
+    assert image.shape == (64, 128, 3)

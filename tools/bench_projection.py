@@ -6,38 +6,77 @@ CUDA dev GPU (projector_file_writer.py:3-7) with a 60 s/step crash watchdog.
 This measures our jitted projector step (synthesis forward + perceptual
 forward/backward + Adam update, all one XLA program) at full config-f scale.
 
+--data-parallel N shards the frame batch over a ('data','model') mesh with an
+N-wide data axis (multi-chip projection). On a single-TPU host, pair it with
+--virtual-cpu M to measure frame-equivalent scaling on an M-device virtual CPU
+mesh (relative scaling is meaningful there; absolute steps/sec is not).
+
 Prints ONE JSON line with steps/sec and the projected wall time for the
 reference's default 1000-step frame projection.
 """
 
+import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-import gance_tpu  # noqa: F401
-import jax
-import numpy as np
-
 
 def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("resolution", type=int, nargs="?", default=1024)
+    parser.add_argument("steps", type=int, nargs="?", default=60)
+    parser.add_argument("compute_dtype", type=str, nargs="?", default="float32")
+    parser.add_argument("batch", type=int, nargs="?", default=1)
+    parser.add_argument(
+        "--data-parallel", type=int, default=None,
+        help="Shard frames over a mesh with this data-axis size.",
+    )
+    parser.add_argument(
+        "--virtual-cpu", type=int, default=None,
+        help="Force CPU with this many virtual devices (scaling experiments).",
+    )
+    args = parser.parse_args()
+
+    if args.virtual_cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.virtual_cpu}"
+        ).strip()
+
+    sys.path.insert(0, "/root/repo")
+    import gance_tpu  # noqa: F401
+    import jax
+
+    if args.virtual_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
     from gance_tpu.models.stylegan2 import GeneratorConfig, init_generator_params
     from gance_tpu.projection.projector import ProjectorSettings, TPUProjector
 
-    resolution = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-    compute_dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
-    batch = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    resolution, steps = args.resolution, args.steps
+    compute_dtype, batch = args.compute_dtype, args.batch
 
     config = GeneratorConfig(resolution=resolution)
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_generator_params(jax.random.PRNGKey(0), config)
-    params = jax.device_put(params, jax.devices()[0])
+
+    mesh = None
+    if args.data_parallel:
+        from gance_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(data_parallel=args.data_parallel)
+        print(f"mesh: {dict(mesh.shape)}", file=sys.stderr, flush=True)
+    else:
+        params = jax.device_put(params, jax.devices()[0])
 
     projector = TPUProjector(
         params, config,
         settings=ProjectorSettings(num_steps=steps, compute_dtype=compute_dtype),
         expected_time_per_step=None,  # fully pipelined: no per-step host sync
+        mesh=mesh,
     )
     targets = (np.random.RandomState(0).rand(batch, resolution, resolution, 3) * 255).astype(
         np.uint8
@@ -53,6 +92,7 @@ def main() -> None:
     steps_per_sec = steps / elapsed
     # a 1000-step run projects `batch` frames concurrently
     seconds_per_1000 = 1000.0 / steps_per_sec / batch
+    dp = args.data_parallel or 1
     print(
         f"{steps} steps in {elapsed:.1f}s; final LPIPS-form distance "
         f"{result.final_distance:.4f}",
@@ -61,12 +101,17 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"{resolution}px LPIPS projection steps/sec/chip ({compute_dtype}, batch {batch})",
+                "metric": (
+                    f"{resolution}px LPIPS projection steps/sec ({compute_dtype}, "
+                    f"batch {batch}" + (f", dp={dp}" if dp > 1 else "") + ")"
+                ),
                 "value": round(steps_per_sec, 2),
                 "unit": "steps/sec",
                 "reference_1000step_frame_sec": 600.0,
                 "ours_1000step_frame_sec": round(seconds_per_1000, 1),
                 "frames_per_projection": batch,
+                "frame_equiv_steps_per_sec": round(steps_per_sec * batch, 2),
+                "data_parallel": dp,
                 "speedup_vs_reference": round(600.0 / seconds_per_1000, 1),
             }
         )
