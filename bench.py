@@ -41,6 +41,10 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "24"))
     iters = int(os.environ.get("BENCH_ITERS", "12"))
     resolution = int(os.environ.get("BENCH_RESOLUTION", "1024"))
+    # BENCH_DTYPE=float32 measures the exact path; combine with
+    # GANCE_TPU_PRECISION=high for the bf16x3 fp32-emulation experiment.
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    compute_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_name]
 
     config = GeneratorConfig(resolution=resolution)
 
@@ -55,7 +59,7 @@ def main() -> None:
     def forward_acc(p, z, acc):
         images = images_to_uint8(
             generator_apply(
-                p, z, config, truncation_psi=1.2, compute_dtype=jnp.bfloat16
+                p, z, config, truncation_psi=1.2, compute_dtype=compute_dtype
             )
         )
         return acc + jnp.sum(images.astype(jnp.uint32))
@@ -87,10 +91,15 @@ def main() -> None:
         f"({elapsed / iters * 1000:.0f} ms/batch of {batch})",
         file=sys.stderr,
     )
+    dtype_note = (
+        "bf16 compute, fp32 accum"
+        if dtype_name == "bfloat16"
+        else f"{dtype_name} compute, {os.environ.get('GANCE_TPU_PRECISION', 'highest')} precision"
+    )
     print(
         json.dumps(
             {
-                "metric": f"{resolution}x{resolution} StyleGAN2 synthesis frames/sec/chip (bf16 compute, fp32 accum)",
+                "metric": f"{resolution}x{resolution} StyleGAN2 synthesis frames/sec/chip ({dtype_note})",
                 "value": round(frames_per_sec, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(frames_per_sec / 60.0, 3),

@@ -1,11 +1,16 @@
 """
-Per-op profile of the full synthesis model on the real TPU.
+Per-op profile of the full synthesis model (or the projection step) on the
+real TPU.
 
 Runs a jax.profiler trace around a few chained forward batches, parses the
 written xplane protobuf and aggregates device self-time by HLO op category /
-fusion name. This is the tool behind ROUND_NOTES.md's performance model table.
+fusion name. This is the tool behind ROUND_NOTES.md's performance model table
+and the batch-cliff diffs (r2 VERDICT item 7).
 
 Usage: python tools/profile_model.py [trace_dir] [top_k]
+Env:   PROFILE_BATCH=24   batch size
+       PROFILE_MODE=synthesis | projection   (projection traces the jitted
+       LPIPS step: synthesis fwd + perceptual fwd/bwd + Adam update)
 """
 
 import collections
@@ -87,10 +92,76 @@ def summarize(trace_dir: str, iters: int, top_k: int = 30) -> None:
         print(f"{name[:78]:78s} {ms / iters:9.3f} {100 * ms / total_device:5.1f}%")
 
 
+def run_trace_projection(trace_dir: str, iters: int, batch: int) -> None:
+    """
+    Trace the jitted projection step (synthesis fwd + LPIPS fwd/bwd + Adam) at
+    full config-f scale (bf16), driving `TPUProjector._step_fn` directly so the
+    trace holds ONLY the compiled step — project_batch's final eager synthesis
+    pass would otherwise pollute the op totals.
+    """
+    from gance_tpu.models.stylegan2 import GeneratorConfig, init_generator_params
+    from gance_tpu.projection.lpips import downsample_to
+    from gance_tpu.projection.projector import ProjectorSettings, TPUProjector
+
+    config = GeneratorConfig(resolution=1024)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_generator_params(jax.random.PRNGKey(0), config)
+    params = jax.device_put(params, jax.devices()[0])
+    settings = ProjectorSettings(compute_dtype="bfloat16", dlatent_avg_samples=512)
+    projector = TPUProjector(
+        params, config, settings=settings, expected_time_per_step=None
+    )
+    targets = (
+        np.random.RandomState(0).rand(batch, 1024, 1024, 3) * 255
+    ).astype(np.uint8)
+
+    target = jnp.asarray(targets, jnp.float32) / 127.5 - 1.0
+    target_proc = downsample_to(target, settings.perceptual_size)
+    rng = jax.random.PRNGKey(settings.seed)
+    w = jnp.tile(jnp.asarray(projector.dlatent_avg), (batch, 1))
+    noise_rng, rng = jax.random.split(rng)
+    noises = [
+        jax.random.normal(
+            jax.random.fold_in(noise_rng, i),
+            (batch,) + tuple(params["synthesis"]["noise"][name].shape[1:]),
+        )
+        for i, name in enumerate(projector._noise_names)
+    ]
+    opt_state = projector._optimizer.init((w, noises))
+
+    def one_step(w, noises, opt_state, rng, step_number):
+        t = jnp.asarray(step_number / 1000.0, jnp.float32)
+        rng, step_rng = jax.random.split(rng)
+        w, noises, opt_state, dist, _ = projector._step_fn(
+            w, noises, opt_state, target_proc, t, step_rng
+        )
+        return w, noises, opt_state, rng, dist
+
+    t0 = time.time()
+    w, noises, opt_state, rng, dist = one_step(w, noises, opt_state, rng, 0)
+    dist.block_until_ready()
+    print(f"compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    with jax.profiler.trace(trace_dir):
+        for step_number in range(1, iters + 1):
+            w, noises, opt_state, rng, dist = one_step(
+                w, noises, opt_state, rng, step_number
+            )
+        dist.block_until_ready()
+    print(f"traced {iters} projection steps", file=sys.stderr)
+
+
 if __name__ == "__main__":
+    import os
+
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gance_profile"
     top_k = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     iters = 3
-    print(f"device: {jax.devices()[0]}", file=sys.stderr)
-    run_trace(trace_dir, iters=iters)
+    batch = int(os.environ.get("PROFILE_BATCH", "24"))
+    mode = os.environ.get("PROFILE_MODE", "synthesis")
+    print(f"device: {jax.devices()[0]} mode={mode} batch={batch}", file=sys.stderr)
+    if mode == "projection":
+        run_trace_projection(trace_dir, iters=iters, batch=batch)
+    else:
+        run_trace(trace_dir, iters=iters, batch=batch)
     summarize(trace_dir, iters, top_k)
