@@ -64,3 +64,170 @@ def waterfall_demo(output_directory: Path) -> Path:
     out = Path(output_directory) / "waterfall_demo.png"
     write_image(frame, out)
     return out
+
+
+def smoothing_demo(output_directory: Path, wav_path: Path, vector_length: int = 1000) -> Path:
+    """
+    Raw vs smoothed audio spectrogram side by side (reference
+    visualization_examples.py `demo_smoothing`).
+    """
+    import numpy as np
+
+    from gance_tpu.audio.io import read_wav_file
+    from gance_tpu.audio.spectrogram import compute_spectrogram, reshape_spectrogram_to_vectors
+    from gance_tpu.audio.vectors import smooth_across_vectors
+
+    audio = read_wav_file(Path(wav_path)).wav_data
+    spectrogram = reshape_spectrogram_to_vectors(
+        spectrogram_data=compute_spectrogram(np.asarray(audio), vector_length),
+        vector_length=vector_length,
+    )
+    smoothed = smooth_across_vectors(spectrogram, vector_length)
+    frame = multi_plot_vectors(
+        [
+            VectorsLabel(np.asarray(spectrogram), vector_length, "Spectrogram"),
+            VectorsLabel(np.asarray(smoothed), vector_length, "Smooth Spectrogram"),
+        ],
+        side_length=300,
+    )
+    out = Path(output_directory) / "smoothing_demo.png"
+    write_image(frame, out)
+    return out
+
+
+def rotation_demo(output_directory: Path, wav_path: Path, vector_length: int = 512) -> Path:
+    """
+    Effect of rotating concatenated vectors over time, plus a short rendered
+    video of the rotated stream (reference `demo_rotation`).
+    """
+    import numpy as np
+
+    from gance_tpu.audio.dsp import rotate_vectors_over_time
+    from gance_tpu.audio.io import read_wavs_scale_for_video
+    from gance_tpu.audio.spectrogram import compute_spectrogram_smooth_scale
+    from gance_tpu.viz.panels import vectors_to_video
+
+    audio = read_wavs_scale_for_video(
+        wavs=[Path(wav_path)], vector_length=vector_length, frames_per_second=60.0
+    ).wav_data
+    spectrogram = np.asarray(
+        compute_spectrogram_smooth_scale(
+            data=audio, vector_length=vector_length, amplitude_range=(-10.0, 10.0)
+        )
+    )
+    num_vectors = spectrogram.shape[0] // vector_length
+    rotated = np.asarray(
+        rotate_vectors_over_time(
+            spectrogram.reshape(num_vectors, vector_length),
+            np.full((num_vectors,), 10),
+        )
+    ).reshape(-1)
+
+    frame = multi_plot_vectors(
+        [
+            VectorsLabel(spectrogram, vector_length, "Raw Spectrogram"),
+            VectorsLabel(rotated, vector_length, "Rotated"),
+        ],
+        side_length=300,
+    )
+    out = Path(output_directory) / "rotation_demo.png"
+    write_image(frame, out)
+    vectors_to_video(
+        data=rotated[: vector_length * min(num_vectors, 15)],
+        vector_length=vector_length,
+        output_path=Path(output_directory) / "rotation_demo.mp4",
+        video_fps=15.0,
+        side_length=300,
+    )
+    return out
+
+
+def reducer_demo(output_directory: Path, wav_path: Path) -> Path:
+    """
+    How a song reduces to network indices (reference
+    `demo_visualize_reducer_output`).
+    """
+    from gance_tpu.audio.reduction import reduce_vector_gzip_compression_rolling_average
+    from gance_tpu.viz.reduction_viz import visualize_reducer_output
+
+    out = Path(output_directory) / "reducer_demo.png"
+    visualize_reducer_output(
+        Path(wav_path),
+        reduce_vector_gzip_compression_rolling_average,
+        output_image_path=out,
+    )
+    return out
+
+
+def synthesis_frame_demo(output_directory: Path, wav_path: Path, vector_length: int = 1000) -> Path:
+    """
+    One frame of the synthesis debug pane: the noise_blend input synthesizer
+    feeding the 2x2 panel renderer (reference `data_visualizations_single_frame`).
+    """
+    from gance_tpu.audio.io import read_wavs_scale_for_video
+    from gance_tpu.synthesis.inputs import alpha_blend_vectors_max_rms_power_audio
+    from gance_tpu.synthesis.orchestration import frame_inputs
+    from gance_tpu.viz.panels import synthesis_visualizer
+
+    audio = read_wavs_scale_for_video(
+        wavs=[Path(wav_path)], vector_length=vector_length, frames_per_second=60.0
+    ).wav_data
+    data = alpha_blend_vectors_max_rms_power_audio(
+        alpha=0.5,
+        fft_roll_enabled=False,
+        fft_amplitude_range=(-4.0, 4.0),
+        time_series_audio_vectors=audio,
+        vector_length=vector_length,
+        network_indices=list(range(20)),
+    )
+    inputs = frame_inputs(data)
+    render = synthesis_visualizer(side_length=300)
+    frame = render(inputs[min(18, len(inputs) - 1)])
+    out = Path(output_directory) / "synthesis_frame_demo.png"
+    write_image(frame, out)
+    return out
+
+
+def quick_look_demo(output_directory: Path, resolution: int = 32) -> Path:
+    """
+    The one-shot [scatter | synthesis] quick-look over a random-init network
+    (reference network_visualization.py:704-800 via viz/one_shot.py).
+    """
+    import jax
+    import numpy as np
+
+    from gance_tpu.models.stylegan2 import GeneratorConfig, init_generator_params
+    from gance_tpu.synthesis.runtime import SynthesisNetwork
+    from gance_tpu.viz.one_shot import (
+        single_vector_single_network_visualization,
+        vectors_single_network_visualization,
+    )
+
+    config = GeneratorConfig(
+        resolution=resolution, fmap_base=512, fmap_max=64, latent_size=64,
+        dlatent_size=64, mapping_layers=2, mapping_fmaps=64,
+    )
+    network = SynthesisNetwork(
+        params=init_generator_params(jax.random.PRNGKey(0), config), config=config
+    )
+    rng = np.random.RandomState(0)
+    out = Path(output_directory) / "quick_look.png"
+    single_vector_single_network_visualization(
+        vector=rng.randn(config.latent_size).astype(np.float32),
+        title="one vector",
+        output_image_path=out,
+        network=network,
+        image_height=resolution * 4,
+    )
+    vectors_single_network_visualization(
+        vectors_label=VectorsLabel(
+            data=rng.randn(6 * config.latent_size).astype(np.float32),
+            vector_length=config.latent_size,
+            label="six vectors",
+        ),
+        output_video_path=Path(output_directory) / "quick_look.mp4",
+        network=network,
+        video_height=resolution * 4,
+        video_fps=10.0,
+    )
+    return out

@@ -146,6 +146,29 @@ def test_examples(tmp_path):
     assert waterfall_demo(tmp_path).exists()
 
 
+def test_examples_audio_and_quicklook(tmp_path):
+    """The full reference demo set runs headless on the real claps.wav asset
+    (reference visualization_examples.py demos)."""
+    from pathlib import Path
+
+    from gance_tpu.viz.examples import (
+        quick_look_demo,
+        reducer_demo,
+        rotation_demo,
+        smoothing_demo,
+        synthesis_frame_demo,
+    )
+
+    wav = Path("/root/reference/test/assets/claps.wav")
+    assert smoothing_demo(tmp_path, wav, vector_length=256).exists()
+    assert rotation_demo(tmp_path, wav, vector_length=256).exists()
+    assert (tmp_path / "rotation_demo.mp4").exists()
+    assert reducer_demo(tmp_path, wav).exists()
+    assert synthesis_frame_demo(tmp_path, wav, vector_length=256).exists()
+    assert quick_look_demo(tmp_path).exists()
+    assert (tmp_path / "quick_look.mp4").exists()
+
+
 def test_stage_timer():
     from gance_tpu.utils.profiling import StageTimer
 
