@@ -46,6 +46,13 @@ Params = Dict[str, Any]
 # v5e peaks near batch 24 (bench.py), so raise GANCE_TPU_BATCH_SIZE for offline runs.
 DEFAULT_BATCH_SIZE = int(os.environ.get("GANCE_TPU_BATCH_SIZE", "8"))
 
+# How many batches of frames synthesize_stream groups at once: with rapidly
+# alternating network indices, grouping over lookahead*batch frames lets each
+# index fill WHOLE batches (zero pad waste) instead of pow-2-padded fragments;
+# pad waste is bounded by ~1 + 1/lookahead. Costs lookahead batches of output
+# latency/HBM, irrelevant for offline renders.
+DEFAULT_STREAM_LOOKAHEAD = int(os.environ.get("GANCE_TPU_STREAM_LOOKAHEAD", "2"))
+
 # Compute dtype for synthesis ("float32" exact / "bfloat16" fast — style/demod math
 # stays fp32 either way; measured 141 vs 38 frames/sec at 1024px on v5e).
 DEFAULT_COMPUTE_DTYPE = {
@@ -456,25 +463,29 @@ class MultiNetwork:
         frame_data: np.ndarray,
         network_indices: Optional[np.ndarray] = None,
         batch_size: int = DEFAULT_BATCH_SIZE,
+        lookahead: int = DEFAULT_STREAM_LOOKAHEAD,
     ) -> Iterator[np.ndarray]:
         """
         Synthesize frames in order, yielding uint8 (H, W, 3) images one at a time
         while computing in fixed-size batches.
 
-        Frames are processed in lookahead windows of `batch_size` frames. Within a
-        window, frames are gathered by network index (the reference's sort-by-index
-        insight, network_visualization.py:653-674, re-expressed as an order-restored
-        batch gather: grouping happens inside the window, outputs scatter back to
-        stream order, so the caller sees frames strictly in order). Each per-index
-        group is padded only to the next power-of-two bucket, so rapidly alternating
-        indices cost <2x FLOPs instead of the up-to-batch_size x a naive
-        pad-every-run scheme wastes. Because every network's params are resident,
+        Frames are processed in windows of `lookahead * batch_size` frames.
+        Within a window, frames are gathered by network index (the reference's
+        sort-by-index insight, network_visualization.py:653-674, re-expressed as
+        an order-restored batch gather: grouping happens inside the window,
+        outputs scatter back to stream order, so the caller sees frames strictly
+        in order). Each per-index group dispatches in FULL `batch_size` chunks
+        plus one power-of-two-padded remainder — so with lookahead >= 2, rapidly
+        alternating indices still fill whole batches and pad waste is bounded by
+        ~1 + 1/lookahead (lookahead=1 reproduces the old per-batch windows with
+        their <2x bound). Because every network's params are resident,
         "switching" is free.
 
         Egress is double-buffered at window granularity: window i+1's groups are
         dispatched (JAX dispatch is async) before window i is pulled to the host,
         so device compute overlaps the device->host transfer and downstream host
-        work.
+        work. Larger lookahead costs proportionally more output-frame latency and
+        HBM — irrelevant for offline renders, lower it for interactive use.
 
         :param frame_data: (N, V) vectors or (N, R, V) matrices.
         :param network_indices: (N,) ints into this MultiNetwork; None -> all zeros.
@@ -489,6 +500,8 @@ class MultiNetwork:
             n = network_indices.shape[0]
             frame_data = frame_data[:n]
 
+        window_size = batch_size * max(int(lookahead), 1)
+
         # Batches that shard over a mesh must stay divisible by the data-axis size.
         data_axis = getattr(self._mesh, "shape", {}).get("data", 1) if self._mesh else 1
 
@@ -501,19 +514,28 @@ class MultiNetwork:
                     start + offset
                     for offset in np.nonzero(window_indices == index)[0]
                 ]
-                chunk = frame_data[positions]
-                padded, _ = _pad_batch(
-                    chunk, _bucket_size(len(positions), batch_size, multiple=data_axis)
-                )
-                groups.append(
-                    (networks[index].device_images_generic(padded), positions)
-                )
+                # Full batches first; only the remainder pays pad waste.
+                for chunk_start in range(0, len(positions), batch_size):
+                    chunk_positions = positions[chunk_start : chunk_start + batch_size]
+                    chunk = frame_data[chunk_positions]
+                    padded, _ = _pad_batch(
+                        chunk,
+                        _bucket_size(
+                            len(chunk_positions), batch_size, multiple=data_axis
+                        ),
+                    )
+                    groups.append(
+                        (
+                            networks[index].device_images_generic(padded),
+                            chunk_positions,
+                        )
+                    )
             return end - start, groups
 
         pending: Optional[Tuple[int, List[Tuple[Any, List[int]]]]] = None
         pending_start = 0
-        for start in range(0, n, batch_size):
-            window = dispatch_window(start, min(start + batch_size, n))
+        for start in range(0, n, window_size):
+            window = dispatch_window(start, min(start + window_size, n))
             if pending is not None:
                 yield from _window_in_order(pending, pending_start)
                 pending_start += pending[0]
@@ -526,8 +548,13 @@ class MultiNetwork:
         frame_data: np.ndarray,
         network_indices: Optional[np.ndarray] = None,
         batch_size: int = DEFAULT_BATCH_SIZE,
+        lookahead: int = DEFAULT_STREAM_LOOKAHEAD,
     ) -> np.ndarray:
         """Materialize the full (N, R, R, 3) uint8 stack (small runs / tests)."""
         return np.stack(
-            list(self.synthesize_stream(frame_data, network_indices, batch_size))
+            list(
+                self.synthesize_stream(
+                    frame_data, network_indices, batch_size, lookahead
+                )
+            )
         )
