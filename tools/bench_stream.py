@@ -60,26 +60,34 @@ def main() -> None:
 
     z = np.random.RandomState(0).randn(frames, config.latent_size).astype(np.float32)
 
+    lookaheads = [
+        int(v) for v in os.environ.get("BENCH_LOOKAHEADS", "1,2").split(",")
+    ]
     results = {}
-    for factor in factors:
-        indices = (np.arange(frames) // factor) % 2
-        # warmup: compile every bucket shape this pattern produces
-        for image in multi.synthesize_stream(z[: batch * 2], indices[: batch * 2], batch):
-            pass
-        t0 = time.time()
-        count = 0
-        for image in multi.synthesize_stream(z, indices, batch):
-            count += 1
-        elapsed = time.time() - t0
-        fps = count / elapsed
-        results[f"alternation_{factor}"] = round(fps, 2)
-        print(
-            f"factor {factor:2d}: {fps:7.2f} f/s ({count} frames in {elapsed:.2f}s)",
-            file=sys.stderr,
-            flush=True,
-        )
+    for lookahead in lookaheads:
+        for factor in factors:
+            indices = (np.arange(frames) // factor) % 2
+            # warmup: compile every bucket shape this pattern produces
+            for image in multi.synthesize_stream(
+                z[: batch * 2 * lookahead], indices[: batch * 2 * lookahead],
+                batch, lookahead,
+            ):
+                pass
+            t0 = time.time()
+            count = 0
+            for image in multi.synthesize_stream(z, indices, batch, lookahead):
+                count += 1
+            elapsed = time.time() - t0
+            fps = count / elapsed
+            results[f"lookahead_{lookahead}_alternation_{factor}"] = round(fps, 2)
+            print(
+                f"lookahead {lookahead} factor {factor:2d}: {fps:7.2f} f/s "
+                f"({count} frames in {elapsed:.2f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
 
-    baseline = results.get("alternation_24") or max(results.values())
+    baseline = max(results.values())
     print(
         json.dumps(
             {
