@@ -21,6 +21,47 @@ Params = Dict[str, Any]
 _MIN_SHARDED_PARAM = 1 << 16  # 64k elements
 
 
+def _hybrid_device_grid(
+    devices: list, data_parallel: int, model_parallel: int
+) -> np.ndarray:
+    """
+    Arrange multi-slice devices into a (data, model) grid whose axes respect the
+    interconnect hierarchy (scaling-book layout): the 'model' axis lives entirely
+    WITHIN a slice (tensor-parallel collectives ride ICI every layer), and the
+    'data' axis varies slice index slowest (the only cross-DCN traffic is the
+    once-per-step gradient psum / the never-communicating serving batch axis).
+
+    Pure function over any objects with a `slice_index` attribute (testable
+    without multi-slice hardware).
+    """
+    slices: dict = {}
+    for device in devices:
+        slices.setdefault(getattr(device, "slice_index", 0), []).append(device)
+    per_slice = {k: len(v) for k, v in slices.items()}
+    if len(set(per_slice.values())) != 1:
+        raise ValueError(f"Uneven devices per slice: {per_slice}")
+    slice_size = next(iter(per_slice.values()))
+    if slice_size % model_parallel:
+        raise ValueError(
+            f"model axis {model_parallel} must divide the slice size {slice_size} "
+            "(tensor-parallel collectives must stay on ICI)"
+        )
+    dp_per_slice = slice_size // model_parallel
+    if data_parallel != dp_per_slice * len(slices):
+        raise ValueError(
+            f"dp={data_parallel} != per-slice dp {dp_per_slice} x {len(slices)} slices"
+        )
+    rows = []
+    for slice_index in sorted(slices):
+        rows.append(
+            np.asarray(slices[slice_index], dtype=object).reshape(
+                dp_per_slice, model_parallel
+            )
+        )
+    # slice index varies slowest along 'data'
+    return np.concatenate(rows, axis=0)
+
+
 def create_mesh(
     n_devices: Optional[int] = None,
     data_parallel: Optional[int] = None,
@@ -30,6 +71,11 @@ def create_mesh(
     axis gets as many devices as possible while keeping the model axis a power-of-2
     divisor (1, 2 or 4) — frame synthesis is embarrassingly data-parallel, so DP
     should dominate unless the model doesn't fit.
+
+    Multi-slice topologies (devices reporting distinct `slice_index`es, i.e.
+    ICI islands joined by DCN) are laid out hierarchically: 'model' never
+    crosses a slice boundary and 'data' varies slice index slowest, so every
+    per-layer collective rides ICI and only the batch axis touches DCN.
     """
     devices = jax.devices()
     if n_devices is not None:
@@ -45,7 +91,12 @@ def create_mesh(
         if count % data_parallel:
             raise ValueError(f"{count} devices not divisible by dp={data_parallel}")
         model_parallel = count // data_parallel
-    grid = np.asarray(devices).reshape(data_parallel, model_parallel)
+
+    n_slices = len({getattr(device, "slice_index", 0) for device in devices})
+    if n_slices > 1:
+        grid = _hybrid_device_grid(list(devices), data_parallel, model_parallel)
+    else:
+        grid = np.asarray(devices).reshape(data_parallel, model_parallel)
     return Mesh(grid, axis_names=("data", "model"))
 
 

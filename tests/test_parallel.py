@@ -269,3 +269,38 @@ def test_one_network_per_device_serving(tmp_path):
         from gance_tpu.parallel.mesh import create_mesh
 
         MultiNetwork(paths, mesh=create_mesh(), device_per_network=True)
+
+
+def test_hybrid_grid_keeps_model_axis_on_ici():
+    """
+    Multi-slice layout (SURVEY §2.10 distributed-backend row): the 'model' axis
+    must never cross a slice boundary (per-layer collectives ride ICI) and the
+    'data' axis varies slice index slowest (only the batch axis touches DCN).
+    Tested against stub devices — multi-slice hardware doesn't exist here.
+    """
+    from dataclasses import dataclass
+
+    from gance_tpu.parallel.mesh import _hybrid_device_grid
+
+    @dataclass(frozen=True)
+    class StubDevice:
+        id: int
+        slice_index: int
+
+    devices = [StubDevice(id=s * 4 + i, slice_index=s) for s in range(2) for i in range(4)]
+
+    grid = _hybrid_device_grid(devices, data_parallel=4, model_parallel=2)
+    assert grid.shape == (4, 2)
+    # every 'model' row is within one slice
+    for row in grid:
+        assert len({device.slice_index for device in row}) == 1
+    # 'data' axis: slice 0 rows first, slice 1 rows after (slice varies slowest)
+    assert [row[0].slice_index for row in grid] == [0, 0, 1, 1]
+
+    # model axis larger than a slice must refuse (would put tp on DCN)
+    with pytest.raises(ValueError, match="ICI"):
+        _hybrid_device_grid(devices, data_parallel=1, model_parallel=8)
+
+    # uneven slices refuse
+    with pytest.raises(ValueError, match="Uneven"):
+        _hybrid_device_grid(devices[:7], data_parallel=7, model_parallel=1)
