@@ -142,6 +142,13 @@ class RawAviWriter:
         direct_io: bool = True,
         segment_bytes: int = SEGMENT_BYTES_DEFAULT,
     ) -> None:
+        # RIFF sizes and idx1 offsets are uint32: past 4 GiB they silently wrap
+        # and the segment becomes unplayable, so refuse budgets near the limit.
+        if segment_bytes > int(3.9 * 1024**3):
+            raise ValueError(
+                f"segment_bytes {segment_bytes} exceeds the AVI uint32 ceiling; "
+                "use <= 3.9 GiB per segment"
+            )
         self._lib = _load_library()
         self._base = Path(path)
         self._width = int(width)
@@ -176,7 +183,12 @@ class RawAviWriter:
     def _roll_if_needed(self) -> None:
         used = int(self._lib.avi_bytes_written(self._ctx))
         if used + self._frame_bytes > self._segment_bytes:
-            self._lib.avi_finalize(self._ctx)
+            if self._lib.avi_finalize(self._ctx) != 0:
+                self._ctx = None
+                raise IOError(
+                    f"finalizing raw AVI segment {self.segment_paths[-1]} failed "
+                    "(disk full?)"
+                )
             self._segment_index += 1
             self._ctx = self._open_segment()
 
@@ -211,8 +223,13 @@ class RawAviWriter:
 
     def finalize(self) -> None:
         if self._ctx:
-            self._lib.avi_finalize(self._ctx)
+            rc = self._lib.avi_finalize(self._ctx)
             self._ctx = None
+            if rc != 0:
+                raise IOError(
+                    f"finalizing raw AVI {self.segment_paths[-1]} failed: the tail "
+                    "flush or header patches did not land (disk full?)"
+                )
 
 
 def _audio_as_int16(path: Path) -> tuple:

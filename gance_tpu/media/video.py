@@ -139,6 +139,7 @@ def create_video_writer(
     video_fps: float,
     resolution: ImageResolution,
     high_quality: bool = False,
+    allow_spill: bool = True,
 ) -> VideoWriterHandle:
     """
     Create a frame sink. `high_quality` selects the ffmpeg libx264 crf-18 profile
@@ -158,9 +159,17 @@ def create_video_writer(
         raise ValueError(
             f"GANCE_TPU_EGRESS={egress!r}: expected 'auto' or 'raw-spill'"
         )
-    if egress == "raw-spill":
+    if egress == "raw-spill" and allow_spill:
         LOGGER.info("Raw-spill egress: uncompressed AVI content at %s", video_path)
         return create_raw_spill_writer(video_path, video_fps, resolution)
+    if egress == "raw-spill":
+        LOGGER.warning(
+            "Raw-spill egress suppressed for %s: this output is re-processed "
+            "in place (audio mux re-encodes host-side, which would read only "
+            "the first spill segment); using the standard writer instead. "
+            "Render video-only for spill-rate egress and mux offline.",
+            video_path,
+        )
 
     if high_quality and _ffmpeg_binary():
         proc = subprocess.Popen(
@@ -370,9 +379,14 @@ def write_source_to_disk_forward(
         target = Path(video_path)
 
     # Encode runs on its own thread behind a bounded queue so the producer
-    # (synthesis / device egress) never stalls on the encoder.
+    # (synthesis / device egress) never stalls on the encoder. Audio-muxed
+    # outputs get re-read and re-encoded at mux time, so they never take the
+    # raw-spill path (segments would be dropped by the single-file mux).
     writer = threaded_writer(
-        create_video_writer(target, video_fps, resolution, high_quality=high_quality)
+        create_video_writer(
+            target, video_fps, resolution, high_quality=high_quality,
+            allow_spill=not mux_audio,
+        )
     )
 
     def forward() -> Iterator[np.ndarray]:

@@ -278,6 +278,20 @@ def project_video_to_file(
 
     from gance_tpu.projection.projector import ProjectorSettings
 
+    if mesh is not None:
+        data_axis = int(getattr(mesh, "shape", {}).get("data", 1))
+        if projection_batch < data_axis:
+            # Frames are independent, so raising the batch to fill the data
+            # axis is strictly better than padding every batch with discarded
+            # duplicate frames (the footgun of --data-parallel with the
+            # default --projection-batch 1: all chips burn, zero speedup).
+            LOGGER.info(
+                "Raising projection batch %d -> %d to fill the mesh data axis.",
+                projection_batch,
+                data_axis,
+            )
+            projection_batch = data_axis
+
     settings = ProjectorSettings(num_steps=steps_per_projection)
     if compute_dtype is not None:
         settings.compute_dtype = compute_dtype

@@ -133,6 +133,9 @@ def lpips_distance(
     space, sum blocks.
     :return: (B,) distances.
     """
+    # vgg_features returns features in ASCENDING block order regardless of the
+    # sequence order given; normalize so lin{block}_w always pairs correctly.
+    feature_blocks = tuple(sorted(feature_blocks))
     feats_a = vgg_features(params, images_a, feature_blocks)
     feats_b = vgg_features(params, images_b, feature_blocks)
     total = None

@@ -66,6 +66,21 @@ def convert_torchvision_vgg16(state_dict: Dict[str, "np.ndarray"]) -> Dict[str, 
     return params
 
 
+def _natural_key(name: str) -> Tuple:
+    """
+    Sort key treating digit runs numerically, so TF auto-suffixed scopes order
+    as Conv2D < Conv2D_2 < Conv2D_10 (lexicographic sort would scramble the
+    shape-identical 512->512 kernels into the wrong forward order — a silent
+    feature corruption, since every shape check still passes).
+    """
+    import re
+
+    return tuple(
+        int(part) if part.isdigit() else part
+        for part in re.split(r"(\d+)", name)
+    )
+
+
 def _vgg16_conv_chain() -> List[Tuple[int, int]]:
     """The 13 (cin, cout) pairs of the VGG16 conv stack, in forward order."""
     chain: List[Tuple[int, int]] = []
@@ -131,7 +146,7 @@ def convert_nvlabs_lpips(variables: Dict[str, np.ndarray]) -> Dict[str, np.ndarr
 
     # --- assign conv kernels along the VGG16 topology ---
     chain = _vgg16_conv_chain()
-    remaining = sorted(convs, key=lambda entry: entry[0])  # name-sorted
+    remaining = sorted(convs, key=lambda entry: _natural_key(entry[0]))
     position = 0
     for block, (cout, n_convs) in enumerate(VGG16_BLOCKS):
         for conv in range(n_convs):
@@ -162,7 +177,7 @@ def convert_nvlabs_lpips(variables: Dict[str, np.ndarray]) -> Dict[str, np.ndarr
     # --- learned linear layers, keyed by channel count ---
     if lins:
         block_channels = [cout for cout, _ in VGG16_BLOCKS]  # 64,128,256,512,512
-        unassigned = sorted(lins, key=lambda entry: entry[0])
+        unassigned = sorted(lins, key=lambda entry: _natural_key(entry[0]))
         for block, channels in enumerate(block_channels):
             match = next(
                 (entry for entry in unassigned if entry[1].shape[0] == channels), None
@@ -182,6 +197,52 @@ def convert_nvlabs_lpips(variables: Dict[str, np.ndarray]) -> Dict[str, np.ndarr
     params["input_shift"] = ZHANG_INPUT_SHIFT.copy()
     params["input_scale"] = ZHANG_INPUT_SCALE.copy()
     return params
+
+
+NVLABS_CONV_SCOPES: Tuple[str, ...] = (
+    "conv1_1", "conv1_2",
+    "conv2_1", "conv2_2",
+    "conv3_1", "conv3_2", "conv3_3",
+    "conv4_1", "conv4_2", "conv4_3",
+    "conv5_1", "conv5_2", "conv5_3",
+)
+
+
+def fabricate_nvlabs_lpips_variables(
+    rng: "np.random.RandomState", lin_layout: str = "4d", he_scaled: bool = False
+) -> Dict[str, np.ndarray]:
+    """
+    Fixture factory: the variables of a plausible `vgg16_zhang_perceptual.pkl`
+    (3x3 HWIO conv kernels + biases in TF name scopes, Zhang's learned 1x1 lin
+    layers). Used by the tests AND by tools/bench_projection_quality.py so
+    both always fabricate the exact layout this module's importer accepts.
+
+    :param lin_layout: "4d" -> (1, 1, C, 1) kernels, "2d" -> (C, 1).
+    :param he_scaled: He-scale the conv filters (a usable random metric, for
+        benches) instead of the tests' small-magnitude filters.
+    """
+    variables: Dict[str, np.ndarray] = {}
+    cin = 3
+    scope_names = iter(NVLABS_CONV_SCOPES)
+    for cout, n_convs in VGG16_BLOCKS:
+        for _ in range(n_convs):
+            scope = next(scope_names)
+            if he_scaled:
+                kernel = rng.randn(3, 3, cin, cout) * np.sqrt(2.0 / (9 * cin))
+                bias = np.zeros((cout,), np.float32)
+            else:
+                kernel = rng.randn(3, 3, cin, cout) * 0.01
+                bias = rng.randn(cout) * 0.001
+            variables[f"{scope}/weight"] = kernel.astype(np.float32)
+            variables[f"{scope}/bias"] = np.asarray(bias, np.float32)
+            cin = cout
+    for i, channels in enumerate([64, 128, 256, 512, 512]):
+        lin = np.abs(rng.randn(channels)).astype(np.float32)
+        if lin_layout == "4d":
+            variables[f"lin{i}/weight"] = lin.reshape(1, 1, channels, 1)
+        else:
+            variables[f"lin{i}/weight"] = lin.reshape(channels, 1)
+    return variables
 
 
 def load_nvlabs_lpips_pickle(path: Path) -> Dict[str, np.ndarray]:

@@ -119,40 +119,11 @@ def test_convert_rejects_wrong_channels(rng):
 # NVlabs vgg16_zhang_perceptual.pkl ingestion (VERDICT r2 item 2)
 # --------------------------------------------------------------------------------
 
-_NVLABS_CONV_NAMES = [
-    "conv1_1", "conv1_2",
-    "conv2_1", "conv2_2",
-    "conv3_1", "conv3_2", "conv3_3",
-    "conv4_1", "conv4_2", "conv4_3",
-    "conv5_1", "conv5_2", "conv5_3",
-]
-
-
-def _fabricate_nvlabs_lpips_variables(rng, lin_layout="4d"):
-    """
-    Variables of a plausible NVlabs LPIPS pickle: 3x3 HWIO conv kernels + biases
-    in TF name scopes, plus Zhang's learned 1x1 lin layers.
-    """
-    from gance_tpu.projection.lpips import VGG16_BLOCKS
-
-    variables = {}
-    cin = 3
-    name_index = iter(_NVLABS_CONV_NAMES)
-    for cout, n_convs in VGG16_BLOCKS:
-        for _ in range(n_convs):
-            scope = next(name_index)
-            variables[f"{scope}/weight"] = (
-                rng.randn(3, 3, cin, cout).astype(np.float32) * 0.01
-            )
-            variables[f"{scope}/bias"] = rng.randn(cout).astype(np.float32) * 0.001
-            cin = cout
-    for i, channels in enumerate([64, 128, 256, 512, 512]):
-        lin = np.abs(rng.randn(channels)).astype(np.float32)
-        if lin_layout == "4d":
-            variables[f"lin{i}/weight"] = lin.reshape(1, 1, channels, 1)
-        else:
-            variables[f"lin{i}/weight"] = lin.reshape(channels, 1)
-    return variables
+# Shared with tools/bench_projection_quality.py so tests and benches always
+# fabricate the exact layout the importer accepts.
+from gance_tpu.projection.vgg_import import (
+    fabricate_nvlabs_lpips_variables as _fabricate_nvlabs_lpips_variables,
+)
 
 
 def _write_nvlabs_lpips_pickle(path, variables):
@@ -267,3 +238,45 @@ def test_lpips_linear_weights_and_scaling_applied(rng):
     scaled["input_shift"] = np.array([-0.1, 0.0, 0.1], np.float32)
     scaled["input_scale"] = np.array([0.5, 0.5, 0.5], np.float32)
     assert not np.allclose(np.asarray(lpips_distance(scaled, a, b)), base, rtol=1e-3)
+
+
+def test_nvlabs_import_handles_tf_autonumbered_scopes(rng):
+    """
+    TF auto-suffixed scope names (Conv2D, Conv2D_1, ..., Conv2D_12) must assign
+    in FORWARD order: lexicographic sort would put Conv2D_10 before Conv2D_2 and
+    silently scramble the five shape-identical 512->512 kernels.
+    """
+    from gance_tpu.projection.vgg_import import (
+        NVLABS_CONV_SCOPES,
+        convert_nvlabs_lpips,
+        fabricate_nvlabs_lpips_variables,
+    )
+
+    variables = fabricate_nvlabs_lpips_variables(rng)
+    renamed = {}
+    for name, value in variables.items():
+        scope, leaf = name.split("/")
+        if scope in NVLABS_CONV_SCOPES:
+            position = NVLABS_CONV_SCOPES.index(scope)
+            scope = "Conv2D" if position == 0 else f"Conv2D_{position}"
+        renamed[f"{scope}/{leaf}"] = value
+
+    params = convert_nvlabs_lpips(renamed)
+    # forward order preserved: conv4_2 (position 8, a 512->512 kernel) must land
+    # at block3_conv1, not be displaced by Conv2D_10..12
+    np.testing.assert_array_equal(params["block3_conv1_w"], variables["conv4_2/weight"])
+    np.testing.assert_array_equal(params["block4_conv2_w"], variables["conv5_3/weight"])
+
+
+def test_lpips_feature_blocks_order_insensitive(rng):
+    """lin{b}_w keying must not depend on the caller's feature_blocks order."""
+    from gance_tpu.projection.lpips import random_vgg_params
+
+    params = dict(random_vgg_params(seed=5))
+    for i, c in enumerate([64, 128, 256, 512, 512]):
+        params[f"lin{i}_w"] = np.abs(rng.randn(c)).astype(np.float32)
+    a = rng.randn(1, 16, 16, 3).astype(np.float32) * 0.3
+    b = rng.randn(1, 16, 16, 3).astype(np.float32) * 0.3
+    fwd = np.asarray(lpips_distance(params, a, b, feature_blocks=(2, 4)))
+    rev = np.asarray(lpips_distance(params, a, b, feature_blocks=(4, 2)))
+    np.testing.assert_allclose(fwd, rev, rtol=1e-6)

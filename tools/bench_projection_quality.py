@@ -33,31 +33,14 @@ def _fabricated_nvlabs_metric(seed: int):
     """An independent LPIPS metric through the production NVlabs import path."""
     import numpy as np
 
-    from gance_tpu.projection.lpips import VGG16_BLOCKS
-    from gance_tpu.projection.vgg_import import convert_nvlabs_lpips
-
-    rng = np.random.RandomState(seed)
-    variables = {}
-    cin = 3
-    names = iter(
-        ["conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2",
-         "conv3_3", "conv4_1", "conv4_2", "conv4_3", "conv5_1", "conv5_2",
-         "conv5_3"]
+    from gance_tpu.projection.vgg_import import (
+        convert_nvlabs_lpips,
+        fabricate_nvlabs_lpips_variables,
     )
-    for cout, n_convs in VGG16_BLOCKS:
-        for _ in range(n_convs):
-            scope = next(names)
-            fan_in = 3 * 3 * cin
-            variables[f"{scope}/weight"] = (
-                rng.randn(3, 3, cin, cout) * np.sqrt(2.0 / fan_in)
-            ).astype(np.float32)
-            variables[f"{scope}/bias"] = np.zeros((cout,), np.float32)
-            cin = cout
-    for i, channels in enumerate([64, 128, 256, 512, 512]):
-        variables[f"lin{i}/weight"] = np.abs(
-            rng.randn(1, 1, channels, 1)
-        ).astype(np.float32)
-    return convert_nvlabs_lpips(variables)
+
+    return convert_nvlabs_lpips(
+        fabricate_nvlabs_lpips_variables(np.random.RandomState(seed), he_scaled=True)
+    )
 
 
 def main() -> None:
