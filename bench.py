@@ -36,8 +36,12 @@ def main() -> None:
         init_generator_params,
     )
 
-    # 24 is the sweet spot: 26/28/32 fit HBM since the phase rewrite but run
-    # 15-20% slower per frame (XLA reshuffles past 24; measured r2).
+    # 24 is the sweet spot. The "cliff" past it is sublane padding: these
+    # layouts put batch on the 8-wide sublane axis (T(8,128) tiles), so any
+    # batch not a multiple of 8 pads to the next one — b28 computes as 32
+    # (+14% per frame, matching the measured 13% via xplane diff, r3); b32
+    # is pad-free but exceeds the VMEM-friendly working set. Use multiples
+    # of 8.
     batch = int(os.environ.get("BENCH_BATCH", "24"))
     iters = int(os.environ.get("BENCH_ITERS", "12"))
     resolution = int(os.environ.get("BENCH_RESOLUTION", "1024"))

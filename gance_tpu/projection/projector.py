@@ -226,25 +226,34 @@ class TPUProjector:
     def _build_step(self):
         settings = self.settings
 
-        def loss_fn(w, noises, target_proc, w_jitter):
+        # The perceptual net's weights are an explicit ARGUMENT of the jitted
+        # step, not trace-time closure constants: embedding ~60MB of conv
+        # filters as HLO constants bloats the program/compile cache and ties
+        # the compiled artifact to one metric (swapping metrics mid-process
+        # silently kept serving the embedded one through the remote-compile
+        # cache); as an argument, one compiled step serves any same-structure
+        # metric and the weights upload to HBM once.
+        def loss_fn(perceptual, w, noises, target_proc, w_jitter):
             images = self._synthesis_from_w(w + w_jitter, noises)
             proc = downsample_to(images, settings.perceptual_size)
             # per-frame distances; frames optimize independently, so summing
             # the batch loss gives each frame exactly its single-frame gradient
-            dist = lpips_distance(self._perceptual_params, proc, target_proc)
+            dist = lpips_distance(perceptual, proc, target_proc)
             reg = _noise_regularization(noises) * settings.regularize_noise_weight
             return jnp.sum(dist + reg), (dist, images)
 
-        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(1, 2), has_aux=True)
 
-        def step(w, noises, opt_state, target_proc, t, rng):
+        def step(w, noises, opt_state, target_proc, t, rng, perceptual):
             noise_strength = (
                 self.dlatent_std
                 * settings.initial_noise_factor
                 * jnp.maximum(0.0, 1.0 - t / settings.noise_ramp_length) ** 2
             )
             w_jitter = jax.random.normal(rng, w.shape) * noise_strength
-            (_, (dist, images)), grads = grad_fn(w, noises, target_proc, w_jitter)
+            (_, (dist, images)), grads = grad_fn(
+                perceptual, w, noises, target_proc, w_jitter
+            )
             opt_state.hyperparams["learning_rate"] = _lr_schedule(t, settings)
             updates, opt_state = self._optimizer.update(grads, opt_state, (w, noises))
             w, noises = optax.apply_updates((w, noises), updates)
@@ -350,13 +359,23 @@ class TPUProjector:
         # inherits their 'data' sharding; step count / lr stay replicated scalars.
         opt_state = self._optimizer.init((w, noises))
 
+        # Upload the perceptual weights once (replicated under a mesh); passing
+        # raw numpy each step would re-transfer ~60MB over the interconnect.
+        if self.mesh is not None:
+            perceptual = jax.device_put(
+                {k: jnp.asarray(v) for k, v in self._perceptual_params.items()},
+                self._replicated_sharding,
+            )
+        else:
+            perceptual = {k: jnp.asarray(v) for k, v in self._perceptual_params.items()}
+
         dist = jnp.zeros((batch,))
         for step_number in range(settings.num_steps):
             start_time = time.monotonic()
             t = jnp.asarray(step_number / max(settings.num_steps, 1), jnp.float32)
             rng, step_rng = jax.random.split(rng)
             w, noises, opt_state, dist, images_dev = self._step_fn(
-                w, noises, opt_state, target_proc, t, step_rng
+                w, noises, opt_state, target_proc, t, step_rng, perceptual
             )
             if self.expected_time_per_step is not None:
                 # JAX dispatch is async; the watchdog must observe real device

@@ -93,8 +93,8 @@ def main() -> None:
         projector = TPUProjector(
             gen_params, config, settings=settings, expected_time_per_step=None
         )
+        # metric weights are a step ARGUMENT; structure changes retrace cleanly
         projector._perceptual_params = metric
-        projector._step_fn = projector._build_step()
         t0 = time.time()
         out = projector.project_batch(targets, want_step_images=False)
         elapsed = time.time() - t0

@@ -129,11 +129,13 @@ def run_trace_projection(trace_dir: str, iters: int, batch: int) -> None:
     ]
     opt_state = projector._optimizer.init((w, noises))
 
+    perceptual = {k: jnp.asarray(v) for k, v in projector._perceptual_params.items()}
+
     def one_step(w, noises, opt_state, rng, step_number):
         t = jnp.asarray(step_number / 1000.0, jnp.float32)
         rng, step_rng = jax.random.split(rng)
         w, noises, opt_state, dist, _ = projector._step_fn(
-            w, noises, opt_state, target_proc, t, step_rng
+            w, noises, opt_state, target_proc, t, step_rng, perceptual
         )
         return w, noises, opt_state, rng, dist
 
