@@ -191,6 +191,23 @@ class TPUProjector:
         params, config = load_generator(Path(path))
         return cls(params, config, num_steps=num_steps, **kwargs)
 
+    def _perceptual_on_device(self) -> Dict[str, jax.Array]:
+        """
+        The perceptual net's weights as device arrays (replicated under a
+        mesh), uploaded ONCE and cached — they are a per-step argument of the
+        jitted step (never trace-time constants; see _build_step), and
+        re-uploading ~60MB per project_batch call would dominate short runs.
+        Swapping self._perceptual_params (a new dict object) invalidates.
+        """
+        params = self._perceptual_params
+        cache = getattr(self, "_perceptual_device_cache", None)
+        if cache is None or cache[0] is not params:
+            placed = {k: jnp.asarray(v) for k, v in params.items()}
+            if self.mesh is not None:
+                placed = jax.device_put(placed, self._replicated_sharding)
+            self._perceptual_device_cache = (params, placed)
+        return self._perceptual_device_cache[1]
+
     def _place_data(self, value: jax.Array) -> jax.Array:
         """Shard a batch-leading array over the mesh 'data' axis (no-op off-mesh)."""
         if self._data_sharding is None:
@@ -359,15 +376,7 @@ class TPUProjector:
         # inherits their 'data' sharding; step count / lr stay replicated scalars.
         opt_state = self._optimizer.init((w, noises))
 
-        # Upload the perceptual weights once (replicated under a mesh); passing
-        # raw numpy each step would re-transfer ~60MB over the interconnect.
-        if self.mesh is not None:
-            perceptual = jax.device_put(
-                {k: jnp.asarray(v) for k, v in self._perceptual_params.items()},
-                self._replicated_sharding,
-            )
-        else:
-            perceptual = {k: jnp.asarray(v) for k, v in self._perceptual_params.items()}
+        perceptual = self._perceptual_on_device()
 
         dist = jnp.zeros((batch,))
         for step_number in range(settings.num_steps):
