@@ -125,6 +125,15 @@ def main() -> None:
             round(10 * np.log10(255.0**2 / m), 2) for m in mse
         ]
 
+    # Sanity: the two optima must actually differ (a bit-identical pair means a
+    # caching/aliasing bug upstream, not a measurement).
+    finals_diff = int(
+        np.abs(
+            finals["random_vgg"].astype(np.int64) - finals["lin_lpips"].astype(np.int64)
+        ).max()
+    )
+    print(f"max |final_A - final_B| = {finals_diff} uint8 steps", file=sys.stderr)
+
     # The headline: metric A's optimum judged under B, relative to B's optimum.
     a_under_b = np.mean(results["random_vgg"]["distance_under_lin_lpips"])
     b_under_b = np.mean(results["lin_lpips"]["distance_under_lin_lpips"])
@@ -138,6 +147,11 @@ def main() -> None:
                 "results": results,
                 "cross_gap_a_optimum_under_b": round(float(a_under_b / b_under_b), 3),
                 "cross_gap_b_optimum_under_a": round(float(b_under_a / a_under_a), 3),
+                # 0 here means the two optimizations produced bit-identical
+                # images — a compile/caching fault upstream, not a valid
+                # measurement (observed once on freshly remote-compiled
+                # program pairs over the tunnel; cache-served runs behave).
+                "finals_max_abs_diff": finals_diff,
             }
         )
     )
