@@ -356,6 +356,11 @@ def project_video_to_file(
                     np.stack(chunk),
                     step_callback=record_batch_step if any_histories else None,
                     want_step_images=images_histories_enabled,
+                    # The default config (latents histories only) runs the
+                    # optimization loop on-device in scan segments; per-step
+                    # dispatch happens only when noise/image histories must
+                    # move off-device every step.
+                    per_step_noises=noises_histories_enabled,
                 )
                 for frame, frame_writer, result in zip(chunk, frame_writers, results):
                     writer.record_noises_shapes(result.noises_shapes)

@@ -232,9 +232,23 @@ def test_incomplete_file_flag(tmp_path):
 
 def test_projector_watchdog():
     params = init_generator_params(jax.random.PRNGKey(1), TINY)
-    projector = TPUProjector(params, TINY, num_steps=3, expected_time_per_step=1e-9)
     target = np.zeros((16, 16, 3), np.uint8)
+
+    # per-step path (scan_segment=1): step 1 busts the per-step budget
+    projector = TPUProjector(
+        params, TINY, expected_time_per_step=1e-9,
+        settings=ProjectorSettings(num_steps=3, scan_segment=1),
+    )
     with pytest.raises(RuntimeError, match="watchdog|assuming a hang"):
+        projector.project(target)
+
+    # scan path: the SECOND segment (past the compile-aware first budget)
+    # busts the segment-granularity budget
+    projector = TPUProjector(
+        params, TINY, expected_time_per_step=1e-9,
+        settings=ProjectorSettings(num_steps=4, scan_segment=2),
+    )
+    with pytest.raises(RuntimeError, match="assuming a hang"):
         projector.project(target)
 
 
@@ -542,3 +556,64 @@ def test_projection_with_true_lpips_weights_converges(tmp_path):
         )[0]
     )
     assert result.final_distance < start_dist
+
+
+def test_scan_segments_match_per_step_loop():
+    """
+    The device-side scanned optimization loop must produce the same trajectory
+    as the per-step dispatch loop (same steps, same RNG stream): identical
+    final latents/noises to fp tolerance, identical per-step latents history
+    through the callback, correct step numbering across segment boundaries.
+    """
+    params = init_generator_params(jax.random.PRNGKey(12), TINY)
+    targets = (np.random.RandomState(3).rand(2, 16, 16, 3) * 255).astype(np.uint8)
+
+    def run(scan_segment):
+        settings = ProjectorSettings(
+            num_steps=6, dlatent_avg_samples=64, perceptual_size=16,
+            scan_segment=scan_segment,
+        )
+        projector = TPUProjector(params, TINY, settings=settings)
+        steps, latents_history = [], []
+        out = projector.project_batch(
+            targets,
+            step_callback=lambda s, lat, noi, img: (
+                steps.append(s), latents_history.append(lat.copy())
+            ),
+            want_step_images=False,
+            per_step_noises=False,
+        )
+        return out, steps, latents_history
+
+    per_step, steps_a, hist_a = run(scan_segment=1)
+    # segment 4 over 6 steps: one full segment + a remainder segment of 2
+    scanned, steps_b, hist_b = run(scan_segment=4)
+
+    assert steps_a == steps_b == list(range(6))
+    for a, b in zip(hist_a, hist_b):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+    for a, b in zip(per_step, scanned):
+        np.testing.assert_allclose(a.final_latents, b.final_latents, atol=1e-4)
+        assert abs(a.final_distance - b.final_distance) < 1e-4
+        for na, nb in zip(a.noises, b.noises):
+            np.testing.assert_allclose(na, nb, atol=1e-4)
+
+
+def test_scan_disabled_when_noise_histories_needed():
+    """per_step_noises=True with a callback must stay on the per-step path
+    (the callback receives REAL per-step noises there)."""
+    params = init_generator_params(jax.random.PRNGKey(13), TINY)
+    settings = ProjectorSettings(
+        num_steps=3, dlatent_avg_samples=64, perceptual_size=16
+    )
+    projector = TPUProjector(params, TINY, settings=settings)
+    target = (np.random.RandomState(4).rand(16, 16, 3) * 255).astype(np.uint8)
+    noise_snapshots = []
+    projector.project(
+        target,
+        step_callback=lambda s, lat, noi, img: noise_snapshots.append(noi[0].copy()),
+        want_step_images=False,
+    )
+    assert len(noise_snapshots) == 3
+    # per-step noises actually evolve between steps (not a repeated snapshot)
+    assert not np.array_equal(noise_snapshots[0], noise_snapshots[1])
