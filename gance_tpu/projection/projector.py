@@ -543,7 +543,14 @@ class TPUProjector:
                         "step 0 uses a compile-aware budget)."
                     )
 
-        final_images = np.asarray(images_to_uint8(self._synthesis_from_w(w, noises)))
+        # Jitted final render: the op-by-op eager chain costs seconds of RPC
+        # round-trips over a tunneled device; one compiled dispatch instead.
+        final_fn = getattr(self, "_final_render_fn", None)
+        if final_fn is None:
+            final_fn = self._final_render_fn = jax.jit(
+                lambda w, noises: images_to_uint8(self._synthesis_from_w(w, noises))
+            )
+        final_images = np.asarray(final_fn(w, noises))
         latents = np.asarray(w)
         noises_np = [np.asarray(n) for n in noises]
         distances = np.asarray(dist).reshape(-1)[:batch]

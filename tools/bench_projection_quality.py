@@ -70,16 +70,18 @@ def main() -> None:
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         gen_params = init_generator_params(jax.random.PRNGKey(0), config)
-        target_params = init_generator_params(jax.random.PRNGKey(99), config)
     gen_params = jax.device_put(gen_params, jax.devices()[0])
-    target_params = jax.device_put(target_params, jax.devices()[0])
 
-    # Targets from a DIFFERENT generator: realistic, not trivially reachable.
+    # Targets from the SAME generator (held-out z): reachable optima, so the
+    # metrics' quality difference is measurable. (Cross-generator targets were
+    # tried first: at practical step counts both optima stall in the same
+    # shallow basin ~w_avg and every aggregate coincides to 4 decimals —
+    # the experiment separates nothing.)
     z = jax.device_put(
         np.random.RandomState(7).randn(batch, config.latent_size).astype(np.float32)
     )
     targets = np.asarray(
-        images_to_uint8(generator_apply(target_params, z, config,
+        images_to_uint8(generator_apply(gen_params, z, config,
                                         compute_dtype=jnp.bfloat16))
     )
 
