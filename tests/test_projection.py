@@ -617,3 +617,22 @@ def test_scan_disabled_when_noise_histories_needed():
     assert len(noise_snapshots) == 3
     # per-step noises actually evolve between steps (not a repeated snapshot)
     assert not np.array_equal(noise_snapshots[0], noise_snapshots[1])
+
+
+def test_scan_path_over_mesh_matches_single_device():
+    """The device-side scan loop must also work under GSPMD sharding (mesh-DP
+    projection with no per-step host data): 2 scanned steps sharded vs single
+    device agree to fp tolerance."""
+    from gance_tpu.parallel.mesh import create_mesh
+
+    params = init_generator_params(jax.random.PRNGKey(21), TINY)
+    targets = (np.random.RandomState(22).rand(4, 16, 16, 3) * 255).astype(np.uint8)
+    settings = ProjectorSettings(
+        num_steps=2, dlatent_avg_samples=64, perceptual_size=16, scan_segment=2
+    )
+    single = TPUProjector(params, TINY, settings=settings).project_batch(targets)
+    mesh = create_mesh(data_parallel=4)
+    sharded = TPUProjector(params, TINY, settings=settings, mesh=mesh).project_batch(targets)
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(a.final_latents, b.final_latents, atol=1e-4)
+        assert np.isfinite(b.final_distance)

@@ -89,9 +89,29 @@ def main() -> None:
     result = projector.project_batch(targets)[0]
     elapsed = time.time() - t0
 
+    # Two-point measurement: each project_batch pays a constant eager setup
+    # (noise init, optimizer init, target prep — one-time RPCs over a tunneled
+    # device) that dominates short runs but amortizes over the production
+    # 1000-step projection. A second run at 3x the steps isolates the marginal
+    # per-step rate: marginal = (t3 - t1) / (2 * steps).
+    from dataclasses import replace as dc_replace
+
+    projector3 = TPUProjector(
+        params, config,
+        settings=dc_replace(projector.settings, num_steps=3 * steps),
+        expected_time_per_step=None,
+        mesh=mesh,
+    )
+    projector3.project_batch(targets)  # compile pass
+    t0 = time.time()
+    projector3.project_batch(targets)
+    elapsed3 = time.time() - t0
+    marginal_step_sec = max((elapsed3 - elapsed) / (2 * steps), 1e-9)
+
     steps_per_sec = steps / elapsed
-    # a 1000-step run projects `batch` frames concurrently
-    seconds_per_1000 = 1000.0 / steps_per_sec / batch
+    # a 1000-step run projects `batch` frames concurrently; the constant setup
+    # is paid once, so extrapolate with the marginal rate
+    seconds_per_1000 = (elapsed - steps * marginal_step_sec + 1000.0 * marginal_step_sec) / batch
     dp = args.data_parallel or 1
     print(
         f"{steps} steps in {elapsed:.1f}s; final LPIPS-form distance "
@@ -109,6 +129,7 @@ def main() -> None:
                 "unit": "steps/sec",
                 "reference_1000step_frame_sec": 600.0,
                 "ours_1000step_frame_sec": round(seconds_per_1000, 1),
+                "marginal_ms_per_step": round(marginal_step_sec * 1000, 1),
                 "frames_per_projection": batch,
                 "frame_equiv_steps_per_sec": round(steps_per_sec * batch, 2),
                 "data_parallel": dp,
