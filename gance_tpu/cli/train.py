@@ -47,6 +47,13 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
     help="Rematerialize G/D blocks in the backward pass (jax.checkpoint): "
     "trades ~1/3 extra FLOPs for the HBM high-resolution training needs.",
 )
+@click.option(
+    "--scan-segment", type=click.IntRange(min=1), default=8,
+    help="Run this many train steps per device-side lax.scan dispatch (the "
+    "state pytree has hundreds of leaves; per-step dispatch marshals them "
+    "all every step). 1 = one dispatch per step. Best when it divides "
+    "--checkpoint-every.",
+)
 @click.option("--seed", type=int, default=0)
 @click.option("--log", type=click.Path(dir_okay=False), default=None)
 def cli(  # pylint: disable=too-many-arguments,too-many-locals
@@ -65,6 +72,7 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
     data_parallel: Optional[int],
     compute_dtype: str,
     remat: bool,
+    scan_segment: int,
     seed: int,
     log: Optional[str],
 ) -> None:
@@ -123,23 +131,58 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
         state = shard_training_state(mesh, state, train_config)
         LOGGER.info("Training over mesh %s", dict(mesh.shape))
 
-    train_step = make_train_step(model_config, train_config, mesh=mesh)
-
+    from gance_tpu.parallel.training import make_train_scan
     from gance_tpu.utils.profiling import StageTimer
 
     timer = StageTimer("train", log_every=max(checkpoint_every // 4, 1))
     start_step = int(state.step)
     metrics = None
-    for step, reals in dataset.batches(start_step, total_steps, batch_size):
-        state, metrics = train_step(state, reals, jax.random.PRNGKey(seed * 1000 + step))
-        timer.tick()
-        if (step + 1) % checkpoint_every == 0 or step + 1 == total_steps:
-            save_checkpoint(ckpt, state)
-            LOGGER.info(
-                "step %d: d_loss=%.4f g_loss=%.4f r1=%.4f (checkpointed)",
-                step + 1, float(metrics["d_loss"]), float(metrics["g_loss"]),
-                float(metrics["r1"]),
-            )
+
+    if scan_segment > 1:
+        # Device-side scan: one dispatch per block of steps. Per-step keys are
+        # host-derived exactly as the per-step path derives them, so the two
+        # paths produce the same training trajectory.
+        train_segment = make_train_scan(model_config, train_config, mesh=mesh)
+        pending_reals: list = []
+        pending_keys: list = []
+
+        def flush_block():
+            nonlocal state, metrics
+            if not pending_reals:
+                return
+            block = np.stack(pending_reals)
+            keys = np.stack(pending_keys)
+            state, stacked = train_segment(state, block, keys)
+            metrics = {k: np.asarray(v)[-1] for k, v in stacked.items()}
+            timer.tick(n=len(pending_reals))
+            pending_reals.clear()
+            pending_keys.clear()
+
+        for step, reals in dataset.batches(start_step, total_steps, batch_size):
+            pending_reals.append(np.asarray(reals))
+            pending_keys.append(np.asarray(jax.random.PRNGKey(seed * 1000 + step)))
+            boundary = (step + 1) % checkpoint_every == 0 or step + 1 == total_steps
+            if len(pending_reals) >= scan_segment or boundary:
+                flush_block()
+            if boundary:
+                save_checkpoint(ckpt, state)
+                LOGGER.info(
+                    "step %d: d_loss=%.4f g_loss=%.4f r1=%.4f (checkpointed)",
+                    step + 1, float(metrics["d_loss"]), float(metrics["g_loss"]),
+                    float(metrics["r1"]),
+                )
+    else:
+        train_step = make_train_step(model_config, train_config, mesh=mesh)
+        for step, reals in dataset.batches(start_step, total_steps, batch_size):
+            state, metrics = train_step(state, reals, jax.random.PRNGKey(seed * 1000 + step))
+            timer.tick()
+            if (step + 1) % checkpoint_every == 0 or step + 1 == total_steps:
+                save_checkpoint(ckpt, state)
+                LOGGER.info(
+                    "step %d: d_loss=%.4f g_loss=%.4f r1=%.4f (checkpointed)",
+                    step + 1, float(metrics["d_loss"]), float(metrics["g_loss"]),
+                    float(metrics["r1"]),
+                )
     timer.summary()
 
     host_ema = jax.tree.map(np.asarray, state.ema_params)

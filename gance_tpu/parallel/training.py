@@ -128,15 +128,17 @@ def _mixed_dlatents(
     return jnp.where(take_second, d2, d1)
 
 
-def make_train_step(
+def _make_train_step_core(
     model_config: GeneratorConfig,
     train_config: TrainingConfig = TrainingConfig(),
     mesh: Optional[Mesh] = None,
 ) -> Callable[[TrainingState, jax.Array, jax.Array], Tuple[TrainingState, Dict[str, jax.Array]]]:
     """
-    Build the jitted train step: (state, real_images (B,R,R,3) float [-1,1],
+    The un-jitted train step: (state, real_images (B,R,R,3) float [-1,1],
     rng) -> (state, metrics). When `mesh` is given, batches are constrained to the
-    'data' axis (params arrive pre-sharded via shard_training_state).
+    'data' axis (params arrive pre-sharded via shard_training_state). Shared by
+    the per-step jit (make_train_step) and the device-side scanned loop
+    (make_train_scan).
     """
     opt = _optimizer(train_config)
     compute_dtype = jnp.dtype(train_config.compute_dtype)
@@ -238,7 +240,50 @@ def make_train_step(
         metrics = {"d_loss": d_loss, "g_loss": g_loss, "r1": r1}
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_train_step(
+    model_config: GeneratorConfig,
+    train_config: TrainingConfig = TrainingConfig(),
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainingState, jax.Array, jax.Array], Tuple[TrainingState, Dict[str, jax.Array]]]:
+    """The jitted per-step trainer (see _make_train_step_core)."""
+    return jax.jit(
+        _make_train_step_core(model_config, train_config, mesh), donate_argnums=(0,)
+    )
+
+
+def make_train_scan(
+    model_config: GeneratorConfig,
+    train_config: TrainingConfig = TrainingConfig(),
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainingState, jax.Array, jax.Array], Tuple[TrainingState, Dict[str, jax.Array]]]:
+    """
+    A device-side lax.scan over a BLOCK of train steps: one host dispatch per
+    `segment` steps instead of per step. The training state pytree has hundreds
+    of leaves (G+D params, two Adam states, EMA), so per-step dispatch marshals
+    hundreds of buffer handles over the interconnect every step — the same
+    overhead class measured at ~60% of projection step time; scanning removes
+    it (the projection precedent: 45.1 -> 12.9 s/frame).
+
+    Signature: (state, reals_block (S, B, R, R, 3), step_keys (S, 2) uint32
+    PRNG keys — one per step, host-derived so the per-step protocol matches
+    make_train_step exactly) -> (state, metrics stacked over S).
+    """
+    step_core = _make_train_step_core(model_config, train_config, mesh)
+
+    def train_segment(
+        state: TrainingState, reals_block: jax.Array, step_keys: jax.Array
+    ) -> Tuple[TrainingState, Dict[str, jax.Array]]:
+        def body(carry, xs):
+            reals, key = xs
+            new_state, metrics = step_core(carry, reals, key)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, (reals_block, step_keys))
+
+    return jax.jit(train_segment, donate_argnums=(0,))
 
 
 def shard_training_state(

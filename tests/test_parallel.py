@@ -304,3 +304,45 @@ def test_hybrid_grid_keeps_model_axis_on_ici():
     # uneven slices refuse
     with pytest.raises(ValueError, match="Uneven"):
         _hybrid_device_grid(devices[:7], data_parallel=7, model_parallel=1)
+
+
+def test_train_scan_matches_per_step():
+    """
+    The device-side scanned training loop must reproduce the per-step jit's
+    trajectory (same batches, same host-derived per-step keys): params and
+    EMA agree to fp tolerance, R1's lazy interval fires on the same steps.
+    """
+    from gance_tpu.parallel.training import (
+        init_training_state,
+        make_train_scan,
+        make_train_step,
+    )
+
+    cfg = TRAIN  # module-level tiny TrainingConfig
+    steps = 4
+    rng = np.random.RandomState(5)
+    reals = rng.rand(steps, 4, TINY.resolution, TINY.resolution, 3).astype(np.float32) * 2 - 1
+    keys = np.stack([np.asarray(jax.random.PRNGKey(1000 + s)) for s in range(steps)])
+
+    state_a = init_training_state(jax.random.PRNGKey(0), TINY, cfg)
+    step_fn = make_train_step(TINY, cfg)
+    metrics_a = None
+    for s in range(steps):
+        state_a, metrics_a = step_fn(state_a, jnp.asarray(reals[s]), jnp.asarray(keys[s]))
+
+    state_b = init_training_state(jax.random.PRNGKey(0), TINY, cfg)
+    scan_fn = make_train_scan(TINY, cfg)
+    state_b, stacked = scan_fn(state_b, jnp.asarray(reals), jnp.asarray(keys))
+
+    assert int(state_a.step) == int(state_b.step) == steps
+    # final metrics of the scan = the per-step path's last metrics
+    for key_name in ("d_loss", "g_loss", "r1"):
+        assert abs(float(np.asarray(stacked[key_name])[-1]) - float(metrics_a[key_name])) < 1e-3
+    for leaf_a, leaf_b in zip(
+        jax.tree.leaves(state_a.g_params), jax.tree.leaves(state_b.g_params)
+    ):
+        np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b), atol=5e-4)
+    for leaf_a, leaf_b in zip(
+        jax.tree.leaves(state_a.ema_params), jax.tree.leaves(state_b.ema_params)
+    ):
+        np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b), atol=5e-4)
