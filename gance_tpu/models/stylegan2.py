@@ -400,12 +400,15 @@ def _phase_top_block_enabled(top_cout: int, compute_dtype: jnp.dtype) -> bool:
     FIR blur folds into the up-conv's MXU matmul and the block's channel
     count stacks x4 to fill the 128 TPU lanes. Numerically equivalent up to
     fp reassociation; profiled 163.7 -> 195.1 f/s at 1024px bf16 batch 24.
-    GANCE_TPU_PHASE1024: 'auto' (default; on iff running on TPU with a
-    sub-fp32 compute dtype), 'on', 'off'. The auto dtype gate exists because
-    folding the blur into fp32-HIGHEST convs runs the extra FLOPs at the slow
-    exact-matmul rate (measured 1.26x slower end-to-end, and the fp32
-    forward+backward compile is pathological) — the VPU blur is free by
-    comparison there.
+    GANCE_TPU_PHASE1024: 'auto' (default; on iff running on TPU with either a
+    sub-fp32 compute dtype OR a non-HIGHEST conv precision), 'on', 'off'.
+    The auto gate excludes only fp32-HIGHEST, where folding the blur into the
+    convs runs the extra FLOPs at the slow exact-matmul rate (measured 1.26x
+    slower end-to-end, and the fp32 forward+backward compile is pathological)
+    — the VPU blur is free by comparison there. Under
+    GANCE_TPU_PRECISION=high (bf16x3) the folded FLOPs are cheap again:
+    measured 65.9 vs 59.3 f/s at fp32 batch 8, same max-1-uint8-step /
+    66.4 dB parity vs fp32-HIGHEST.
     """
     if top_cout >= 128:
         return False  # full lanes already; phase form would only add FLOPs
@@ -414,7 +417,13 @@ def _phase_top_block_enabled(top_cout: int, compute_dtype: jnp.dtype) -> bool:
         return True
     if mode == "off":
         return False
-    return jax.default_backend() == "tpu" and jnp.dtype(compute_dtype).itemsize < 4
+    if jax.default_backend() != "tpu":
+        return False
+    if jnp.dtype(compute_dtype).itemsize < 4:
+        return True
+    from gance_tpu.ops import precision as precision_mod
+
+    return precision_mod.CONV_PRECISION != jax.lax.Precision.HIGHEST
 
 
 def synthesis_apply(
