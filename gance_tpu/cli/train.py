@@ -48,11 +48,12 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
     "trades ~1/3 extra FLOPs for the HBM high-resolution training needs.",
 )
 @click.option(
-    "--scan-segment", type=click.IntRange(min=1), default=8,
-    help="Run this many train steps per device-side lax.scan dispatch (the "
-    "state pytree has hundreds of leaves; per-step dispatch marshals them "
-    "all every step). 1 = one dispatch per step. Best when it divides "
-    "--checkpoint-every.",
+    "--scan-segment", type=click.IntRange(min=1), default=1,
+    help="Run this many train steps per device-side lax.scan dispatch. "
+    "Measured neutral on this hardware (the donated-state chain already "
+    "hides per-step dispatch behind the 183 ms step: 184 ms/step scanned) - "
+    "raise it on hosts where dispatch marshaling outruns the step time. "
+    "Best when it divides --checkpoint-every.",
 )
 @click.option("--seed", type=int, default=0)
 @click.option("--log", type=click.Path(dir_okay=False), default=None)

@@ -105,3 +105,38 @@ def test_streaming_dataset_constant_memory(tmp_path):
     assert seen == list(range(10))
     # the decode cache is bounded at the configured capacity
     assert ds._load_cached.cache_info().currsize <= 4
+
+
+def test_train_cli_scan_segment(tmp_path):
+    """--scan-segment > 1 drives the scanned loop through the CLI: checkpoints
+    land on boundaries and the exported network loads."""
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(6):
+        write_image((rng.rand(16, 16, 3) * 255).astype(np.uint8), data / f"{i}.png")
+
+    ckpt = tmp_path / "ckpt_scan.pkl"
+    out_net = tmp_path / "trained_scan.pkl"
+    result = CliRunner().invoke(cli, [
+        "--dataset-directory", str(data),
+        "--resolution", "16",
+        "--batch-size", "4",
+        "--fmap-base", "256",
+        "--fmap-max", "32",
+        "--latent-size", "32",
+        "--checkpoint-path", str(ckpt),
+        "--checkpoint-every", "4",
+        "--total-steps", "6",   # one full 2-segment block x2 + a tail of 2
+        "--scan-segment", "2",
+        "--output-network", str(out_net),
+    ], catch_exceptions=False)
+    assert result.exit_code == 0
+
+    from gance_tpu.parallel.training import load_checkpoint
+    from gance_tpu.synthesis.runtime import SynthesisNetwork
+
+    assert int(load_checkpoint(ckpt).step) == 6
+    net = SynthesisNetwork.from_pkl(out_net)
+    image = net.images_from_vectors(np.zeros((1, 32), np.float32))
+    assert image.shape == (1, 16, 16, 3)

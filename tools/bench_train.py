@@ -16,6 +16,7 @@ import time
 sys.path.insert(0, "/root/repo")
 import gance_tpu  # noqa: F401
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -70,6 +71,31 @@ def main(resolution: int, batch: int, steps: int) -> None:
                 f"at {resolution}px batch {batch}; d_loss={d_loss:.3f}",
                 flush=True,
             )
+            # --- scanned loop: the same steps as ONE device-side dispatch ---
+            if os.environ.get("BENCH_TRAIN_SCAN", "1") == "1":
+                from gance_tpu.parallel.training import make_train_scan
+
+                scan = make_train_scan(model_config, cfg)
+                reals_block = jnp.broadcast_to(
+                    reals, (steps,) + reals.shape
+                )
+                keys = jnp.stack(
+                    [jax.random.PRNGKey(2 + i) for i in range(steps)]
+                )
+                t0 = time.time()
+                state, stacked = scan(state, reals_block, keys)
+                _ = float(np.asarray(stacked["d_loss"])[-1])
+                print(f"{label} scan: compile+first {time.time() - t0:.1f}s",
+                      file=sys.stderr, flush=True)
+                t0 = time.time()
+                state, stacked = scan(state, reals_block, keys)
+                _ = float(np.asarray(stacked["d_loss"])[-1])
+                dt = (time.time() - t0) / steps
+                print(
+                    f"{label} scan({steps}): {dt * 1e3:.0f} ms/step "
+                    f"({batch / dt:.1f} imgs/sec)",
+                    flush=True,
+                )
         except Exception as exc:  # OOM etc: report and continue the sweep
             msg = str(exc).splitlines()[0][:140]
             print(f"{label}: FAILED ({msg})", flush=True)
