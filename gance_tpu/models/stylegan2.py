@@ -388,6 +388,28 @@ def resolve_phase_top_block(config: "GeneratorConfig", compute_dtype: Any) -> bo
     ) and _phase_kernel_supported(config)
 
 
+def resolve_phase_top_block_autodiff(
+    config: "GeneratorConfig", compute_dtype: Any
+) -> Optional[bool]:
+    """
+    Phase decision for call sites that DIFFERENTIATE through synthesis
+    (projection, training): auto mode stays restricted to sub-fp32 dtypes —
+    the fp32 phase forward+backward compile is pathological (r2 measurement)
+    even though the fp32-HIGH forward is a win. Explicit 'on'/'off' is
+    respected. Returns a value for synthesis_apply's phase_top_block_mode.
+    """
+    mode = phase_mode_from_env()
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(compute_dtype).itemsize < 4
+        and _phase_kernel_supported(config)
+    )
+
+
 def _phase_kernel_supported(config: "GeneratorConfig") -> bool:
     from gance_tpu.ops.phase_block import phase_path_supported
 

@@ -245,8 +245,13 @@ class TPUProjector:
         }
         params["synthesis"] = synthesis
         dtype = jnp.bfloat16 if self.settings.compute_dtype == "bfloat16" else jnp.float32
+        from gance_tpu.models.stylegan2 import resolve_phase_top_block_autodiff
+
+        # This forward is differentiated through: auto phase mode stays off
+        # for fp32 (the fp32 phase backward compile is pathological — r2).
         return synthesis_apply(
-            params, dlatents, self.config, noise_mode="const", compute_dtype=dtype
+            params, dlatents, self.config, noise_mode="const", compute_dtype=dtype,
+            phase_top_block_mode=resolve_phase_top_block_autodiff(self.config, dtype),
         )
 
     def _make_single_step(self):
