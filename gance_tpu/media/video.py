@@ -164,10 +164,11 @@ def create_video_writer(
         return create_raw_spill_writer(video_path, video_fps, resolution)
     if egress == "raw-spill":
         LOGGER.warning(
-            "Raw-spill egress suppressed for %s: this output is re-processed "
-            "in place (audio mux re-encodes host-side, which would read only "
-            "the first spill segment); using the standard writer instead. "
-            "Render video-only for spill-rate egress and mux offline.",
+            "Raw-spill egress suppressed for %s: this writer must produce a "
+            "single standard file (audio-muxed outputs are re-read host-side, "
+            "and re-encode targets must not spill again); using the standard "
+            "writer instead. Render video-only for spill-rate egress and "
+            "mux/compress offline (media/spill.py reencode_spill).",
             video_path,
         )
 

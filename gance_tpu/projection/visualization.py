@@ -162,6 +162,8 @@ def visualize_projection_convergence(
         if clip_outliers:
             # derivative splines can spike at the ends; show mean +- 5 std
             center, bound = stacked.mean(), stacked.std() * 5
+            if bound == 0.0:  # constant curves: keep the ylim non-singular
+                bound = max(abs(float(center)), 1.0) * 1e-3
             y_lo, y_hi = center - bound, center + bound
             axis.set_ylim(y_lo, y_hi)
         else:

@@ -340,3 +340,132 @@ class TestRawAviSpill:
         monkeypatch.setenv("GANCE_TPU_EGRESS", "fast")
         with pytest.raises(ValueError, match="GANCE_TPU_EGRESS"):
             create_video_writer(tmp_path / "x.mp4", 30.0, ImageResolution(8, 8))
+
+
+class TestSpillReadback:
+    """media/spill.py: segment enumeration, whole-spill reading, re-encode."""
+
+    @staticmethod
+    def _write_spill(tmp_path, n_frames=9, size=32):
+        from gance_tpu.media.native import RawAviWriter
+
+        rng = np.random.RandomState(7)
+        frames = [(rng.rand(size, size, 3) * 255).astype(np.uint8) for _ in range(n_frames)]
+        out = tmp_path / "render.avi"
+        frame_bytes = size * size * 3 + 16
+        writer = RawAviWriter(
+            out, width=size, height=size, fps=30.0,
+            segment_bytes=4 * frame_bytes,  # a few frames per segment
+        )
+        for frame in frames:
+            writer.write_frame_rgb(frame)
+        writer.finalize()
+        assert len(writer.segment_paths) >= (3 if n_frames >= 9 else 2)
+        return out, frames
+
+    def test_segment_paths_ordered_and_contiguous(self, tmp_path):
+        from gance_tpu.media.spill import spill_segment_paths
+
+        out, _ = self._write_spill(tmp_path)
+        segments = spill_segment_paths(out)
+        assert segments[0] == out
+        assert [p.name for p in segments[1:]] == [
+            f"render.part{i:03d}.avi" for i in range(1, len(segments))
+        ]
+
+    def test_missing_middle_segment_raises(self, tmp_path):
+        from gance_tpu.media.spill import spill_segment_paths
+
+        out, _ = self._write_spill(tmp_path)
+        (tmp_path / "render.part001.avi").unlink()
+        with pytest.raises(ValueError, match="non-contiguous"):
+            spill_segment_paths(out)
+        with pytest.raises(ValueError, match="does not exist"):
+            spill_segment_paths(tmp_path / "nope.avi")
+
+    def test_frames_in_spill_spans_segments_pixel_exact(self, tmp_path):
+        from gance_tpu.media.spill import frames_in_spill
+
+        out, frames = self._write_spill(tmp_path)
+        video = frames_in_spill(out)
+        assert video.original_fps == 30.0
+        assert video.total_frame_count == len(frames)
+        assert video.original_resolution == (32, 32)
+        read_back = list(video.frames)
+        assert len(read_back) == len(frames)
+        for a, b in zip(read_back, frames):
+            np.testing.assert_array_equal(a, b)  # BI_RGB: no codec loss
+
+    def test_frames_in_spill_fps_reduction_crosses_segments(self, tmp_path):
+        from gance_tpu.media.spill import frames_in_spill
+
+        out, frames = self._write_spill(tmp_path)
+        video = frames_in_spill(out, reduce_fps_to=15.0)  # keep every 2nd
+        assert video.reduced_fps == 15.0
+        read_back = list(video.frames)
+        assert video.reduced_frame_count == len(read_back) == -(-len(frames) // 2)
+        for i, frame in enumerate(read_back):
+            np.testing.assert_array_equal(frame, frames[2 * i])
+
+    def test_reencode_spill_single_deliverable(self, tmp_path, monkeypatch):
+        import cv2
+
+        from gance_tpu.media.spill import reencode_spill, spill_segment_paths
+
+        out, frames = self._write_spill(tmp_path)
+        # env raw-spill must NOT make the re-encode spill again
+        monkeypatch.setenv("GANCE_TPU_EGRESS", "raw-spill")
+        deliverable = tmp_path / "final.mp4"
+        reencode_spill(out, deliverable, delete_segments=True)
+        assert deliverable.exists()
+        assert not (tmp_path / "final.part001.mp4").exists()
+        cap = cv2.VideoCapture(str(deliverable))
+        count = 0
+        while cap.read()[0]:
+            count += 1
+        cap.release()
+        assert count == len(frames)
+        # delete_segments removed every spill segment
+        assert not out.exists()
+        with pytest.raises(ValueError, match="does not exist"):
+            spill_segment_paths(out)
+
+    def test_reencode_spill_with_audio(self, tmp_path):
+        import cv2
+
+        from gance_tpu.media.spill import reencode_spill
+
+        out, frames = self._write_spill(tmp_path, n_frames=6)
+        deliverable = tmp_path / "final.avi"
+        reencode_spill(out, deliverable, audio_paths=[CLAPS])
+        assert deliverable.exists() and out.exists()  # segments kept by default
+        cap = cv2.VideoCapture(str(deliverable))
+        count = 0
+        while cap.read()[0]:
+            count += 1
+        cap.release()
+        assert count == len(frames)
+
+    def test_cli_spill_info_and_reencode(self, tmp_path):
+        from click.testing import CliRunner
+
+        from gance_tpu.cli.media_tools import cli
+
+        out, frames = self._write_spill(tmp_path)
+        runner = CliRunner()
+        info = runner.invoke(cli, ["spill-info", "--spill-path", str(out)])
+        assert info.exit_code == 0, info.output
+        assert f"{len(frames)} frames" in info.output
+        assert "32x32" in info.output
+
+        deliverable = tmp_path / "cli_out.mp4"
+        result = runner.invoke(
+            cli,
+            [
+                "reencode-spill",
+                "--spill-path", str(out),
+                "--output-path", str(deliverable),
+            ],
+        )
+        assert result.exit_code == 0, result.output
+        assert deliverable.exists()
