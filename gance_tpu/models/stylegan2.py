@@ -382,32 +382,17 @@ def resolve_phase_top_block(config: "GeneratorConfig", compute_dtype: Any) -> bo
     that jit synthesis should resolve with this per call and pass the bool to
     `synthesis_apply(phase_top_block_mode=...)` so env flips key the jit cache
     (a trace-time env read inside the jitted function cannot).
+
+    One gate serves forward AND differentiated call sites (projection,
+    training): the r2 "pathological fp32 phase forward+backward compile" was
+    specific to fp32-HIGHEST, which auto mode already excludes — at
+    GANCE_TPU_PRECISION=high the fp32 phase backward compiles cleanly and
+    wins (r3 measured: 400.9 -> 340.2 ms per 1024px projection step at
+    batch 4).
     """
     return _phase_top_block_enabled(
         config.nf(config.resolution_log2 - 1), compute_dtype
     ) and _phase_kernel_supported(config)
-
-
-def resolve_phase_top_block_autodiff(
-    config: "GeneratorConfig", compute_dtype: Any
-) -> Optional[bool]:
-    """
-    Phase decision for call sites that DIFFERENTIATE through synthesis
-    (projection, training): auto mode stays restricted to sub-fp32 dtypes —
-    the fp32 phase forward+backward compile is pathological (r2 measurement)
-    even though the fp32-HIGH forward is a win. Explicit 'on'/'off' is
-    respected. Returns a value for synthesis_apply's phase_top_block_mode.
-    """
-    mode = phase_mode_from_env()
-    if mode == "on":
-        return True
-    if mode == "off":
-        return False
-    return (
-        jax.default_backend() == "tpu"
-        and jnp.dtype(compute_dtype).itemsize < 4
-        and _phase_kernel_supported(config)
-    )
 
 
 def _phase_kernel_supported(config: "GeneratorConfig") -> bool:
@@ -430,7 +415,9 @@ def _phase_top_block_enabled(top_cout: int, compute_dtype: jnp.dtype) -> bool:
     — the VPU blur is free by comparison there. Under
     GANCE_TPU_PRECISION=high (bf16x3) the folded FLOPs are cheap again:
     measured 65.9 vs 59.3 f/s at fp32 batch 8, same max-1-uint8-step /
-    66.4 dB parity vs fp32-HIGHEST.
+    66.4 dB parity vs fp32-HIGHEST; the fp32-HIGH phase BACKWARD also
+    compiles cleanly and wins (r3: 400.9 -> 340.2 ms per 1024px projection
+    step at batch 4), so one gate serves forward and differentiated paths.
     """
     if top_cout >= 128:
         return False  # full lanes already; phase form would only add FLOPs

@@ -153,16 +153,15 @@ def _make_train_step_core(
             g_params, z1, z2, rng, model_config, train_config.style_mixing_prob
         )
         noise_rng = jax.random.fold_in(rng, 1)
-        from gance_tpu.models.stylegan2 import resolve_phase_top_block_autodiff
+        from gance_tpu.models.stylegan2 import resolve_phase_top_block
 
-        # Differentiated forward: auto phase mode stays off for fp32 (the
-        # fp32 phase backward compile is pathological — r2 measurement).
+        # Same phase gate as the forward path (auto mode excludes only
+        # fp32-HIGHEST, whose phase backward compile is pathological — r2;
+        # the fp32-HIGH phase backward compiles cleanly and wins, r3).
         return synthesis_apply(
             g_params, dlatents, model_config, noise_mode="random", rng=noise_rng,
             compute_dtype=compute_dtype, remat=train_config.remat,
-            phase_top_block_mode=resolve_phase_top_block_autodiff(
-                model_config, compute_dtype
-            ),
+            phase_top_block_mode=resolve_phase_top_block(model_config, compute_dtype),
         )
 
     def d_loss_fn(d_params, g_params, reals, z1, z2, rng, apply_r1):

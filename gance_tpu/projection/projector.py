@@ -245,13 +245,15 @@ class TPUProjector:
         }
         params["synthesis"] = synthesis
         dtype = jnp.bfloat16 if self.settings.compute_dtype == "bfloat16" else jnp.float32
-        from gance_tpu.models.stylegan2 import resolve_phase_top_block_autodiff
+        from gance_tpu.models.stylegan2 import resolve_phase_top_block
 
-        # This forward is differentiated through: auto phase mode stays off
-        # for fp32 (the fp32 phase backward compile is pathological — r2).
+        # Same phase gate as the forward path: auto mode excludes only
+        # fp32-HIGHEST, where the phase backward compile is pathological (r2);
+        # the fp32-HIGH phase backward is a measured win (r3: 400.9 -> 340.2
+        # ms/step at 1024px batch 4).
         return synthesis_apply(
             params, dlatents, self.config, noise_mode="const", compute_dtype=dtype,
-            phase_top_block_mode=resolve_phase_top_block_autodiff(self.config, dtype),
+            phase_top_block_mode=resolve_phase_top_block(self.config, dtype),
         )
 
     def _make_single_step(self):

@@ -636,3 +636,28 @@ def test_scan_path_over_mesh_matches_single_device():
     for a, b in zip(single, sharded):
         np.testing.assert_allclose(a.final_latents, b.final_latents, atol=1e-4)
         assert np.isfinite(b.final_distance)
+
+
+def test_projection_autodiff_through_phase_path(monkeypatch):
+    """
+    Forcing GANCE_TPU_PHASE1024=on must differentiate through the polyphase top
+    block (the production configuration for bf16 — and for fp32 at non-HIGHEST
+    precision, where the phase backward is a measured win) and land at the same
+    optimum as the standard path: the two forms differ only by fp reassociation.
+    """
+    params = init_generator_params(jax.random.PRNGKey(4), TINY)
+    target = (np.random.RandomState(11).rand(16, 16, 3) * 255).astype(np.uint8)
+    settings = ProjectorSettings(num_steps=5, dlatent_avg_samples=64)
+
+    monkeypatch.setenv("GANCE_TPU_PHASE1024", "off")
+    standard = TPUProjector(params, TINY, settings=settings).project(target)
+    monkeypatch.setenv("GANCE_TPU_PHASE1024", "on")
+    phased = TPUProjector(params, TINY, settings=settings).project(target)
+
+    assert np.isfinite(phased.final_distance)
+    np.testing.assert_allclose(
+        phased.final_latents, standard.final_latents, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        phased.final_distance, standard.final_distance, rtol=1e-3
+    )
