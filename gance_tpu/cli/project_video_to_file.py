@@ -43,6 +43,14 @@ def projection_options(func: Callable) -> Callable:
             "are independent, so throughput scales near-linearly with chips. "
             "Use with --projection-batch >= data-parallel size.",
         ),
+        click.option(
+            "--vgg-weights", type=click.Path(exists=True, dir_okay=False),
+            default=None,
+            help="Pretrained perceptual weights: the NVlabs "
+            "vgg16_zhang_perceptual.pkl (the asset the reference's projector "
+            "uses) or an imported .npz. Default: deterministic random-VGG "
+            "fallback metric.",
+        ),
         # latents histories default ON (reference project_video_to_file.py:236) —
         # the convergence analytics need them; the heavyweight image/noise
         # histories default OFF like the reference.
@@ -78,6 +86,7 @@ def _run_projection(
     compute_dtype: Optional[str] = None,
     projection_batch: int = 1,
     data_parallel: Optional[int] = None,
+    vgg_weights: Optional[str] = None,
     batch_number: Optional[int] = None,
 ) -> None:
     from gance_tpu.projection.file_writer import project_video_to_file
@@ -103,6 +112,7 @@ def _run_projection(
         compute_dtype=compute_dtype,
         projection_batch=projection_batch,
         mesh=mesh,
+        vgg_weights_path=Path(vgg_weights) if vgg_weights else None,
         batch_number=batch_number,
     )
 

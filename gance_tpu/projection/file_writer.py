@@ -245,6 +245,7 @@ def project_video_to_file(
     compute_dtype: Optional[str] = None,
     projection_batch: int = 1,
     mesh: Optional[object] = None,
+    vgg_weights_path: Optional[Path] = None,
 ) -> None:
     """
     Project every frame of a video into a network's latent space, streaming results
@@ -253,6 +254,10 @@ def project_video_to_file(
     :param mesh: when given, each projection batch data-parallelizes its frames
         over the mesh 'data' axis (multi-chip projection — the batch size should
         be a multiple of the data-axis size times the single-chip sweet spot).
+    :param vgg_weights_path: pretrained perceptual weights — the NVlabs
+        `vgg16_zhang_perceptual.pkl` (the asset the reference's projector uses)
+        or an imported `.npz`; None selects the deterministic random-VGG
+        fallback metric.
     """
     from gance_tpu.projection.projector import TPUProjector  # local: heavy import
 
@@ -300,6 +305,7 @@ def project_video_to_file(
         expected_time_per_step=expected_time_per_step,
         settings=settings,
         mesh=mesh,
+        vgg_weights_path=vgg_weights_path,
     )
 
     attributes = ProjectionAttributes(

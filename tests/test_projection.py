@@ -661,3 +661,60 @@ def test_projection_autodiff_through_phase_path(monkeypatch):
     np.testing.assert_allclose(
         phased.final_distance, standard.final_distance, rtol=1e-3
     )
+
+
+def test_cli_vgg_weights_option_reaches_projector(tmp_path, monkeypatch):
+    """
+    --vgg-weights on the projection CLI must flow through to the projector (the
+    reference's projector always runs on the NVlabs perceptual pickle; without
+    this option CLI users were stuck on the random-VGG fallback).
+    """
+    from click.testing import CliRunner
+
+    from gance_tpu.cli.project_video_to_file import cli as project_cli
+    from tests.test_vgg_import import (
+        _fabricate_nvlabs_lpips_variables,
+        _write_nvlabs_lpips_pickle,
+    )
+
+    params = init_generator_params(jax.random.PRNGKey(0), TINY)
+    pkl = tmp_path / "net.pkl"
+    save_generator_pickle(params, pkl)
+    vgg_pkl = tmp_path / "vgg16_zhang_perceptual.pkl"
+    _write_nvlabs_lpips_pickle(
+        vgg_pkl, _fabricate_nvlabs_lpips_variables(np.random.RandomState(5))
+    )
+    rng = np.random.RandomState(3)
+    video = tmp_path / "source.mp4"
+    write_source_to_disk_consume(
+        iter([(rng.rand(16, 16, 3) * 255).astype(np.uint8) for _ in range(8)]),
+        video, video_fps=30.0,
+    )
+
+    seen = {}
+    import gance_tpu.projection.projector as projector_mod
+
+    original_init = projector_mod.TPUProjector.__init__
+
+    def spy_init(self, *args, **kwargs):
+        seen["vgg_weights_path"] = kwargs.get("vgg_weights_path")
+        return original_init(self, *args, **kwargs)
+
+    monkeypatch.setattr(projector_mod.TPUProjector, "__init__", spy_init)
+
+    out = tmp_path / "projection.hdf5"
+    result = CliRunner().invoke(
+        project_cli,
+        [
+            "videos",
+            "--path-to-network", str(pkl),
+            "--steps-per-projection", "2",
+            "--num-frames-to-project", "1",
+            "--vgg-weights", str(vgg_pkl),
+            "--video-output", str(video), str(out),
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    assert seen["vgg_weights_path"] == vgg_pkl
+    assert out.exists()
+    verify_projection_file_assumptions(out)
