@@ -88,6 +88,17 @@ class ProjectorSettings:
     # dispatch remains for noises/images histories and is forced by
     # scan_segment=1.
     scan_segment: int = 250
+    # Rematerialize synthesis blocks in the backward pass (jax.checkpoint):
+    # recompute activations instead of storing them — the trade that makes
+    # 1024px TRAINING fit one chip (parallel/training.py). For projection it
+    # is a measured LOSS (r3, v5e): bf16 batch 16 goes from running (411
+    # ms/step) to RESOURCE_EXHAUSTED, and fp32 batch 8 crashes the worker —
+    # forcing the per-block save set displaces XLA's own finer-grained remat
+    # scheduling of the scanned fwd+bwd, raising peak HBM instead of lowering
+    # it. Kept as an equality-tested knob (the projection working set differs
+    # from training's: per-layer noises are differentiated arguments and the
+    # perceptual net rides the same backward); do not enable in production.
+    remat: bool = False
 
 
 def _lr_schedule(t: jax.Array, s: ProjectorSettings) -> jax.Array:
@@ -254,6 +265,7 @@ class TPUProjector:
         return synthesis_apply(
             params, dlatents, self.config, noise_mode="const", compute_dtype=dtype,
             phase_top_block_mode=resolve_phase_top_block(self.config, dtype),
+            remat=self.settings.remat,
         )
 
     def _make_single_step(self):

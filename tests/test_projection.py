@@ -599,6 +599,30 @@ def test_scan_segments_match_per_step_loop():
             np.testing.assert_allclose(na, nb, atol=1e-4)
 
 
+def test_remat_matches_non_remat_trajectory():
+    """
+    ProjectorSettings.remat wraps each synthesis block in jax.checkpoint —
+    a pure FLOPs-for-HBM trade that must not change the optimization
+    trajectory at all (same program semantics, recomputed activations).
+    """
+    params = init_generator_params(jax.random.PRNGKey(21), TINY)
+    targets = (np.random.RandomState(9).rand(2, 16, 16, 3) * 255).astype(np.uint8)
+
+    def run(remat):
+        settings = ProjectorSettings(
+            num_steps=4, dlatent_avg_samples=64, perceptual_size=16, remat=remat,
+        )
+        projector = TPUProjector(params, TINY, settings=settings)
+        return projector.project_batch(
+            targets, want_step_images=False, per_step_noises=False
+        )
+
+    plain, checkpointed = run(False), run(True)
+    for a, b in zip(plain, checkpointed):
+        np.testing.assert_allclose(a.final_latents, b.final_latents, atol=1e-4)
+        assert abs(a.final_distance - b.final_distance) < 1e-4
+
+
 def test_scan_disabled_when_noise_histories_needed():
     """per_step_noises=True with a callback must stay on the per-step path
     (the callback receives REAL per-step noises there)."""

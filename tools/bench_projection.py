@@ -36,6 +36,11 @@ def main() -> None:
         "--virtual-cpu", type=int, default=None,
         help="Force CPU with this many virtual devices (scaling experiments).",
     )
+    parser.add_argument(
+        "--remat", action="store_true",
+        help="Rematerialize synthesis blocks in the backward (FLOPs for HBM; "
+        "probes whether HBM-pressured large batches recover).",
+    )
     args = parser.parse_args()
 
     if args.virtual_cpu:
@@ -74,7 +79,9 @@ def main() -> None:
 
     projector = TPUProjector(
         params, config,
-        settings=ProjectorSettings(num_steps=steps, compute_dtype=compute_dtype),
+        settings=ProjectorSettings(
+            num_steps=steps, compute_dtype=compute_dtype, remat=args.remat,
+        ),
         expected_time_per_step=None,  # fully pipelined: no per-step host sync
         mesh=mesh,
     )
@@ -123,7 +130,8 @@ def main() -> None:
             {
                 "metric": (
                     f"{resolution}px LPIPS projection steps/sec ({compute_dtype}, "
-                    f"batch {batch}" + (f", dp={dp}" if dp > 1 else "") + ")"
+                    f"batch {batch}" + (f", dp={dp}" if dp > 1 else "")
+                    + (", remat" if args.remat else "") + ")"
                 ),
                 "value": round(steps_per_sec, 2),
                 "unit": "steps/sec",
