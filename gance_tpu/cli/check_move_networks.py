@@ -19,8 +19,11 @@ from gance_tpu.utils.logging import LOGGER
 
 @click.command()
 @click.option(
-    "--networks-directory", type=click.Path(exists=True, file_okay=False),
+    "--network-directory", "--networks-directory", "networks_directory",
+    type=click.Path(exists=True, file_okay=False),
     multiple=True, required=True,
+    help="Directories scanned for *.pkl networks (reference spelling: "
+    "--network-directory; --networks-directory kept as an alias).",
 )
 @click.option("--output-directory", type=click.Path(file_okay=False), required=True)
 def cli(networks_directory: Tuple[str, ...], output_directory: str) -> None:

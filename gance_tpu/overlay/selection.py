@@ -84,12 +84,14 @@ class ImageSelectionOutput(NamedTuple):
 def select_images_for_training(
     primary_directories: Sequence[Path],
     secondary_directories: Sequence[Path],
-    num_images: int,
+    num_images: Optional[int],
     neighbor_window: int = 2,
     seed: int = 1234,
 ) -> ImageSelectionOutput:
     """
-    Priority fill to `num_images` (reference :256-352).
+    Priority fill to `num_images` (reference :256-352). `None` selects every
+    image in every directory, matching the reference's `islice(..., None)`
+    semantics for an omitted --target-num-images.
     """
     primary_images = [p for d in primary_directories for p in images_in_directory(d)]
     secondary_images = [p for d in secondary_directories for p in images_in_directory(d)]
@@ -103,7 +105,7 @@ def select_images_for_training(
     def take(paths: Iterable[Path]) -> int:
         count = 0
         for path in paths:
-            if len(selected) >= num_images:
+            if num_images is not None and len(selected) >= num_images:
                 break
             path = Path(path)
             if path not in seen:

@@ -330,16 +330,18 @@ def test_check_move_networks_cli(tmp_path, networks_dir):
     copied = sorted(out_dir.glob("*.pkl"))
     assert len(copied) == 2
     assert copied[0].name.startswith("0_")
-    # idempotence: second run copies nothing new
+    # idempotence: second run copies nothing new (reference --network-directory
+    # spelling exercised here; --networks-directory above is the alias)
     result = CliRunner().invoke(
         cli,
-        ["--networks-directory", str(networks_dir), "--output-directory", str(out_dir)],
+        ["--network-directory", str(networks_dir), "--output-directory", str(out_dir)],
         catch_exceptions=False,
     )
     assert len(list(out_dir.glob("*.pkl"))) == 2
 
 
 def test_process_images_cli(tmp_path):
+    """Reference option spellings: scale to {w}_{h}_{name}, delete-by-default scan."""
     from gance_tpu.cli.process_images import cli
     from gance_tpu.media.images import write_image
 
@@ -347,8 +349,53 @@ def test_process_images_cli(tmp_path):
     src.mkdir()
     rng = np.random.RandomState(0)
     for i in range(3):
-        write_image((rng.rand(20, 30, 3) * 255).astype(np.uint8), src / f"img_{i}.png")
-    (src / "broken.jpg").write_bytes(b"not an image")
+        write_image(
+            (rng.rand(20, 30, 3) * 255).astype(np.uint8), src / f"img_{i}.png"
+        )
+    (src / "broken.jpeg").write_bytes(b"not an image")
+
+    out = tmp_path / "scaled"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "scale-images",
+            "--original-images-directory", str(src),
+            "--image-file-extension", "png",
+            "--output-directory", str(out),
+            "--scaled-image-width", "16",
+            "--scaled-image-height", "16",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0
+    scaled = sorted(out.glob("*.png"))
+    assert len(scaled) == 3
+    # reference naming: {width}_{height}_{original name}
+    assert scaled[0].name == "16_16_img_0.png"
+
+    # scan defaults: *.jpeg only, deletion is the default (reference :146-190)
+    result = CliRunner().invoke(
+        cli,
+        ["scan-for-broken-images", "--directory", str(src)],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0
+    assert not (src / "broken.jpeg").exists()
+    assert len(list(src.glob("*.png"))) == 3  # non-jpeg untouched
+
+
+def test_process_images_cli_aliases_and_no_delete(tmp_path):
+    """The earlier short spellings remain as aliases; --no-delete lists only."""
+    from gance_tpu.cli.process_images import cli
+    from gance_tpu.media.images import write_image
+
+    src = tmp_path / "src"
+    src.mkdir()
+    write_image(
+        (np.random.RandomState(1).rand(8, 8, 3) * 255).astype(np.uint8),
+        src / "a.jpeg",
+    )
+    (src / "broken.jpeg").write_bytes(b"nope")
 
     out = tmp_path / "scaled"
     result = CliRunner().invoke(
@@ -356,20 +403,22 @@ def test_process_images_cli(tmp_path):
         [
             "scale-images",
             "--input-directory", str(src),
+            "--image-file-extension", "jpeg",
             "--output-directory", str(out),
             "--side-length", "16",
         ],
         catch_exceptions=False,
     )
-    assert result.exit_code != 0 or len(list(out.glob("*.png"))) >= 3 or True
-    # broken.jpg should fail reading in scale; use scan instead:
+    assert result.exit_code == 0
+    assert sorted(p.name for p in out.iterdir()) == ["16_16_a.jpeg"]
+
     result = CliRunner().invoke(
         cli,
-        ["scan-for-broken-images", "--directory", str(src), "--delete"],
+        ["scan-for-broken-images", "--directory", str(src), "--no-delete"],
         catch_exceptions=False,
     )
     assert result.exit_code == 0
-    assert not (src / "broken.jpg").exists()
+    assert (src / "broken.jpeg").exists()
 
 
 def test_music_into_networks_cli_overlay_group(tmp_path, networks_dir, tiny_projection_file):

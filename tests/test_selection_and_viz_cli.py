@@ -95,6 +95,39 @@ def test_select_images_copy_cli(capture_dirs, tmp_path):
     assert (out / "selection_summary.json").exists()
 
 
+def test_select_images_copy_cli_reference_spellings(capture_dirs, tmp_path):
+    """
+    Reference option names (process_images.py:193-337): --destination-directory,
+    --summary, and an omitted --target-num-images selecting every image.
+    """
+    import json
+
+    from gance_tpu.cli.process_images import cli
+
+    primary, secondary = capture_dirs
+    out = tmp_path / "dest"
+    summary_path = tmp_path / "summary.json"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "select-images-copy",
+            "--primary-directory", str(primary),
+            "--secondary-directory", str(secondary),
+            "--destination-directory", str(out),
+            "--summary", str(summary_path),
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0
+    # no target -> everything (5 primary + 2 secondary)
+    copied = [p for p in out.iterdir() if p.suffix == ".jpeg"]
+    assert len(copied) == 7
+    summary = json.loads(summary_path.read_text())
+    assert summary["num_selected"] == 7
+    # explicit --summary replaces the default in-destination summary file
+    assert not (out / "selection_summary.json").exists()
+
+
 @pytest.fixture(scope="module")
 def projection_with_histories(tmp_path_factory):
     from gance_tpu.projection.file_writer import project_video_to_file
