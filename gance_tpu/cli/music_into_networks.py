@@ -97,6 +97,11 @@ def noise_blend(  # pylint: disable=too-many-arguments
     "--track-length", type=click.IntRange(min=0), default=None,
     help="Overlay gate: min consecutive overlay frames to keep a track.",
 )
+@click.option(
+    "--overlay-detection-side", type=click.IntRange(min=32), default=None,
+    help="Run eye DETECTION on frames downscaled to this side (gating still "
+    "happens at full resolution). Default: detect at full resolution.",
+)
 def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
     wav: Tuple[str, ...],
     output_path: str,
@@ -124,6 +129,7 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
     phash_distance: Optional[int],
     bbox_distance: Optional[float],
     track_length: Optional[int],
+    overlay_detection_side: Optional[int],
 ) -> None:
     """Blend audio into projection-file latents and synthesize, with optional
     eye-tracking overlay (all three overlay options must be given together)."""
@@ -164,6 +170,7 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
         phash_distance=phash_distance,
         bbox_distance=bbox_distance,
         track_length=track_length,
+        overlay_detection_side=overlay_detection_side,
     )
 
 

@@ -58,16 +58,61 @@ def _crop(image: np.ndarray, box: BoundingBox) -> np.ndarray:
     return out
 
 
+def _landmarks_at_detection_side(
+    face_finder: FaceFinderProxy,
+    image: np.ndarray,
+    detection_side: Optional[int],
+) -> List[dict]:
+    """
+    Eye landmarks in FULL-RESOLUTION coordinates, optionally detected on a
+    downscaled copy. `detection_side` bounds the longer image side during
+    detection only — the Viola-Jones pyramid cost scales with frame area, and
+    the faces this pipeline tracks are large relative to the frame, so
+    detecting at e.g. 512px and scaling the points back loses little accuracy
+    while cutting the host-side overlay cost ~quadratically. None (the
+    default) detects at full resolution, byte-for-byte the previous behavior.
+    Downstream gating (bbox distance in pixels, phash of the eye crops) always
+    runs at full resolution either way, so the thresholds keep their meaning.
+    """
+    h, w = image.shape[:2]
+    if detection_side is None or max(h, w) <= detection_side:
+        return face_finder.face_landmarks(face_image=image)
+
+    import cv2
+
+    scale = detection_side / max(h, w)
+    small = cv2.resize(
+        image, (max(1, round(w * scale)), max(1, round(h * scale))),
+        interpolation=cv2.INTER_AREA,
+    )
+    fx = w / small.shape[1]
+    fy = h / small.shape[0]
+    scaled: List[dict] = []
+    for landmark_dict in face_finder.face_landmarks(face_image=small):
+        scaled.append(
+            {
+                eye: [(round(x * fx), round(y * fy)) for x, y in points]
+                for eye, points in landmark_dict.items()
+            }
+        )
+    return scaled
+
+
 def compute_eye_tracking_overlay(
     foreground_images: ImageSourceType,
     background_images: ImageSourceType,
     min_phash_distance: int,
     min_bbox_distance: float,
     skip_mask: Optional[List[bool]] = None,
+    detection_side: Optional[int] = None,
 ) -> OverlayResult:
     """
     Lazily compute per-frame overlay decisions; returns the two decision streams
     (bbox lists to composite, contexts for visualization).
+
+    :param detection_side: optional cap on the longer frame side during eye
+        DETECTION (see _landmarks_at_detection_side); gating still runs at
+        full resolution. None = detect at full resolution.
     """
     face_finder = FaceFinderProxy()
     frame_counter = itertools.count()
@@ -83,10 +128,14 @@ def compute_eye_tracking_overlay(
             return _FrameOverlayResult()
 
         foreground_boxes = landmarks_to_bounding_boxes(
-            face_finder.face_landmarks(face_image=foreground_image)
+            _landmarks_at_detection_side(
+                face_finder, foreground_image, detection_side
+            )
         )
         background_boxes = landmarks_to_bounding_boxes(
-            face_finder.face_landmarks(face_image=background_image)
+            _landmarks_at_detection_side(
+                face_finder, background_image, detection_side
+            )
         )
 
         distance_boxes: Optional[DistanceBoxes] = bounding_box_distance(

@@ -63,6 +63,7 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
     phash_distance: Optional[int] = None,
     bbox_distance: Optional[float] = None,
     track_length: Optional[int] = None,
+    overlay_detection_side: Optional[int] = None,
 ) -> None:
     """See module docstring; parameter meanings match the reference CLI help."""
     create_debug_visualization = debug_path is not None
@@ -210,6 +211,7 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
                 min_phash_distance=phash_distance,
                 min_bbox_distance=bbox_distance,
                 skip_mask=skip_mask,
+                detection_side=overlay_detection_side,
             )
 
             logging.info(

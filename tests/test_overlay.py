@@ -227,3 +227,42 @@ def test_eye_tracking_overlay_skip_mask():
     contexts = list(result.contexts)
     assert not contexts[0].overlay_written
     assert contexts[1].overlay_written
+
+
+def test_detection_side_matches_full_resolution_boxes():
+    """
+    The opt-in downscaled-detection mode must return eye boxes in FULL-resolution
+    coordinates, close to the full-resolution detection on a real face (the
+    gating thresholds are calibrated in full-res pixels).
+    """
+    import cv2
+
+    from gance_tpu.overlay.eye_tracking import _landmarks_at_detection_side
+
+    finder = FaceFinderProxy()
+    face_img = cv2.resize(read_image(FACE_IMAGE), (1024, 1024))
+    full = landmarks_to_bounding_boxes(
+        _landmarks_at_detection_side(finder, face_img, None)
+    )
+    small = landmarks_to_bounding_boxes(
+        _landmarks_at_detection_side(finder, face_img, 512)
+    )
+    assert len(full) == len(small) == 1
+    fx, fy = full[0].x + full[0].width / 2, full[0].y + full[0].height / 2
+    sx, sy = small[0].x + small[0].width / 2, small[0].y + small[0].height / 2
+    # centers within 5% of the frame side of each other
+    assert abs(fx - sx) <= 51 and abs(fy - sy) <= 51
+
+
+def test_eye_tracking_overlay_detection_side_still_gates():
+    """detection_side active: identical frames still pass both overlay gates."""
+    face_img = read_image(FACE_IMAGE)
+    frames = [face_img] * 2
+    result = compute_eye_tracking_overlay(
+        iter(frames), iter(frames), min_phash_distance=30, min_bbox_distance=50.0,
+        detection_side=512,
+    )
+    contexts = list(result.contexts)
+    boxes = list(result.bbox_lists)
+    assert all(c.overlay_written for c in contexts)
+    assert all(b for b in boxes)

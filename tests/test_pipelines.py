@@ -457,3 +457,32 @@ def test_noise_blend_bf16_and_trace(tmp_path, networks_dir):
     assert out.exists()
     assert len(list(frames_in_video(out).frames)) == 3
     assert any(trace_dir.rglob("*.pb")) or any(trace_dir.rglob("*.json.gz"))
+
+
+def test_overlay_detection_side_reaches_pipeline(tmp_path, monkeypatch):
+    """--overlay-detection-side plumbs through the CLI into the pipeline API."""
+    from gance_tpu.cli import music_into_networks as cli_mod
+    import gance_tpu.pipelines.projection_file_blend as pfb
+
+    seen = {}
+    monkeypatch.setattr(
+        pfb, "projection_file_blend_api", lambda **kw: seen.update(kw)
+    )
+    result = CliRunner().invoke(
+        cli_mod.cli,
+        [
+            "projection-file-blend",
+            "--wav", str(CLAPS),
+            "--output-path", str(tmp_path / "o.avi"),
+            "--network-path", "/dev/null",
+            "--projection-file-path", str(CLAPS),  # existence-checked only
+            "--phash-distance", "30",
+            "--bbox-distance", "50",
+            "--track-length", "2",
+            "--overlay-detection-side", "512",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert seen["overlay_detection_side"] == 512
+    assert seen["phash_distance"] == 30
