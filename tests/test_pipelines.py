@@ -486,3 +486,52 @@ def test_overlay_detection_side_reaches_pipeline(tmp_path, monkeypatch):
     assert result.exit_code == 0, result.output
     assert seen["overlay_detection_side"] == 512
     assert seen["phash_distance"] == 30
+
+
+def test_reference_readme_nova_command_shape(tmp_path, networks_dir, monkeypatch):
+    """
+    The reference README's production command (README.md:27-45, the Won Pound
+    NOVA render) must parse VERBATIM against this CLI — option names, flag
+    forms, and the two-value --fft-amplitude-range included.
+    """
+    from gance_tpu.cli import music_into_networks as cli_mod
+    import gance_tpu.pipelines.projection_file_blend as pfb
+
+    seen = {}
+    monkeypatch.setattr(
+        pfb, "projection_file_blend_api", lambda **kw: seen.update(kw)
+    )
+    networks_json = tmp_path / "prod_networks.json"
+    networks_json.write_text(
+        json.dumps({"networks": [str(p) for p in sorted(networks_dir.glob("*.pkl"))]})
+    )
+    result = CliRunner().invoke(
+        cli_mod.cli,
+        [
+            "projection-file-blend",
+            "--wav", str(CLAPS),
+            "--output-path", str(tmp_path / "nova.mp4"),
+            "--debug-path", str(tmp_path / "nova_debug.mp4"),
+            "--debug-side-length", "1000",
+            "--debug-window", "200",
+            "--run-config", str(tmp_path / "nova_config.json"),
+            "--log", str(tmp_path / "log.txt"),
+            "--projection-file-path", str(CLAPS),  # existence-checked only
+            "--networks-json", str(networks_json),
+            "--output-fps", "60",
+            "--output-side-length", "2160",
+            "--alpha", "0.25",
+            "--fft-roll-enabled",
+            "--fft-amplitude-range", "-5", "5",
+            "--blend-depth", "12",
+            "--phash-distance", "25",
+            "--bbox-distance", "50",
+            "--track-length", "5",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert seen["blend_depth"] == 12
+    assert seen["fft_amplitude_range"] == (-5.0, 5.0)
+    assert seen["output_side_length"] == 2160
+    assert (tmp_path / "nova_config.json").exists()
