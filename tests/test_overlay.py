@@ -266,3 +266,26 @@ def test_eye_tracking_overlay_detection_side_still_gates():
     boxes = list(result.bbox_lists)
     assert all(c.overlay_written for c in contexts)
     assert all(b for b in boxes)
+
+
+def test_eye_tracking_overlay_threaded_matches_sequential():
+    """
+    detection_workers>1 must produce frame-ordered, identical decisions to the
+    sequential path (frames are independent; the detector is stateless).
+    """
+    face_img = read_image(FACE_IMAGE)
+    fg = [face_img] * 4
+    bg = [face_img] * 4
+
+    def run(workers):
+        r = compute_eye_tracking_overlay(
+            iter(fg), iter(bg), min_phash_distance=30, min_bbox_distance=50.0,
+            skip_mask=[False, True, False, False], detection_workers=workers,
+        )
+        return list(r.bbox_lists), list(r.contexts)
+
+    seq_boxes, seq_ctx = run(1)
+    par_boxes, par_ctx = run(3)
+    assert seq_ctx == par_ctx
+    assert seq_boxes == par_boxes
+    assert not seq_ctx[1].overlay_written  # skip_mask respected in both
