@@ -140,6 +140,13 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
         raise click.UsageError(
             "--phash-distance, --bbox-distance, --track-length must be given together."
         )
+    if overlay_detection_side is not None and not all(
+        p is not None for p in overlay_params
+    ):
+        raise click.UsageError(
+            "--overlay-detection-side requires the overlay to be enabled "
+            "(--phash-distance, --bbox-distance, --track-length)."
+        )
 
     setup_log(log)
     network_paths = resolve_networks(networks_directory, network_path, networks_json)

@@ -96,6 +96,16 @@ def scale_images(
             out_dir / f"{scaled_image_width}_{scaled_image_height}_{path.name}",
         )
         count += 1
+    if count == 0 and any(Path(original_images_directory).iterdir()):
+        # A common trap after the 0.4.1 parity change: the default extension
+        # filter is 'jpeg' (the reference's) where earlier releases matched
+        # any known image suffix — make a silent no-op loudly diagnosable.
+        LOGGER.warning(
+            "Scaled 0 images: nothing in %s matches '*.%s' "
+            "(set --image-file-extension).",
+            original_images_directory,
+            extension,
+        )
     LOGGER.info(
         "Scaled %d images to %dx%d", count, scaled_image_width, scaled_image_height
     )

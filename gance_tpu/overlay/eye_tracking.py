@@ -146,8 +146,13 @@ def compute_eye_tracking_overlay(
         the GIL). None = one per host core.
     """
     face_finder = FaceFinderProxy()
+    # Default capped at 8: the in-flight buffer is 2*workers full-res frame
+    # PAIRS (a 64-core default would pin ~3.6GB at 2160px), and beyond ~8
+    # workers the GIL-bound share (cvtColor, numpy, phash) saturates anyway.
     workers = (
-        detection_workers if detection_workers is not None else (os.cpu_count() or 1)
+        detection_workers
+        if detection_workers is not None
+        else min(os.cpu_count() or 1, 8)
     )
 
     def per_frame(

@@ -9,6 +9,7 @@ are rejected (none of the face/eye cascades used here contain them).
 
 import ctypes
 import subprocess
+import threading
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass
 from functools import lru_cache
@@ -24,12 +25,23 @@ _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "libgance_vision.so"
 
 _lib: Optional[ctypes.CDLL] = None
+# Detection now runs from a thread pool (eye_tracking), so the lazy build/load
+# must be serialized: two threads racing `make` onto the same .so corrupt it.
+_lib_lock = threading.Lock()
 
 
 def _load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
+    with _lib_lock:
+        if _lib is not None:  # lost the race to another thread: already loaded
+            return _lib
+        return _load_library_locked()
+
+
+def _load_library_locked() -> ctypes.CDLL:
+    global _lib
     if not _LIB_PATH.exists():
         LOGGER.info("Building native vision library in %s", _NATIVE_DIR)
         subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)

@@ -535,3 +535,23 @@ def test_reference_readme_nova_command_shape(tmp_path, networks_dir, monkeypatch
     assert seen["fft_amplitude_range"] == (-5.0, 5.0)
     assert seen["output_side_length"] == 2160
     assert (tmp_path / "nova_config.json").exists()
+
+
+def test_overlay_detection_side_requires_overlay(tmp_path, networks_dir):
+    """--overlay-detection-side without the overlay trio errors instead of
+    silently doing nothing."""
+    from gance_tpu.cli import music_into_networks as cli_mod
+
+    result = CliRunner().invoke(
+        cli_mod.cli,
+        [
+            "projection-file-blend",
+            "--wav", str(CLAPS),
+            "--output-path", str(tmp_path / "o.avi"),
+            "--networks-directory", str(networks_dir),
+            "--projection-file-path", str(CLAPS),
+            "--overlay-detection-side", "512",
+        ],
+    )
+    assert result.exit_code != 0
+    assert "requires the overlay" in result.output
