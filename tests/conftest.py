@@ -2,19 +2,30 @@
 Test configuration: force an 8-device virtual CPU mesh so multi-chip sharding paths
 compile and execute without TPU hardware (the driver's dryrun does the same).
 Must run before jax is imported anywhere.
+
+GANCE_TPU_HW_TESTS=1 skips the CPU forcing so the @tpu-marked hardware tests
+(tests/test_tpu_hardware.py) run on the real chip:
+    GANCE_TPU_HW_TESTS=1 python -m pytest tests/ -m tpu -q
+(the reference split its suite the same way with an @gpu marker, pytest.ini:10).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+_HW = os.environ.get("GANCE_TPU_HW_TESTS") == "1"
+
+if not _HW:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config flag works.
-jax.config.update("jax_platforms", "cpu")
+if not _HW:
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config flag works.
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
