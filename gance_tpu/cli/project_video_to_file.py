@@ -44,6 +44,16 @@ def projection_options(func: Callable) -> Callable:
             "Use with --projection-batch >= data-parallel size.",
         ),
         click.option(
+            "--warm-start", is_flag=True, default=False,
+            help="EXPERIMENTAL: initialize each projection batch's latents "
+            "(jitter-free) from the previous batch's finals. Measured "
+            "distance-NEUTRAL under the default NVlabs schedule at 25-400 "
+            "step budgets (the schedule, not the start point, dominates the "
+            "trajectory — see ROUND_NOTES); useful only with customized "
+            "schedules. Default: cold-start per frame, the reference's "
+            "behavior.",
+        ),
+        click.option(
             "--vgg-weights", type=click.Path(exists=True, dir_okay=False),
             default=None,
             help="Pretrained perceptual weights: the NVlabs "
@@ -87,6 +97,7 @@ def _run_projection(
     projection_batch: int = 1,
     data_parallel: Optional[int] = None,
     vgg_weights: Optional[str] = None,
+    warm_start: bool = False,
     batch_number: Optional[int] = None,
 ) -> None:
     from gance_tpu.projection.file_writer import project_video_to_file
@@ -113,6 +124,7 @@ def _run_projection(
         projection_batch=projection_batch,
         mesh=mesh,
         vgg_weights_path=Path(vgg_weights) if vgg_weights else None,
+        warm_start=warm_start,
         batch_number=batch_number,
     )
 

@@ -246,6 +246,7 @@ def project_video_to_file(
     projection_batch: int = 1,
     mesh: Optional[object] = None,
     vgg_weights_path: Optional[Path] = None,
+    warm_start: bool = False,
 ) -> None:
     """
     Project every frame of a video into a network's latent space, streaming results
@@ -258,6 +259,12 @@ def project_video_to_file(
         `vgg16_zhang_perceptual.pkl` (the asset the reference's projector uses)
         or an imported `.npz`; None selects the deterministic random-VGG
         fallback metric.
+    :param warm_start: initialize each batch's latents from the previous
+        batch's final latents instead of the dlatent average (video frames are
+        temporally coherent, so far fewer steps reach the same distance; the
+        reference always cold-starts every frame). The first batch still
+        cold-starts. Off by default: cold-start per frame is the reference's
+        exact behavior.
     """
     from gance_tpu.projection.projector import TPUProjector  # local: heavy import
 
@@ -335,6 +342,7 @@ def project_video_to_file(
     )
     frames_iterator = itertools.islice(video.frames, num_frames_to_project)
 
+    previous_finals = None
     with ProjectionFileWriter(projection_file_path, attributes) as writer:
         while True:
             chunk = list(itertools.islice(frames_iterator, max(projection_batch, 1)))
@@ -358,6 +366,14 @@ def project_video_to_file(
                             images[i] if images.size else images[0:0],
                         )
 
+                initial_latents = None
+                warmed = warm_start and previous_finals is not None
+                if warmed:
+                    # every frame of the new batch starts at the last finished
+                    # frame's final w (row 0; rows are identical by invariant)
+                    initial_latents = np.tile(
+                        previous_finals[0], (len(chunk), 1)
+                    )
                 results = projector.project_batch(
                     np.stack(chunk),
                     step_callback=record_batch_step if any_histories else None,
@@ -367,7 +383,14 @@ def project_video_to_file(
                     # dispatch happens only when noise/image histories must
                     # move off-device every step.
                     per_step_noises=noises_histories_enabled,
+                    initial_latents=initial_latents,
+                    # the annealed exploration jitter exists to escape the cold
+                    # dlatent-average start; it erases a warm start's head
+                    # start (measured), so warmed batches run jitter-free
+                    noise_factor=0.0 if warmed else None,
                 )
+                if warm_start:
+                    previous_finals = results[-1].final_latents[0]
                 for frame, frame_writer, result in zip(chunk, frame_writers, results):
                     writer.record_noises_shapes(result.noises_shapes)
                     frame_writer.finish(

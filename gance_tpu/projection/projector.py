@@ -290,10 +290,17 @@ class TPUProjector:
 
         grad_fn = jax.value_and_grad(loss_fn, argnums=(1, 2), has_aux=True)
 
-        def single_step(w, noises, opt_state, target_proc, t, step_rng, perceptual):
+        def single_step(
+            w, noises, opt_state, target_proc, t, step_rng, perceptual, noise_factor
+        ):
+            # noise_factor is a TRACED scalar (settings.initial_noise_factor by
+            # default): warm starts pass 0.0 — the annealed w-jitter exists to
+            # explore away from the cold dlatent-average start, and it erases a
+            # warm start's head start (measured r3: with the default jitter,
+            # warm@100 steps ~ cold@100; with jitter 0 the gap opens).
             noise_strength = (
                 self.dlatent_std
-                * settings.initial_noise_factor
+                * noise_factor
                 * jnp.maximum(0.0, 1.0 - t / settings.noise_ramp_length) ** 2
             )
             w_jitter = jax.random.normal(step_rng, w.shape) * noise_strength
@@ -313,9 +320,9 @@ class TPUProjector:
     def _build_step(self):
         single_step = self._make_single_step()
 
-        def step(w, noises, opt_state, target_proc, t, rng, perceptual):
+        def step(w, noises, opt_state, target_proc, t, rng, perceptual, noise_factor):
             w, noises, opt_state, dist, images = single_step(
-                w, noises, opt_state, target_proc, t, rng, perceptual
+                w, noises, opt_state, target_proc, t, rng, perceptual, noise_factor
             )
             return w, noises, opt_state, dist, images_to_uint8(images)
 
@@ -347,13 +354,17 @@ class TPUProjector:
 
         single_step = self._make_single_step()
 
-        def run_segment(w, noises, opt_state, rng, target_proc, perceptual, start_step):
+        def run_segment(
+            w, noises, opt_state, rng, target_proc, perceptual, start_step,
+            noise_factor,
+        ):
             def body(carry, step_index):
                 w, noises, opt_state, rng = carry
                 t = step_index.astype(jnp.float32) / num_steps
                 rng, step_rng = jax.random.split(rng)
                 w, noises, opt_state, dist, _images = single_step(
-                    w, noises, opt_state, target_proc, t, step_rng, perceptual
+                    w, noises, opt_state, target_proc, t, step_rng, perceptual,
+                    noise_factor,
                 )
                 # _images is unused in ys/carry -> dead-code-eliminated by XLA
                 return (w, noises, opt_state, rng), (dist, w)
@@ -373,10 +384,14 @@ class TPUProjector:
         target_image: np.ndarray,
         step_callback: Optional[StepCallback] = None,
         want_step_images: bool = True,
+        initial_latents: Optional[np.ndarray] = None,
+        initial_noises: Optional[List[np.ndarray]] = None,
+        noise_factor: Optional[float] = None,
     ) -> ProjectionResult:
         """
         Optimize latents to reproduce `target_image` (uint8 (H, W, 3)); stream each
         step through `step_callback(step, latents(1,R,512), noises, image_uint8)`.
+        `initial_latents` ((512,) or (R, 512)) warm-starts w — see project_batch.
         """
         batch_callback = None
         if step_callback is not None:
@@ -389,10 +404,15 @@ class TPUProjector:
                     images[0] if images.size else np.zeros((0, 0, 3), np.uint8),
                 )
 
+        if initial_latents is not None:
+            initial_latents = np.asarray(initial_latents)[None, ...]
         return self.project_batch(
             np.asarray(target_image)[None, ...],
             step_callback=batch_callback,
             want_step_images=want_step_images,
+            initial_latents=initial_latents,
+            initial_noises=initial_noises,
+            noise_factor=noise_factor,
         )[0]
 
     def project_batch(
@@ -401,6 +421,9 @@ class TPUProjector:
         step_callback: Optional[Callable[[int, np.ndarray, List[np.ndarray], np.ndarray], None]] = None,
         want_step_images: bool = True,
         per_step_noises: bool = True,
+        initial_latents: Optional[np.ndarray] = None,
+        initial_noises: Optional[List[np.ndarray]] = None,
+        noise_factor: Optional[float] = None,
     ) -> List[ProjectionResult]:
         """
         Project a BATCH of frames in one optimization (each frame gets its own
@@ -421,6 +444,21 @@ class TPUProjector:
             scan stacks them) and the current end-of-segment noises (valid for
             shape recording, which is all the projection writer needs when
             noises histories are disabled).
+        :param initial_latents: optional warm start for the optimized w —
+            (512,) broadcast to the batch, (B, 512), or (B, R, 512) (row 0 is
+            taken; projection keeps all rows identical). None starts at the
+            sampled dlatent average, the NVlabs behavior. Video frames are
+            temporally coherent, so warm-starting each frame from its
+            predecessor's final latents reaches a given distance in far fewer
+            steps than the reference's always-cold start (which pays the full
+            1000 steps per frame, projector_file_writer.py:617-802).
+        :param initial_noises: optional warm start for the per-layer noise
+            buffers (the list shape ProjectionResult.noises carries, each
+            (B, h, w, 1) or (1, h, w, 1) broadcast over the batch). None draws
+            fresh gaussian noise, the NVlabs behavior.
+        :param noise_factor: overrides settings.initial_noise_factor for THIS
+            call (a traced scalar — no recompile). Pass 0.0 with a warm start:
+            the annealed exploration jitter erases the head start otherwise.
         :return: one ProjectionResult per input frame.
         """
         settings = self.settings
@@ -446,20 +484,52 @@ class TPUProjector:
         target_proc = self._place_data(downsample_to(target, settings.perceptual_size))
 
         rng = jax.random.PRNGKey(settings.seed)
-        w = self._place_data(
-            jnp.tile(jnp.asarray(self.dlatent_avg), (work_batch, 1))
-        )  # (B, 512)
-        noise_rng, rng = jax.random.split(rng)
-        noises = [
-            self._place_data(
-                jax.random.normal(
-                    jax.random.fold_in(noise_rng, i),
-                    (work_batch,)
-                    + tuple(self.params["synthesis"]["noise"][name].shape[1:]),
+        if initial_latents is None:
+            w_init = jnp.tile(jnp.asarray(self.dlatent_avg), (work_batch, 1))
+        else:
+            w_init = jnp.asarray(initial_latents, jnp.float32)
+            if w_init.ndim == 3:  # (B, R, 512): rows identical by invariant
+                w_init = w_init[:, 0, :]
+            if w_init.ndim == 1:  # (512,): broadcast to the batch
+                w_init = jnp.tile(w_init[None, :], (batch, 1))
+            if w_init.shape != (batch, self.config.dlatent_size):
+                raise ValueError(
+                    f"initial_latents: expected ({batch}, "
+                    f"{self.config.dlatent_size}), got {tuple(w_init.shape)}"
                 )
-            )
-            for i, name in enumerate(self._noise_names)
-        ]
+            if pad:
+                w_init = jnp.concatenate(
+                    [w_init, jnp.repeat(w_init[-1:], pad, axis=0)]
+                )
+        w = self._place_data(w_init)  # (B, 512)
+        noise_rng, rng = jax.random.split(rng)
+        if initial_noises is None:
+            noises = [
+                self._place_data(
+                    jax.random.normal(
+                        jax.random.fold_in(noise_rng, i),
+                        (work_batch,)
+                        + tuple(self.params["synthesis"]["noise"][name].shape[1:]),
+                    )
+                )
+                for i, name in enumerate(self._noise_names)
+            ]
+        else:
+            if len(initial_noises) != len(self._noise_names):
+                raise ValueError(
+                    f"initial_noises: expected {len(self._noise_names)} buffers, "
+                    f"got {len(initial_noises)}"
+                )
+            noises = []
+            for i, buf in enumerate(initial_noises):
+                arr = jnp.asarray(buf, jnp.float32)
+                if arr.shape[0] == 1 and work_batch > 1:
+                    arr = jnp.tile(arr, (work_batch, 1, 1, 1))
+                elif arr.shape[0] == batch and pad:
+                    arr = jnp.concatenate(
+                        [arr, jnp.repeat(arr[-1:], pad, axis=0)]
+                    )
+                noises.append(self._place_data(arr))
         # init() builds zeros_like mirrors of (w, noises), so the Adam state
         # inherits their 'data' sharding; step count / lr stay replicated scalars.
         opt_state = self._optimizer.init((w, noises))
@@ -479,6 +549,10 @@ class TPUProjector:
 
         dist = jnp.zeros((batch,))
         empty_image = np.zeros((batch, 0, 0, 3), np.uint8)
+        effective_noise_factor = jnp.asarray(
+            settings.initial_noise_factor if noise_factor is None else noise_factor,
+            jnp.float32,
+        )
 
         if use_scan:
             step_number = 0
@@ -489,6 +563,7 @@ class TPUProjector:
                 w, noises, opt_state, rng, dists, w_history = scan_fn(
                     w, noises, opt_state, rng, target_proc, perceptual,
                     jnp.asarray(step_number, jnp.int32),
+                    effective_noise_factor,
                 )
                 dist = dists[-1]
                 if self.expected_time_per_step is not None or step_callback is not None:
@@ -527,7 +602,8 @@ class TPUProjector:
                 t = jnp.asarray(step_number / max(settings.num_steps, 1), jnp.float32)
                 rng, step_rng = jax.random.split(rng)
                 w, noises, opt_state, dist, images_dev = self._step_fn(
-                    w, noises, opt_state, target_proc, t, step_rng, perceptual
+                    w, noises, opt_state, target_proc, t, step_rng, perceptual,
+                    effective_noise_factor,
                 )
                 if self.expected_time_per_step is not None:
                     # JAX dispatch is async; the watchdog must observe real device

@@ -742,3 +742,93 @@ def test_cli_vgg_weights_option_reaches_projector(tmp_path, monkeypatch):
     assert seen["vgg_weights_path"] == vgg_pkl
     assert out.exists()
     verify_projection_file_assumptions(out)
+
+
+def test_warm_start_converges_faster_than_cold():
+    """
+    Warm-starting at the target's true latents must land far closer after the
+    same few steps than a cold start from the dlatent average — the property
+    that makes consecutive-video-frame warm starting worthwhile.
+    """
+    from gance_tpu.models.stylegan2 import (
+        generator_apply, images_to_uint8, mapping_apply,
+    )
+
+    params = init_generator_params(jax.random.PRNGKey(30), TINY)
+    z = jax.random.normal(jax.random.PRNGKey(31), (1, TINY.latent_size))
+    target = np.asarray(images_to_uint8(generator_apply(params, z, TINY)))[0]
+    true_w = np.asarray(mapping_apply(params, z, TINY))[0]  # (512,)
+
+    settings = ProjectorSettings(
+        num_steps=3, dlatent_avg_samples=64, perceptual_size=16,
+        initial_noise_factor=0.0,  # isolate the start point's effect
+    )
+    projector = TPUProjector(params, TINY, settings=settings)
+    cold = projector.project(target, want_step_images=False)
+    warm = projector.project(
+        target, want_step_images=False, initial_latents=true_w
+    )
+    assert warm.final_distance < cold.final_distance * 0.5
+    # shape contracts hold for every accepted initial_latents form
+    batch = projector.project_batch(
+        np.stack([target, target]),
+        want_step_images=False,
+        per_step_noises=False,
+        initial_latents=np.stack([true_w, true_w]),
+    )
+    assert batch[0].final_latents.shape == (1, TINY.num_style_rows, TINY.dlatent_size)
+    rows = projector.project_batch(
+        np.stack([target]),
+        want_step_images=False,
+        per_step_noises=False,
+        initial_latents=warm.final_latents,  # (1, R, 512) form
+    )
+    assert rows[0].final_latents.shape == (1, TINY.num_style_rows, TINY.dlatent_size)
+
+
+def test_warm_start_shape_validation():
+    params = init_generator_params(jax.random.PRNGKey(32), TINY)
+    projector = TPUProjector(
+        params, TINY,
+        settings=ProjectorSettings(
+            num_steps=1, dlatent_avg_samples=64, perceptual_size=16
+        ),
+    )
+    target = (np.random.RandomState(0).rand(2, 16, 16, 3) * 255).astype(np.uint8)
+    with pytest.raises(ValueError, match="initial_latents"):
+        projector.project_batch(
+            target, want_step_images=False, per_step_noises=False,
+            initial_latents=np.zeros((3, TINY.dlatent_size + 1), np.float32),
+        )
+
+
+def test_project_video_warm_start_writer(tmp_path):
+    """project_video_to_file(warm_start=True) chains batches and completes."""
+    from gance_tpu.media.video import write_source_to_disk_consume
+    from gance_tpu.models.pickle_loader import save_generator_pickle
+    from gance_tpu.projection.file_reader import load_projection_file
+    from gance_tpu.projection.file_writer import project_video_to_file
+
+    params = init_generator_params(jax.random.PRNGKey(33), TINY)
+    pkl = tmp_path / "net.pkl"
+    save_generator_pickle(params, pkl)
+    rng = np.random.RandomState(8)
+    frames = [(rng.rand(16, 16, 3) * 255).astype(np.uint8) for _ in range(4)]
+    video = tmp_path / "src.mp4"
+    write_source_to_disk_consume(iter(frames), video, video_fps=30.0)
+
+    out = tmp_path / "warm.hdf5"
+    project_video_to_file(
+        path_to_video=video,
+        path_to_network=pkl,
+        projection_file_path=out,
+        steps_per_projection=2,
+        projection_batch=2,
+        latents_histories_enabled=False,
+        warm_start=True,
+    )
+    with load_projection_file(out) as reader:
+        assert reader.projection_attributes.complete
+        finals = list(reader.final_latents)
+        assert len(finals) == 4
+        assert finals[0].shape == (TINY.num_style_rows, TINY.dlatent_size)
