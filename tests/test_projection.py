@@ -687,6 +687,55 @@ def test_projection_autodiff_through_phase_path(monkeypatch):
     )
 
 
+@pytest.mark.parametrize("phase_mode", ["off", "on"])
+def test_batch_composition_does_not_change_per_frame_result(monkeypatch, phase_mode):
+    """
+    Frames optimize independently (the summed batch loss gives each frame its
+    single-frame gradient — projector.py loss_fn): a frame projected alone
+    (batch 1) and the same frame inside a mixed batch must follow the SAME
+    trajectory once the stochastic inputs are pinned (jitter 0 via
+    noise_factor, shared initial noise buffers). Covers both the standard and
+    the polyphase top block, forward AND backward — the production 1024px/bf16
+    configuration runs the phase path under the scanned loop, so a batch
+    coupling anywhere in it would corrupt every batched projection.
+    """
+    monkeypatch.setenv("GANCE_TPU_PHASE1024", phase_mode)
+    params = init_generator_params(jax.random.PRNGKey(30), TINY)
+    rng = np.random.RandomState(31)
+    targets = (rng.rand(3, 16, 16, 3) * 255).astype(np.uint8)
+    settings = ProjectorSettings(
+        num_steps=5, dlatent_avg_samples=64, perceptual_size=16
+    )
+    projector = TPUProjector(params, TINY, settings=settings)
+    # Distinct warm starts per frame + ONE shared set of initial noise buffers
+    # ((1, h, w, 1), broadcast over the batch) so batch-1 and batch-3 runs see
+    # identical inputs per frame.
+    w_starts = rng.randn(3, TINY.dlatent_size).astype(np.float32)
+    noise_shapes = sorted(
+        (v.shape for v in params["synthesis"]["noise"].values()),
+        key=lambda s: s[1],
+    )
+    initial_noises = [
+        rng.randn(1, *s[1:]).astype(np.float32) for s in noise_shapes
+    ]
+
+    batched = projector.project_batch(
+        targets, want_step_images=False, per_step_noises=False,
+        initial_latents=w_starts, initial_noises=initial_noises,
+        noise_factor=0.0,
+    )
+    for i in range(3):
+        single = projector.project(
+            targets[i], want_step_images=False,
+            initial_latents=w_starts[i], initial_noises=initial_noises,
+            noise_factor=0.0,
+        )
+        np.testing.assert_allclose(
+            batched[i].final_latents, single.final_latents, atol=1e-4
+        )
+        assert abs(batched[i].final_distance - single.final_distance) < 1e-4
+
+
 def test_cli_vgg_weights_option_reaches_projector(tmp_path, monkeypatch):
     """
     --vgg-weights on the projection CLI must flow through to the projector (the
