@@ -260,11 +260,12 @@ def project_video_to_file(
         or an imported `.npz`; None selects the deterministic random-VGG
         fallback metric.
     :param warm_start: initialize each batch's latents from the previous
-        batch's final latents instead of the dlatent average (video frames are
-        temporally coherent, so far fewer steps reach the same distance; the
-        reference always cold-starts every frame). The first batch still
-        cold-starts. Off by default: cold-start per frame is the reference's
-        exact behavior.
+        batch's final latents instead of the dlatent average (the reference
+        always cold-starts every frame). Measured distance-NEUTRAL under the
+        default schedule at every tested budget (ROUND_NOTES r3c) — the value
+        is temporal smoothing of the latent trajectory, not fewer steps. The
+        first batch still cold-starts. Off by default: cold-start per frame
+        is the reference's exact behavior.
     """
     from gance_tpu.projection.projector import TPUProjector  # local: heavy import
 

@@ -447,11 +447,13 @@ class TPUProjector:
         :param initial_latents: optional warm start for the optimized w —
             (512,) broadcast to the batch, (B, 512), or (B, R, 512) (row 0 is
             taken; projection keeps all rows identical). None starts at the
-            sampled dlatent average, the NVlabs behavior. Video frames are
-            temporally coherent, so warm-starting each frame from its
-            predecessor's final latents reaches a given distance in far fewer
-            steps than the reference's always-cold start (which pays the full
-            1000 steps per frame, projector_file_writer.py:617-802).
+            sampled dlatent average, the NVlabs behavior (the reference is
+            always-cold, projector_file_writer.py:617-802). Measured NOTE:
+            warm-starting frame N from frame N-1's finals is distance-NEUTRAL
+            under the default schedule at every tested budget (the annealed
+            w-jitter erases the head start, and with jitter 0 the endpoint is
+            schedule-bound — ROUND_NOTES r3c); use it for temporal smoothing
+            of latent trajectories, not to cut num_steps.
         :param initial_noises: optional warm start for the per-layer noise
             buffers (the list shape ProjectionResult.noises carries, each
             (B, h, w, 1) or (1, h, w, 1) broadcast over the batch). None draws
@@ -523,6 +525,18 @@ class TPUProjector:
             noises = []
             for i, buf in enumerate(initial_noises):
                 arr = jnp.asarray(buf, jnp.float32)
+                expected_spatial = tuple(
+                    self.params["synthesis"]["noise"][self._noise_names[i]].shape[1:]
+                )
+                if (
+                    arr.ndim != 4
+                    or arr.shape[0] not in (1, batch)
+                    or tuple(arr.shape[1:]) != expected_spatial
+                ):
+                    raise ValueError(
+                        f"initial_noises[{i}]: expected {(1,) + expected_spatial} "
+                        f"or {(batch,) + expected_spatial}, got {tuple(arr.shape)}"
+                    )
                 if arr.shape[0] == 1 and work_batch > 1:
                     arr = jnp.tile(arr, (work_batch, 1, 1, 1))
                 elif arr.shape[0] == batch and pad:

@@ -31,6 +31,25 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """
+    In hardware mode, run ONLY @tpu-marked tests regardless of -m: the CPU
+    forcing above is off for the whole process, so the CPU-sized tests would
+    (a) fail anywhere they assert the 8-virtual-device mesh and (b) hammer the
+    tunneled remote compiler with hundreds of tiny programs — the documented
+    way to wedge it. Deselecting here makes `GANCE_TPU_HW_TESTS=1 pytest
+    tests/` (without `-m tpu`) safe instead of a footgun.
+    """
+    if not _HW:
+        return
+    selected, deselected = [], []
+    for item in items:
+        (selected if item.get_closest_marker("tpu") else deselected).append(item)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected
+
+
 @pytest.fixture()
 def rng() -> np.random.RandomState:
     return np.random.RandomState(1234)

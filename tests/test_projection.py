@@ -736,6 +736,38 @@ def test_batch_composition_does_not_change_per_frame_result(monkeypatch, phase_m
         assert abs(batched[i].final_distance - single.final_distance) < 1e-4
 
 
+def test_initial_noises_shape_validated_eagerly():
+    """
+    A malformed warm-start noise buffer (wrong rank, wrong spatial dims, or a
+    leading dim that is neither 1 nor the batch) must raise a clear ValueError
+    at the API boundary — not a cryptic XLA shape error from inside the
+    scanned jitted step (where the mis-tiled array would otherwise surface).
+    """
+    params = init_generator_params(jax.random.PRNGKey(32), TINY)
+    projector = TPUProjector(
+        params, TINY,
+        settings=ProjectorSettings(
+            num_steps=2, dlatent_avg_samples=8, perceptual_size=16
+        ),
+    )
+    target = (np.random.RandomState(33).rand(2, 16, 16, 3) * 255).astype(np.uint8)
+    good = [
+        np.zeros(
+            (1,) + tuple(params["synthesis"]["noise"][n].shape[1:]), np.float32
+        )
+        for n in projector._noise_names
+    ]
+    for mutate in (
+        lambda bufs: [b[..., 0] for b in bufs],  # rank 3
+        lambda bufs: [np.repeat(b, 3, axis=0) for b in bufs],  # leading dim 3 != batch 2
+        lambda bufs: [np.repeat(b, 2, axis=1) for b in bufs],  # wrong spatial dims
+    ):
+        with pytest.raises(ValueError, match="initial_noises"):
+            projector.project_batch(
+                target, want_step_images=False, initial_noises=mutate(good)
+            )
+
+
 def test_cli_vgg_weights_option_reaches_projector(tmp_path, monkeypatch):
     """
     --vgg-weights on the projection CLI must flow through to the projector (the

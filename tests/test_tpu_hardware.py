@@ -24,10 +24,8 @@ pytestmark = [
     ),
 ]
 
-SMALL = None  # constructed lazily so CPU-only collection never imports models
-
-
 def _small_config():
+    # Constructed per-call so CPU-only collection never imports the models.
     from gance_tpu.models.stylegan2 import GeneratorConfig
 
     return GeneratorConfig(

@@ -87,13 +87,26 @@ def main() -> None:
     )
     print(f"B true-w@{steps}: {floor.final_distance:.4f}", file=sys.stderr, flush=True)
 
-    # C: best-of-K random mapped-w starts, jitter-free, one batched optimization
+    # C: best-of-K random mapped-w starts, jitter-free, one batched optimization.
+    # Noise buffers are pinned explicitly as (1, h, w, 1) — broadcast over the
+    # batch — so arm D (batch 1) optimizes from IDENTICAL inputs; default
+    # drawing would give C shape-(K,...) and D shape-(1,...) draws whose
+    # element-0 equality is PRNG-implementation-dependent, and a benign
+    # mismatch would false-flag the consistency check.
+    noise_rs = np.random.RandomState(7)
+    shared_noises = [
+        noise_rs.randn(
+            1, *params["synthesis"]["noise"][name].shape[1:]
+        ).astype(np.float32)
+        for name in projector._noise_names
+    ]
     z = jax.random.normal(jax.random.PRNGKey(99), (k, 512))
     w_starts = np.asarray(mapping_apply(params, z, config))  # (K, 512)
     results = projector.project_batch(
         np.repeat(target[None], k, axis=0),
         want_step_images=False, per_step_noises=False,
-        initial_latents=w_starts, noise_factor=0.0,
+        initial_latents=w_starts, initial_noises=shared_noises,
+        noise_factor=0.0,
     )
     k_dists = [r.final_distance for r in results]
     print(
@@ -106,7 +119,8 @@ def main() -> None:
     # independent); a mismatch indicts the device/executable, not the math.
     solo = projector.project(
         target, want_step_images=False,
-        initial_latents=w_starts[0], noise_factor=0.0,
+        initial_latents=w_starts[0], initial_noises=shared_noises,
+        noise_factor=0.0,
     )
     print(
         f"D rand0-batch1@{steps}: {solo.final_distance:.4f} "

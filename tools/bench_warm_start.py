@@ -24,9 +24,7 @@ def main() -> None:
     resolution = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     frames = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    anchor_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * (
-        int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    )
+    anchor_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * steps
 
     sys.path.insert(0, "/root/repo")
     import gance_tpu  # noqa: F401
@@ -67,7 +65,7 @@ def main() -> None:
             params, config,
             settings=ProjectorSettings(
                 num_steps=num_steps, compute_dtype="bfloat16",
-                scan_segment=min(steps, 250),
+                scan_segment=min(num_steps, 250),
             ),
             expected_time_per_step=None,
         )

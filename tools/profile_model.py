@@ -131,11 +131,14 @@ def run_trace_projection(trace_dir: str, iters: int, batch: int) -> None:
 
     perceptual = {k: jnp.asarray(v) for k, v in projector._perceptual_params.items()}
 
+    noise_factor = jnp.asarray(settings.initial_noise_factor, jnp.float32)
+
     def one_step(w, noises, opt_state, rng, step_number):
         t = jnp.asarray(step_number / 1000.0, jnp.float32)
         rng, step_rng = jax.random.split(rng)
         w, noises, opt_state, dist, _ = projector._step_fn(
-            w, noises, opt_state, target_proc, t, step_rng, perceptual
+            w, noises, opt_state, target_proc, t, step_rng, perceptual,
+            noise_factor,
         )
         return w, noises, opt_state, rng, dist
 
