@@ -49,3 +49,19 @@ def test_add_log_file_none_is_noop():
     before = list(logging.getLogger().handlers)
     add_log_file(None)
     assert logging.getLogger().handlers == before
+
+
+def test_version_strings_agree():
+    """pyproject.toml, gance_tpu.__version__, and the CHANGELOG head must not drift."""
+    import re
+    from pathlib import Path
+
+    import gance_tpu
+
+    root = Path(__file__).resolve().parents[1]
+    pyproject = (root / "pyproject.toml").read_text()
+    toml_version = re.search(r'^version = "([^"]+)"', pyproject, re.M).group(1)
+    changelog_head = re.search(
+        r"^## (\d+\.\d+\.\d+)", (root / "CHANGELOG.md").read_text(), re.M
+    ).group(1)
+    assert gance_tpu.__version__ == toml_version == changelog_head
