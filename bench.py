@@ -15,15 +15,27 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N/60}
 vs_baseline is against the 60 fps/chip north-star target (BASELINE.md; the
 reference publishes no formal numbers).
+
+The payload runs in a CHILD process behind a stall guard: the tunneled remote
+compile intermittently hangs forever (zero link traffic, no response — the
+failure class tools/tpu_retry.sh exists for), and a killed-and-retried process
+virtually always compiles fine. The guard watches child output + network
+counters and kills/retries on a dead stall, so a single hang can't cost the
+round its benchmark number. BENCH_NO_GUARD=1 runs the payload inline.
 """
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 
 def main() -> None:
+    if os.environ.get("BENCH_TEST_HANG") == "1":
+        # Test hook: simulate the remote-compile dead hang for the stall guard.
+        time.sleep(600)
     import gance_tpu  # noqa: F401  (platform/compile-cache plumbing)
     import jax
     import jax.numpy as jnp
@@ -112,5 +124,87 @@ def main() -> None:
     )
 
 
+def _rx_bytes() -> int:
+    """Total received bytes on the tunnel-facing interface (-1 if unreadable)."""
+    try:
+        with open("/proc/net/dev") as f:
+            for line in f:
+                if "eth0" in line:
+                    return int(line.split()[1])
+    except (OSError, ValueError, IndexError):
+        pass
+    return -1
+
+
+def _run_guarded() -> int:
+    """
+    Run main() in a child process, killing and retrying on a dead stall
+    (no new output AND no link traffic for BENCH_STALL_SECS). 420s default
+    clears the longest healthy silent gap observed (a ~6 min cold compile
+    emits the device line first, then goes quiet for <420s).
+    """
+    stall_secs = int(os.environ.get("BENCH_STALL_SECS", "420"))
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    # Tests set this to detect the stall from output alone (shared hosts have
+    # unrelated link traffic); production keeps the AND with the rx counter so
+    # a healthy-but-quiet long compile is never killed.
+    output_only = os.environ.get("BENCH_STALL_OUTPUT_ONLY") == "1"
+    env = dict(os.environ, BENCH_NO_GUARD="1")
+    for attempt in range(1, attempts + 1):
+        with tempfile.NamedTemporaryFile(
+            mode="w+", suffix=".log", prefix="bench_", delete=False
+        ) as log:
+            child = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)],
+                stdout=log, stderr=subprocess.STDOUT, env=env,
+            )
+            last_size, stall = 0, 0.0
+            poll_s = float(os.environ.get("BENCH_STALL_POLL_SECS", "15"))
+            while child.poll() is None:
+                rx0 = _rx_bytes()
+                time.sleep(poll_s)
+                size = os.path.getsize(log.name)
+                if size == last_size and (output_only or _rx_bytes() == rx0):
+                    stall += poll_s
+                else:
+                    stall = 0.0
+                last_size = size
+                if stall >= stall_secs:
+                    print(
+                        f"bench attempt {attempt}: dead stall {stall:.0f}s "
+                        "(no output, no link traffic) — killing and retrying",
+                        file=sys.stderr,
+                    )
+                    child.kill()
+                    child.wait()
+                    break
+            log.seek(0)
+            lines = log.read().splitlines()
+        if child.returncode == 0:
+            # Child stdout+stderr are merged; re-split: the JSON result line
+            # goes to stdout (the driver's contract), the rest to stderr.
+            result = next(
+                (l for l in reversed(lines) if l.startswith('{"metric"')), None
+            )
+            for line in lines:
+                if line != result:
+                    print(line, file=sys.stderr)
+            if result is not None:
+                print(result)
+                return 0
+            print("bench child exited 0 without a result line", file=sys.stderr)
+        else:
+            for line in lines[-20:]:
+                print(line, file=sys.stderr)
+            print(
+                f"bench attempt {attempt} failed (rc={child.returncode})",
+                file=sys.stderr,
+            )
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_NO_GUARD") == "1":
+        main()
+    else:
+        sys.exit(_run_guarded())

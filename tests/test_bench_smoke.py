@@ -45,3 +45,24 @@ def test_bench_smoke_fp32_high():
     assert result.returncode == 0, result.stderr[-2000:]
     blob = json.loads(result.stdout.strip().splitlines()[-1])
     assert "float32" in blob["metric"] and "high" in blob["metric"]
+
+
+def test_bench_stall_guard_kills_and_reports():
+    """A dead-stalled child (the remote-compile hang class) is killed and the
+    guard exits nonzero after the attempt budget instead of hanging forever."""
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        BENCH_TEST_HANG="1",
+        BENCH_STALL_SECS="4",
+        BENCH_STALL_POLL_SECS="2",
+        BENCH_STALL_OUTPUT_ONLY="1",
+        BENCH_ATTEMPTS="1",
+    )
+    result = subprocess.run(
+        [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
+        timeout=120, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert result.returncode == 1
+    assert "dead stall" in result.stderr
+    assert result.stdout.strip() == ""  # no result line fabricated
