@@ -119,6 +119,9 @@ def main() -> None:
                 "value": round(frames_per_sec, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(frames_per_sec / 60.0, 3),
+                # Self-describing: if the tunnel is down and JAX fell back to
+                # CPU, the number must not read as a TPU result.
+                "device": device.platform,
             }
         )
     )
