@@ -500,10 +500,16 @@ class MultiNetwork:
             n = network_indices.shape[0]
             frame_data = frame_data[:n]
 
-        window_size = batch_size * max(int(lookahead), 1)
-
-        # Batches that shard over a mesh must stay divisible by the data-axis size.
+        # Batches that shard over a mesh must stay divisible by the data-axis
+        # size — including the cap on bucket sizes, so the requested batch_size
+        # rounds DOWN to a data-axis multiple (never exceeding the caller's
+        # memory budget; rounds UP only when batch_size < data_axis, the
+        # minimum shardable batch).
         data_axis = getattr(self._mesh, "shape", {}).get("data", 1) if self._mesh else 1
+        if data_axis > 1:
+            batch_size = max(data_axis, batch_size - batch_size % data_axis)
+
+        window_size = batch_size * max(int(lookahead), 1)
 
         def dispatch_window(start: int, end: int) -> Tuple[int, List[Tuple[Any, List[int]]]]:
             """Group [start:end) by index, dispatch each group; keep positions."""

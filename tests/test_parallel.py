@@ -227,6 +227,15 @@ def test_multi_network_over_mesh(tmp_path):
     assert got.shape == want.shape == (8, 16, 16, 3)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
+    # batch_size NOT divisible by the data axis (and smaller than it): the
+    # stream rounds its effective batch to a data-axis multiple internally —
+    # the bucket cap must never emit a shard-incompatible shape (regression:
+    # _bucket_size capped at the raw batch_size, crashing device_put).
+    for awkward_batch in (3, 6):
+        got = sharded.synthesize_all(frames, indices, batch_size=awkward_batch)
+        assert got.shape == (8, 16, 16, 3)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
 
 def test_one_network_per_device_serving(tmp_path):
     """
