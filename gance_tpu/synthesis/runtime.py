@@ -171,8 +171,9 @@ class SynthesisNetwork:
     # resize is fused into the jitted program; egress moves output-sized frames).
     output_side_length: Optional[int] = None
     # When set, params are placed tensor-parallel over the mesh's 'model' axis and
-    # frame batches shard over 'data' — the multi-chip serving path. Batch sizes
-    # must be divisible by the data-axis size.
+    # frame batches shard over 'data' — the multi-chip serving path. Batches of
+    # any size work: they pad to a data-axis multiple at the device boundary
+    # and the pads are sliced back off.
     mesh: Optional[Any] = None
     # When set (exclusive with mesh), this network lives wholly on one device —
     # the one-network-per-device true-DP mode (SURVEY.md §2.10): each network of
@@ -190,8 +191,10 @@ class SynthesisNetwork:
                 self.params, generator_param_sharding(self.mesh, self.params)
             )
             self._batch_sharding = shard_batch(self.mesh)
+            self._data_axis = int(dict(self.mesh.shape).get("data", 1))
         else:
             self._batch_sharding = None
+            self._data_axis = 1
             if self.device is not None:
                 self.params = jax.device_put(self.params, self.device)
 
@@ -241,17 +244,31 @@ class SynthesisNetwork:
 
         return resolve_phase_top_block(self.config, self.compute_dtype)
 
+    def _pad_for_data_axis(self, batch: jax.Array) -> Tuple[jax.Array, int]:
+        """
+        Mesh batches must shard evenly over 'data': pad by repeating the last
+        row (callers slice the pads back off). Keeps the single-frame compat
+        surface (create_image_*) working on mesh-sharded networks.
+        """
+        n = batch.shape[0]
+        pad = (-n) % self._data_axis
+        if pad:
+            batch = jnp.concatenate([batch, jnp.repeat(batch[-1:], pad, axis=0)])
+        return batch, n
+
     def device_images_from_vectors(self, z_batch: np.ndarray) -> jax.Array:
         """(B, latent) z batch -> device-resident (B, R, R, 3) uint8 (async)."""
-        return _jit_images_from_z(
+        z, n = self._pad_for_data_axis(jnp.asarray(z_batch, jnp.float32))
+        images = _jit_images_from_z(
             self.params,
-            self._place_batch(jnp.asarray(z_batch, jnp.float32)),
+            self._place_batch(z),
             self.config,
             self.truncation_psi,
             self.compute_dtype,
             self.output_side_length,
             self._resolved_phase_mode(),
         )
+        return images[:n] if images.shape[0] != n else images
 
     def device_images_from_matrices(self, dlatent_batch: np.ndarray) -> jax.Array:
         """
@@ -259,14 +276,16 @@ class SynthesisNetwork:
         mapping network AND truncation — projection latents are final
         (reference network_functions.py:160-168).
         """
-        return _jit_images_from_dlatents(
+        dlat, n = self._pad_for_data_axis(jnp.asarray(dlatent_batch, jnp.float32))
+        images = _jit_images_from_dlatents(
             self.params,
-            self._place_batch(jnp.asarray(dlatent_batch, jnp.float32)),
+            self._place_batch(dlat),
             self.config,
             self.compute_dtype,
             self.output_side_length,
             self._resolved_phase_mode(),
         )
+        return images[:n] if images.shape[0] != n else images
 
     def device_images_generic(self, batch: np.ndarray) -> jax.Array:
         """Dispatch on input rank: (B, V) -> vectors, (B, R, V) -> matrices."""

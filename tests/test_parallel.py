@@ -236,6 +236,14 @@ def test_multi_network_over_mesh(tmp_path):
         assert got.shape == (8, 16, 16, 3)
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
+    # The single-frame compat surface (the reference's ImageFunction protocol)
+    # must work on a mesh network: batch 1 pads to the data axis at the device
+    # boundary and the pads are sliced off (regression: crashed in device_put).
+    one_sharded = sharded.network(0).create_image_vector(frames[0])
+    one_plain = plain.network(0).create_image_vector(frames[0])
+    assert one_sharded.shape == (16, 16, 3)
+    assert np.abs(one_sharded.astype(int) - one_plain.astype(int)).max() <= 1
+
 
 def test_one_network_per_device_serving(tmp_path):
     """
