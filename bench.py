@@ -153,13 +153,36 @@ def _run_guarded() -> int:
     # a healthy-but-quiet long compile is never killed.
     output_only = os.environ.get("BENCH_STALL_OUTPUT_ONLY") == "1"
     env = dict(os.environ, BENCH_NO_GUARD="1")
-    for attempt in range(1, attempts + 1):
+    # Final safety net: if every TPU attempt dies (tunnel hard-down — observed
+    # multi-hour outages), run once pinned to CPU with a tiny shape so the
+    # round still records a self-describing result ("device": "cpu") instead
+    # of nothing. A labeled wrong-hardware number beats an absent file.
+    # BENCH_NO_FALLBACK=1 restores fail-with-no-output.
+    fallback_attempts = 0 if os.environ.get("BENCH_NO_FALLBACK") == "1" else 1
+    fallback_env = dict(
+        env,
+        JAX_PLATFORMS="cpu",
+        BENCH_BATCH=os.environ.get("BENCH_FALLBACK_BATCH", "2"),
+        BENCH_ITERS=os.environ.get("BENCH_FALLBACK_ITERS", "2"),
+    )
+    # The hang-simulation hook models a TPU-init stall; the CPU pin avoids
+    # that path, so the hook must not re-hang the fallback child.
+    fallback_env.pop("BENCH_TEST_HANG", None)
+    for attempt in range(1, attempts + 1 + fallback_attempts):
+        cpu_fallback = attempt == attempts + 1
+        if cpu_fallback:
+            print(
+                "bench: all TPU attempts failed — one CPU-pinned fallback run "
+                "so the round records a (labeled) result",
+                file=sys.stderr,
+            )
         with tempfile.NamedTemporaryFile(
             mode="w+", suffix=".log", prefix="bench_", delete=False
         ) as log:
             child = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__)],
-                stdout=log, stderr=subprocess.STDOUT, env=env,
+                stdout=log, stderr=subprocess.STDOUT,
+                env=fallback_env if cpu_fallback else env,
             )
             last_size, stall = 0, 0.0
             poll_s = float(os.environ.get("BENCH_STALL_POLL_SECS", "15"))
