@@ -184,6 +184,11 @@ def _run_guarded() -> int:
                 stdout=log, stderr=subprocess.STDOUT,
                 env=fallback_env if cpu_fallback else env,
             )
+            # The stall watchdog exists for the REMOTE-compile dead hang; the
+            # CPU-pinned fallback can't hit it, and a quiet single-core compile
+            # can legitimately outlast any stall window — run it unwatched.
+            if cpu_fallback:
+                child.wait()
             last_size, stall = 0, 0.0
             poll_s = float(os.environ.get("BENCH_STALL_POLL_SECS", "15"))
             while child.poll() is None:
