@@ -7,6 +7,9 @@ pick a Mesh, annotate shardings, let XLA insert the collectives over ICI.
     parallelism: synthesis frames are independent).
   * model axis — tensor parallelism over channel dimensions of the large convs and
     dense layers (weights sharded on output channels; activations on channels).
+  * network axis — network-parallel serving: N networks resident on N device
+    groups at once (network_parallel.py), dissolving the reference's expensive
+    per-switch process respawn into one SPMD program.
 """
 
 from gance_tpu.parallel.mesh import (
@@ -14,6 +17,11 @@ from gance_tpu.parallel.mesh import (
     shard_batch,
     generator_param_sharding,
     discriminator_param_sharding,
+)
+from gance_tpu.parallel.network_parallel import (
+    NetworkParallelSynthesis,
+    create_network_mesh,
+    stack_network_params,
 )
 from gance_tpu.parallel.sharded_synthesis import make_sharded_synthesis
 from gance_tpu.parallel.training import (
@@ -28,6 +36,9 @@ __all__ = [
     "generator_param_sharding",
     "discriminator_param_sharding",
     "make_sharded_synthesis",
+    "NetworkParallelSynthesis",
+    "create_network_mesh",
+    "stack_network_params",
     "TrainingState",
     "init_training_state",
     "make_train_step",

@@ -1,0 +1,151 @@
+"""
+Network-parallel serving: N networks resident on N device groups at once
+(gance_tpu/parallel/network_parallel.py — the SURVEY §2.10 "one network per
+device" mode replacing the reference's kill-and-respawn network switch,
+network_visualization.py:653-674).
+
+Equality bar: the sharded all-networks program must match the plain
+single-device per-network render to within ONE uint8 quantization step on a
+small fraction of pixels. Bit-exactness is NOT granted: XLA picks different
+conv tilings for different batch shapes (serial batch-1 vs grouped batch-G vs
+per-device batch-G/data), which legally reassociates the fp reduction — the
+same slack the golden-image phase test documents (tests/test_golden_image.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gance_tpu.models.stylegan2 import (
+    GeneratorConfig,
+    generator_apply,
+    images_to_uint8,
+    init_generator_params,
+    synthesis_apply,
+)
+from gance_tpu.parallel.network_parallel import (
+    NetworkParallelSynthesis,
+    create_network_mesh,
+    stack_network_params,
+)
+
+CONFIG = GeneratorConfig(
+    resolution=32, fmap_base=512, fmap_max=64, latent_size=512,
+    dlatent_size=512, mapping_layers=2, mapping_fmaps=512,
+)
+N_NETWORKS = 4
+
+
+@pytest.fixture(scope="module")
+def params_list():
+    return [
+        init_generator_params(jax.random.PRNGKey(i), CONFIG)
+        for i in range(N_NETWORKS)
+    ]
+
+
+def _assert_quantization_parity(got: np.ndarray, want: np.ndarray) -> None:
+    """<=1 uint8 step everywhere, and only a small fraction of pixels flip."""
+    assert got.shape == want.shape and got.dtype == want.dtype
+    diff = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert int(diff.max()) <= 1, f"max diff {diff.max()} exceeds quantization"
+    flipped = int((diff > 0).sum())
+    assert flipped <= max(1, got.size // 100), f"{flipped}/{got.size} pixels flipped"
+
+
+def _serial_reference(params_list, frame_data, network_indices):
+    """Plain single-device render, one frame at a time, in stream order."""
+    out = []
+    for frame, index in zip(frame_data, network_indices):
+        batch = jnp.asarray(frame)[None]
+        if batch.ndim == 2:  # (1, 512) z
+            images = generator_apply(
+                params_list[index], batch, CONFIG, truncation_psi=1.2,
+                noise_mode="const",
+            )
+        else:  # (1, rows, 512) dlatents
+            images = synthesis_apply(
+                params_list[index], batch, CONFIG, noise_mode="const"
+            )
+        out.append(np.asarray(images_to_uint8(images))[0])
+    return np.stack(out)
+
+
+def test_mesh_uses_divisible_device_prefix():
+    mesh = create_network_mesh(3)  # 8 virtual devices -> 3x2 grid, 2 unused
+    assert mesh.shape == {"network": 3, "data": 2}
+    mesh = create_network_mesh(4)
+    assert mesh.shape == {"network": 4, "data": 2}
+    with pytest.raises(ValueError, match="at least"):
+        create_network_mesh(16)
+
+
+def test_stack_rejects_mismatched_architectures(params_list):
+    other = init_generator_params(
+        jax.random.PRNGKey(9),
+        GeneratorConfig(
+            resolution=64, fmap_base=512, fmap_max=64, latent_size=512,
+            dlatent_size=512, mapping_layers=2, mapping_fmaps=512,
+        ),
+    )
+    with pytest.raises(ValueError, match="different param structure"):
+        stack_network_params([params_list[0], other])
+
+
+def test_z_stream_matches_serial_within_quantization(params_list):
+    serving = NetworkParallelSynthesis(params_list, CONFIG, truncation_psi=1.2)
+    rng = np.random.RandomState(0)
+    frames = rng.randn(30, CONFIG.latent_size).astype(np.float32)
+    indices = rng.randint(0, N_NETWORKS, size=30)
+    got = serving.synthesize(frames, indices, batch_size=8)
+    want = _serial_reference(params_list, frames, indices)
+    _assert_quantization_parity(got, want)
+
+
+def test_matrix_stream_matches_serial_within_quantization(params_list):
+    serving = NetworkParallelSynthesis(params_list, CONFIG)
+    rows = CONFIG.num_style_rows
+    rng = np.random.RandomState(1)
+    frames = rng.randn(12, rows, CONFIG.dlatent_size).astype(np.float32)
+    indices = rng.randint(0, N_NETWORKS, size=12)
+    got = serving.synthesize(frames, indices, batch_size=8)
+    want = _serial_reference(params_list, frames, indices)
+    _assert_quantization_parity(got, want)
+
+
+def test_imbalanced_indices_and_multi_round_dispatch(params_list):
+    """All frames on one network forces the worst-case imbalance AND, with a
+    tiny batch_size, the multi-round path — results must still be exact."""
+    serving = NetworkParallelSynthesis(params_list, CONFIG, truncation_psi=1.2)
+    rng = np.random.RandomState(2)
+    frames = rng.randn(13, CONFIG.latent_size).astype(np.float32)
+    indices = np.full((13,), 2)
+    got = serving.synthesize(frames, indices, batch_size=1)  # cap 2/round -> 7 rounds
+    want = _serial_reference(params_list, frames, indices)
+    _assert_quantization_parity(got, want)
+
+
+def test_single_network_degenerates_to_data_parallel(params_list):
+    serving = NetworkParallelSynthesis(params_list[:1], CONFIG, truncation_psi=1.2)
+    assert serving.mesh.shape == {"network": 1, "data": 8}
+    rng = np.random.RandomState(3)
+    frames = rng.randn(9, CONFIG.latent_size).astype(np.float32)
+    got = serving.synthesize(frames, batch_size=4)
+    want = _serial_reference(params_list[:1], frames, np.zeros((9,), int))
+    _assert_quantization_parity(got, want)
+
+
+def test_index_validation(params_list):
+    serving = NetworkParallelSynthesis(params_list, CONFIG)
+    frames = np.zeros((3, CONFIG.latent_size), np.float32)
+    with pytest.raises(ValueError, match="out of range"):
+        serving.synthesize(frames, np.array([0, 1, 7]))
+    with pytest.raises(ValueError, match="shape"):
+        serving.synthesize(frames, np.array([0, 1]))
+
+
+def test_empty_input(params_list):
+    serving = NetworkParallelSynthesis(params_list, CONFIG)
+    out = serving.synthesize(np.zeros((0, CONFIG.latent_size), np.float32))
+    assert out.shape == (0, CONFIG.resolution, CONFIG.resolution, 3)
