@@ -83,6 +83,14 @@ def common_command_options(func: Callable) -> Callable:
             "Mutually exclusive with --data-parallel.",
         ),
         click.option(
+            "--network-parallel", is_flag=True, default=False,
+            help="All networks resident at once on a ('network','data') mesh: "
+            "each network owns a device GROUP (data-parallel within it) and one "
+            "SPMD program synthesizes every network's frame group per dispatch. "
+            "Needs >= one device per network; mutually exclusive with the other "
+            "placement flags.",
+        ),
+        click.option(
             "--fft-amplitude-range", type=(float, float), default=(-1.0, 1.0)
         ),
         click.option(

@@ -44,6 +44,7 @@ def noise_blend(  # pylint: disable=too-many-arguments
     trace_dir: Optional[str],
     data_parallel: Optional[int],
     one_network_per_device: bool,
+    network_parallel: bool,
     run_config: Optional[str],
     log: Optional[str],
 ) -> None:
@@ -72,6 +73,7 @@ def noise_blend(  # pylint: disable=too-many-arguments
         debug_3d=debug_3d,
         data_parallel=data_parallel,
         device_per_network=one_network_per_device,
+        network_parallel=network_parallel,
     )
 
 
@@ -122,6 +124,7 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
     trace_dir: Optional[str],
     data_parallel: Optional[int],
     one_network_per_device: bool,
+    network_parallel: bool,
     run_config: Optional[str],
     log: Optional[str],
     projection_file_path: str,
@@ -174,6 +177,7 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
         debug_3d=debug_3d,
         data_parallel=data_parallel,
         device_per_network=one_network_per_device,
+        network_parallel=network_parallel,
         phash_distance=phash_distance,
         bbox_distance=bbox_distance,
         track_length=track_length,

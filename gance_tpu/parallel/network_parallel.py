@@ -44,6 +44,8 @@ from gance_tpu.models.stylegan2 import (
     GeneratorConfig,
     generator_apply,
     images_to_uint8,
+    resize_images,
+    resolve_phase_top_block,
     synthesis_apply,
 )
 
@@ -111,6 +113,7 @@ class NetworkParallelSynthesis:
         truncation_psi: Optional[float] = DEFAULT_TRUNCATION_PSI,
         compute_dtype: Any = jnp.float32,
         phase_top_block_mode: Optional[bool] = None,
+        output_side_length: Optional[int] = None,
     ) -> None:
         self.n_networks = len(params_list)
         if self.n_networks < 1:
@@ -126,6 +129,7 @@ class NetworkParallelSynthesis:
         self._truncation_psi = truncation_psi
         self._compute_dtype = compute_dtype
         self._phase_mode = phase_top_block_mode
+        self.output_side_length = output_side_length
 
         stacked = stack_network_params(list(params_list))
         self._param_specs = jax.tree.map(lambda _: P("network"), stacked)
@@ -134,8 +138,7 @@ class NetworkParallelSynthesis:
         )
         self._params = jax.device_put(stacked, param_shardings)
         self._io_sharding = NamedSharding(self.mesh, P("network", "data"))
-        self._grouped_z = None
-        self._grouped_matrix = None
+        self._grouped: Dict[Tuple[bool, bool], Any] = {}
 
     @classmethod
     def from_pkls(cls, paths: Sequence[Path], **kwargs: Any) -> "NetworkParallelSynthesis":
@@ -152,11 +155,18 @@ class NetworkParallelSynthesis:
 
     # ---- device-level primitive ----
 
-    def _build_grouped(self, matrix: bool):
+    def _resolved_phase_mode(self) -> bool:
+        """Per-call env resolution so GANCE_TPU_PHASE1024 flips key the program
+        cache (same contract as SynthesisNetwork._resolved_phase_mode)."""
+        if self._phase_mode is not None:
+            return self._phase_mode
+        return resolve_phase_top_block(self.config, self._compute_dtype)
+
+    def _build_grouped(self, matrix: bool, phase_mode: bool):
         config = self.config
         psi = self._truncation_psi
         dtype = self._compute_dtype
-        phase_mode = self._phase_mode
+        side = self.output_side_length
 
         def body(stacked: Params, grouped: jax.Array) -> jax.Array:
             local = jax.tree.map(lambda leaf: leaf[0], stacked)
@@ -171,6 +181,8 @@ class NetworkParallelSynthesis:
                     local, frames, config, truncation_psi=psi, noise_mode="const",
                     compute_dtype=dtype, phase_top_block_mode=phase_mode,
                 )
+            if side is not None and side != config.resolution:
+                images = resize_images(images, side)
             return images_to_uint8(images)[None]
 
         io_spec = P("network", "data")
@@ -200,28 +212,34 @@ class NetworkParallelSynthesis:
                 f"({self.data_axis})"
             )
         matrix = grouped.ndim == 4
-        if matrix and self._grouped_matrix is None:
-            self._grouped_matrix = self._build_grouped(matrix=True)
-        if not matrix and self._grouped_z is None:
-            self._grouped_z = self._build_grouped(matrix=False)
-        fn = self._grouped_matrix if matrix else self._grouped_z
+        key = (matrix, self._resolved_phase_mode())
+        if key not in self._grouped:
+            self._grouped[key] = self._build_grouped(matrix, key[1])
         placed = jax.device_put(grouped.astype(np.float32), self._io_sharding)
-        return fn(self._params, placed)
+        return self._grouped[key](self._params, placed)
 
     # ---- stream-order surface ----
 
-    def synthesize(
+    @property
+    def output_resolution(self) -> int:
+        return self.output_side_length or self.config.resolution
+
+    def dispatch(
         self,
         frame_data: np.ndarray,
         network_indices: Optional[np.ndarray] = None,
         batch_size: int = 8,
-    ) -> np.ndarray:
+    ) -> Tuple[int, List[Tuple[jax.Array, List[np.ndarray]]]]:
         """
-        Synthesize `frame_data` (N, 512) vectors or (N, rows, 512) matrices with
-        per-frame `network_indices`, returning (N, R, R, 3) uint8 in stream
-        order. `batch_size` caps the per-device frames per dispatch (group size
-        cap = batch_size x data-axis); larger inputs dispatch in rounds, all
-        rounds sharing one compiled group shape.
+        Route, pad, and asynchronously dispatch all rounds for `frame_data`
+        ((N, 512) vectors or (N, rows, 512) matrices) with per-frame
+        `network_indices`. Returns an opaque handle for `gather` — dispatch the
+        next window before gathering this one to overlap device compute with
+        the device->host pull (the stream path's double buffering).
+
+        `batch_size` caps the per-device frames per dispatch (group size cap =
+        batch_size x data-axis); larger inputs dispatch in rounds, all rounds
+        sharing one compiled group shape.
         """
         frame_data = np.asarray(frame_data)
         n = frame_data.shape[0]
@@ -237,10 +255,8 @@ class NetworkParallelSynthesis:
                 f"network_indices out of range [0, {self.n_networks}) : "
                 f"[{network_indices.min()}, {network_indices.max()}]"
             )
-        resolution = self.config.resolution
-        out = np.empty((n, resolution, resolution, 3), dtype=np.uint8)
         if n == 0:
-            return out
+            return 0, []
 
         positions = [
             np.flatnonzero(network_indices == i) for i in range(self.n_networks)
@@ -260,12 +276,35 @@ class NetworkParallelSynthesis:
             gather = np.zeros((self.n_networks, group), dtype=int)
             for i, chunk in enumerate(chunk_positions):
                 gather[i, : len(chunk)] = chunk  # pad rows re-run frame 0: harmless
-            # async dispatch: later rounds overlap earlier rounds' host pulls
+            # async dispatch: later rounds overlap earlier rounds' device time
             dispatched.append(
                 (self.synthesize_grouped(frame_data[gather]), chunk_positions)
             )
+        return n, dispatched
+
+    def gather(
+        self, handle: Tuple[int, List[Tuple[jax.Array, List[np.ndarray]]]]
+    ) -> np.ndarray:
+        """Pull a `dispatch` handle to the host, scattered to stream order."""
+        n, dispatched = handle
+        side = self.output_resolution
+        out = np.empty((n, side, side, 3), dtype=np.uint8)
         for device_images, chunk_positions in dispatched:
             host_images = np.asarray(device_images)
             for i, chunk in enumerate(chunk_positions):
                 out[chunk] = host_images[i, : len(chunk)]
         return out
+
+    def synthesize(
+        self,
+        frame_data: np.ndarray,
+        network_indices: Optional[np.ndarray] = None,
+        batch_size: int = 8,
+    ) -> np.ndarray:
+        """
+        Synthesize `frame_data` with per-frame `network_indices`, returning
+        (N, R, R, 3) uint8 in stream order. One dispatch+gather; callers that
+        stream should pipeline `dispatch`/`gather` windows themselves (or use
+        `MultiNetwork(network_parallel=True).synthesize_stream`).
+        """
+        return self.gather(self.dispatch(frame_data, network_indices, batch_size))

@@ -38,6 +38,22 @@ def _build_mesh(data_parallel: Optional[int]):
     return create_mesh(data_parallel=data_parallel)
 
 
+def _check_network_parallel(requested: bool, network_paths: List[Path]) -> bool:
+    """Network-parallel serving needs >= one device per network; degrade loudly."""
+    if not requested:
+        return False
+    import jax
+
+    if len(jax.devices()) < len(network_paths):
+        LOGGER.warning(
+            "--network-parallel requested but %d networks > %d devices; "
+            "running the default resident-network path.",
+            len(network_paths), len(jax.devices()),
+        )
+        return False
+    return True
+
+
 def noise_blend_api(
     wav: List[Path],
     output_path: Path,
@@ -57,6 +73,7 @@ def noise_blend_api(
     debug_3d: bool = False,
     data_parallel: Optional[int] = None,
     device_per_network: bool = False,
+    network_parallel: bool = False,
 ) -> None:
     """
     Render a music video: audio features alpha-blended with smoothed gaussian noise,
@@ -74,6 +91,7 @@ def noise_blend_api(
     dtype = {None: None, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
     trace_ctx = trace(Path(trace_dir)) if trace_dir else contextlib.nullcontext()
     mesh = _build_mesh(data_parallel)
+    network_parallel = _check_network_parallel(network_parallel, network_paths)
 
     # Output scaling is fused into the jitted synthesis program (device-side
     # bicubic) so host egress moves output-sized frames, not native-res ones.
@@ -81,7 +99,8 @@ def noise_blend_api(
         network_paths=network_paths,
         output_side_length=output_side_length,
         mesh=mesh,
-        device_per_network=device_per_network and mesh is None,
+        device_per_network=device_per_network and mesh is None and not network_parallel,
+        network_parallel=network_parallel and mesh is None,
         **({"compute_dtype": dtype} if dtype is not None else {}),
     ) as multi_networks:
         audio = read_wavs_scale_for_video(

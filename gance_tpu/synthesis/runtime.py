@@ -368,7 +368,54 @@ class FakeSynthesisNetwork:
         return self._render(np.asarray(data).reshape(1, *np.asarray(data).shape))[0]
 
 
-NetworkLike = Union[SynthesisNetwork, FakeSynthesisNetwork]
+class _NetworkParallelMember:
+    """
+    Single-network NetworkLike view into a NetworkParallelSynthesis: keeps the
+    indexed_create_image_* / viz surfaces working when MultiNetwork serves in
+    network-parallel mode. Routing a batch through the full mesh program for one
+    network wastes the other groups' FLOPs — fine for the occasional
+    single-image call; the hot path (synthesize_stream) routes whole windows.
+    """
+
+    def __init__(self, serving: Any, index: int, path: Optional[Path]) -> None:
+        self._serving = serving
+        self.index = index
+        self.path = path
+
+    @property
+    def expected_vector_length(self) -> int:
+        return self._serving.config.latent_size
+
+    @property
+    def resolution(self) -> int:
+        return self._serving.config.resolution
+
+    def images_generic(self, batch: np.ndarray) -> np.ndarray:
+        batch = np.asarray(batch)
+        indices = np.full((batch.shape[0],), self.index, dtype=int)
+        return self._serving.synthesize(batch, indices)
+
+    # network-parallel gathers scatter host-side, so "device" images are host
+    # arrays here; np.asarray in the window pull is a no-op on them.
+    device_images_generic = images_generic
+    images_from_vectors = images_generic
+    images_from_matrices = images_generic
+
+    def create_image_vector(self, data: np.ndarray) -> np.ndarray:
+        return self.images_generic(np.asarray(data).reshape(1, -1))[0]
+
+    def create_image_matrix(self, data: np.ndarray) -> np.ndarray:
+        return self.images_generic(np.asarray(data)[None])[0]
+
+    def create_image_generic(self, data: np.ndarray) -> np.ndarray:
+        return (
+            self.create_image_vector(data)
+            if is_vector(data)
+            else self.create_image_matrix(data)
+        )
+
+
+NetworkLike = Union[SynthesisNetwork, FakeSynthesisNetwork, _NetworkParallelMember]
 
 
 class MultiNetwork:
@@ -387,16 +434,21 @@ class MultiNetwork:
         output_side_length: Optional[int] = None,
         mesh: Optional[Any] = None,
         device_per_network: bool = False,
+        network_parallel: bool = False,
         _preloaded: Optional[List[NetworkLike]] = None,
     ) -> None:
-        if mesh is not None and device_per_network:
-            raise ValueError("mesh and device_per_network are mutually exclusive")
+        if sum([mesh is not None, device_per_network, network_parallel]) > 1:
+            raise ValueError(
+                "mesh, device_per_network, and network_parallel are mutually exclusive"
+            )
         self.network_paths = [Path(p) for p in network_paths]
         self._truncation_psi = truncation_psi
         self._compute_dtype = compute_dtype
         self._output_side_length = output_side_length
         self._mesh = mesh
         self._device_per_network = device_per_network
+        self._network_parallel = network_parallel
+        self._np_serving: Optional[Any] = None
         self._networks: Optional[List[NetworkLike]] = _preloaded
         if load and self._networks is None:
             self.load()
@@ -410,6 +462,24 @@ class MultiNetwork:
         )
 
     def load(self) -> None:
+        if self._networks is None and self._network_parallel:
+            from gance_tpu.parallel.network_parallel import NetworkParallelSynthesis
+
+            LOGGER.info(
+                "Network-parallel serving: %d networks resident on a "
+                "('network','data') mesh", len(self.network_paths),
+            )
+            self._np_serving = NetworkParallelSynthesis.from_pkls(
+                self.network_paths,
+                truncation_psi=self._truncation_psi,
+                compute_dtype=self._compute_dtype,
+                output_side_length=self._output_side_length,
+            )
+            self._networks = [
+                _NetworkParallelMember(self._np_serving, i, p)
+                for i, p in enumerate(self.network_paths)
+            ]
+            return
         if self._networks is None:
             LOGGER.info("Loading %d networks", len(self.network_paths))
             devices = jax.devices() if self._device_per_network else None
@@ -433,6 +503,7 @@ class MultiNetwork:
     def unload(self) -> None:
         """Drop all param arrays (frees HBM; the reference kills child processes)."""
         self._networks = None
+        self._np_serving = None
 
     def __enter__(self) -> "MultiNetwork":
         self.load()
@@ -518,6 +589,28 @@ class MultiNetwork:
         if network_indices.shape[0] < n:
             n = network_indices.shape[0]
             frame_data = frame_data[:n]
+
+        if self._np_serving is not None:
+            # Network-parallel mode: whole windows route through the all-networks
+            # SPMD program (batch_size caps per-device frames per network group);
+            # window i+1 dispatches before window i is pulled, same double
+            # buffering as the per-network path below.
+            serving = self._np_serving
+            window_size = batch_size * max(int(lookahead), 1)
+            pending = None
+            for start in range(0, n, window_size):
+                end = min(start + window_size, n)
+                handle = serving.dispatch(
+                    frame_data[start:end],
+                    network_indices[start:end],
+                    batch_size=batch_size,
+                )
+                if pending is not None:
+                    yield from serving.gather(pending)
+                pending = handle
+            if pending is not None:
+                yield from serving.gather(pending)
+            return
 
         # Batches that shard over a mesh must stay divisible by the data-axis
         # size — including the cap on bucket sizes, so the requested batch_size

@@ -149,3 +149,63 @@ def test_empty_input(params_list):
     serving = NetworkParallelSynthesis(params_list, CONFIG)
     out = serving.synthesize(np.zeros((0, CONFIG.latent_size), np.float32))
     assert out.shape == (0, CONFIG.resolution, CONFIG.resolution, 3)
+
+
+def test_multinetwork_network_parallel_stream(tmp_path):
+    """MultiNetwork(network_parallel=True): the stream surface routes whole
+    windows through the all-networks SPMD program and matches the default
+    resident-network stream within uint8 quantization; the single-image compat
+    surface works through the member views."""
+    from gance_tpu.models.pickle_loader import save_generator_pickle
+    from gance_tpu.synthesis.runtime import MultiNetwork
+
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"{i}_net.pkl"
+        save_generator_pickle(
+            init_generator_params(jax.random.PRNGKey(i), CONFIG), p
+        )
+        paths.append(p)
+
+    rng = np.random.RandomState(4)
+    frames = rng.randn(21, CONFIG.latent_size).astype(np.float32)
+    indices = rng.randint(0, 4, size=21)
+
+    with MultiNetwork(paths, network_parallel=True) as np_mode:
+        got = np_mode.synthesize_all(frames, indices, batch_size=4, lookahead=2)
+        one = np_mode.indexed_create_image_vector(1, frames[0])
+        assert np_mode.expected_vector_length == CONFIG.latent_size
+        assert np_mode.network(2).resolution == CONFIG.resolution
+    with MultiNetwork(paths) as plain:
+        want = plain.synthesize_all(frames, indices, batch_size=4, lookahead=2)
+        one_want = plain.indexed_create_image_vector(1, frames[0])
+
+    _assert_quantization_parity(got, want)
+    _assert_quantization_parity(one, one_want)
+
+
+def test_multinetwork_placement_flags_mutually_exclusive(tmp_path):
+    from gance_tpu.synthesis.runtime import MultiNetwork
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        MultiNetwork([tmp_path / "x.pkl"], device_per_network=True, network_parallel=True)
+
+
+def test_pipeline_guard_degrades_when_devices_short(monkeypatch):
+    """More networks than devices -> the pipelines fall back loudly instead of
+    crashing inside mesh construction."""
+    from gance_tpu.pipelines.noise_blend import _check_network_parallel
+
+    assert _check_network_parallel(True, [object()] * 4) is True  # 8 devices
+    assert _check_network_parallel(True, [object()] * 9) is False
+    assert _check_network_parallel(False, [object()] * 2) is False
+
+
+def test_output_side_length_fused(params_list):
+    serving = NetworkParallelSynthesis(
+        params_list, CONFIG, truncation_psi=1.2, output_side_length=16
+    )
+    rng = np.random.RandomState(5)
+    frames = rng.randn(8, CONFIG.latent_size).astype(np.float32)
+    out = serving.synthesize(frames, np.arange(8) % 4, batch_size=4)
+    assert out.shape == (8, 16, 16, 3)
