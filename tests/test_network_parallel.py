@@ -209,3 +209,19 @@ def test_output_side_length_fused(params_list):
     frames = rng.randn(8, CONFIG.latent_size).astype(np.float32)
     out = serving.synthesize(frames, np.arange(8) % 4, batch_size=4)
     assert out.shape == (8, 16, 16, 3)
+
+
+def test_phase_top_block_under_network_parallel(params_list):
+    """The production polyphase top block must survive shard_map over the
+    'network' axis: phase-on output matches the standard path within uint8
+    quantization (same bound as tests/test_golden_image.py)."""
+    rng = np.random.RandomState(6)
+    frames = rng.randn(16, CONFIG.latent_size).astype(np.float32)
+    indices = rng.randint(0, N_NETWORKS, size=16)
+    phase_on = NetworkParallelSynthesis(
+        params_list, CONFIG, truncation_psi=1.2, phase_top_block_mode=True
+    ).synthesize(frames, indices, batch_size=4)
+    standard = NetworkParallelSynthesis(
+        params_list, CONFIG, truncation_psi=1.2, phase_top_block_mode=False
+    ).synthesize(frames, indices, batch_size=4)
+    _assert_quantization_parity(phase_on, standard)
