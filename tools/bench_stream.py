@@ -87,14 +87,47 @@ def main() -> None:
                 flush=True,
             )
 
-    baseline = max(results.values())
+    # Network-parallel arm (BENCH_NETWORK_PARALLEL=1): both networks resident on
+    # their own device group of a ('network','data') mesh, one SPMD program per
+    # window. Needs >= 2 devices; on this 1-chip tunnel it reports skipped —
+    # the arm exists so multi-chip hardware has a ready probe.
+    if os.environ.get("BENCH_NETWORK_PARALLEL") == "1":
+        if len(jax.devices()) < 2:
+            results["network_parallel"] = "skipped (1 device)"
+            print("network-parallel arm skipped: 1 device", file=sys.stderr)
+        else:
+            import jax.numpy as jnp
+
+            from gance_tpu.parallel.network_parallel import NetworkParallelSynthesis
+
+            np_serving = NetworkParallelSynthesis(
+                [n.params for n in networks], config,
+                compute_dtype=jnp.bfloat16, output_side_length=out_side,
+            )
+            for factor in factors:
+                indices = (np.arange(frames) // factor) % 2
+                _ = np_serving.synthesize(
+                    z[: batch * 2], indices[: batch * 2], batch_size=batch
+                )  # warmup
+                t0 = time.time()
+                out = np_serving.synthesize(z, indices, batch_size=batch)
+                elapsed = time.time() - t0
+                fps = len(out) / elapsed
+                results[f"network_parallel_alternation_{factor}"] = round(fps, 2)
+                print(
+                    f"network-parallel factor {factor:2d}: {fps:7.2f} f/s",
+                    file=sys.stderr, flush=True,
+                )
+
+    numeric = [v for v in results.values() if isinstance(v, (int, float))]
+    baseline = max(numeric)
     print(
         json.dumps(
             {
                 "metric": f"{resolution}px synthesize_stream f/s vs network alternation (bf16, batch {batch}, 2 nets)",
                 "unit": "frames/sec",
                 "results": results,
-                "worst_over_baseline": round(min(results.values()) / baseline, 3),
+                "worst_over_baseline": round(min(numeric) / baseline, 3),
             }
         )
     )
