@@ -159,11 +159,15 @@ def _run_guarded() -> int:
     # of nothing. A labeled wrong-hardware number beats an absent file.
     # BENCH_NO_FALLBACK=1 restores fail-with-no-output.
     fallback_attempts = 0 if os.environ.get("BENCH_NO_FALLBACK") == "1" else 1
+    # Tiny shapes are forced (incl. resolution): the fallback is a labeled
+    # liveness record, not the real metric — a full 1024px config-f compile+run
+    # on this 1-core host could block the round for hours, unwatched.
     fallback_env = dict(
         env,
         JAX_PLATFORMS="cpu",
         BENCH_BATCH=os.environ.get("BENCH_FALLBACK_BATCH", "2"),
         BENCH_ITERS=os.environ.get("BENCH_FALLBACK_ITERS", "2"),
+        BENCH_RESOLUTION=os.environ.get("BENCH_FALLBACK_RESOLUTION", "64"),
     )
     # The hang-simulation hook models a TPU-init stall; the CPU pin avoids
     # that path, so the hook must not re-hang the fallback child.

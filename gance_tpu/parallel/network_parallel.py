@@ -77,6 +77,12 @@ def stack_network_params(params_list: Sequence[Params]) -> Params:
     """
     Stack per-network param pytrees along a new leading 'network' axis. All
     trees must share structure and leaf shapes (same architecture).
+
+    Stacks in HOST memory (np, not jnp): the stacked tree holds every
+    network's params at once, and the whole point of the 'network' axis is
+    that no single chip's HBM has to — committing the stack to the default
+    device first would spike chip 0 to N param sets before the sharded
+    device_put. Loaded .pkl trees are numpy already, so this is also free.
     """
     first = jax.tree.structure(params_list[0])
     for i, tree in enumerate(params_list[1:], start=1):
@@ -85,15 +91,10 @@ def stack_network_params(params_list: Sequence[Params]) -> Params:
                 f"Network {i} has a different param structure than network 0 — "
                 "network-parallel serving requires one shared architecture"
             )
-    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *params_list)
-
-
-def _group_bucket(real: int, multiple: int, cap: Optional[int] = None) -> int:
-    """Smallest multiple·2^k >= real (capped) — bounds compiled group shapes."""
-    size = multiple
-    while size < real and (cap is None or size < cap):
-        size *= 2
-    return size if cap is None else min(size, cap)
+    return jax.tree.map(
+        lambda *leaves: np.stack([np.asarray(leaf) for leaf in leaves]),
+        *params_list,
+    )
 
 
 class NetworkParallelSynthesis:
@@ -261,11 +262,15 @@ class NetworkParallelSynthesis:
         positions = [
             np.flatnonzero(network_indices == i) for i in range(self.n_networks)
         ]
+        # Same pow-2 shape-bucketing invariant as the windowed stream (lazy
+        # import: runtime's package __init__ pulls sibling modules).
+        from gance_tpu.synthesis.runtime import _bucket_size
+
         largest = max(len(p) for p in positions)
         cap = max(batch_size, 1) * self.data_axis
         rounds = max(1, math.ceil(largest / cap))
-        group = _group_bucket(
-            math.ceil(largest / rounds), multiple=self.data_axis, cap=cap
+        group = _bucket_size(
+            math.ceil(largest / rounds), batch_size=cap, multiple=self.data_axis
         )
 
         dispatched: List[Tuple[jax.Array, List[np.ndarray]]] = []

@@ -54,6 +54,29 @@ def _check_network_parallel(requested: bool, network_paths: List[Path]) -> bool:
     return True
 
 
+def _resolve_placement(
+    data_parallel: Optional[int],
+    device_per_network: bool,
+    network_parallel: bool,
+    network_paths: List[Path],
+):
+    """
+    One placement flag at a time — conflicting flags ERROR (the CLI help
+    promises mutual exclusion; silently picking one would serve a different
+    mode than the user asked for). Insufficient-device cases degrade loudly
+    to the default resident-network path instead.
+    """
+    if sum([data_parallel is not None, device_per_network, network_parallel]) > 1:
+        raise ValueError(
+            "--data-parallel, --one-network-per-device, and --network-parallel "
+            "are mutually exclusive"
+        )
+    mesh = _build_mesh(data_parallel)
+    return mesh, device_per_network, _check_network_parallel(
+        network_parallel, network_paths
+    )
+
+
 def noise_blend_api(
     wav: List[Path],
     output_path: Path,
@@ -90,8 +113,9 @@ def noise_blend_api(
 
     dtype = {None: None, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
     trace_ctx = trace(Path(trace_dir)) if trace_dir else contextlib.nullcontext()
-    mesh = _build_mesh(data_parallel)
-    network_parallel = _check_network_parallel(network_parallel, network_paths)
+    mesh, device_per_network, network_parallel = _resolve_placement(
+        data_parallel, device_per_network, network_parallel, network_paths
+    )
 
     # Output scaling is fused into the jitted synthesis program (device-side
     # bicubic) so host egress moves output-sized frames, not native-res ones.
@@ -99,8 +123,8 @@ def noise_blend_api(
         network_paths=network_paths,
         output_side_length=output_side_length,
         mesh=mesh,
-        device_per_network=device_per_network and mesh is None and not network_parallel,
-        network_parallel=network_parallel and mesh is None,
+        device_per_network=device_per_network,
+        network_parallel=network_parallel,
         **({"compute_dtype": dtype} if dtype is not None else {}),
     ) as multi_networks:
         audio = read_wavs_scale_for_video(

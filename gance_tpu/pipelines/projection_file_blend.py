@@ -89,16 +89,17 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
     dtype = {None: None, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
     trace_ctx = trace(Path(trace_dir)) if trace_dir else contextlib.nullcontext()
 
-    from gance_tpu.pipelines.noise_blend import _build_mesh, _check_network_parallel
+    from gance_tpu.pipelines.noise_blend import _resolve_placement
 
-    mesh = _build_mesh(data_parallel)
-    network_parallel = _check_network_parallel(network_parallel, network_paths)
+    mesh, device_per_network, network_parallel = _resolve_placement(
+        data_parallel, device_per_network, network_parallel, network_paths
+    )
     multi_networks = MultiNetwork(
         network_paths=network_paths,
         load=True,
         mesh=mesh,
-        device_per_network=device_per_network and mesh is None and not network_parallel,
-        network_parallel=network_parallel and mesh is None,
+        device_per_network=device_per_network,
+        network_parallel=network_parallel,
         **({"compute_dtype": dtype} if dtype is not None else {}),
     )
 

@@ -225,3 +225,25 @@ def test_phase_top_block_under_network_parallel(params_list):
         params_list, CONFIG, truncation_psi=1.2, phase_top_block_mode=False
     ).synthesize(frames, indices, batch_size=4)
     _assert_quantization_parity(phase_on, standard)
+
+
+def test_pipeline_placement_conflict_errors():
+    """Conflicting placement flags must ERROR (the CLI help promises mutual
+    exclusion); only insufficient-device cases degrade."""
+    from gance_tpu.pipelines.noise_blend import _resolve_placement
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _resolve_placement(2, True, False, [object()] * 2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _resolve_placement(None, True, True, [object()] * 2)
+    mesh, dpn, npar = _resolve_placement(None, False, True, [object()] * 2)
+    assert mesh is None and not dpn and npar
+
+
+def test_stacking_stays_on_host(params_list):
+    """stack_network_params must not commit the full N-network stack to one
+    device (the mode exists so no chip holds all N param sets)."""
+    from gance_tpu.parallel.network_parallel import stack_network_params
+
+    stacked = stack_network_params(params_list)
+    assert all(isinstance(leaf, np.ndarray) for leaf in jax.tree.leaves(stacked))

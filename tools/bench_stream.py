@@ -91,9 +91,10 @@ def main() -> None:
     # their own device group of a ('network','data') mesh, one SPMD program per
     # window. Needs >= 2 devices; on this 1-chip tunnel it reports skipped —
     # the arm exists so multi-chip hardware has a ready probe.
+    network_parallel_results = {}
     if os.environ.get("BENCH_NETWORK_PARALLEL") == "1":
         if len(jax.devices()) < 2:
-            results["network_parallel"] = "skipped (1 device)"
+            network_parallel_results["status"] = "skipped (1 device)"
             print("network-parallel arm skipped: 1 device", file=sys.stderr)
         else:
             import jax.numpy as jnp
@@ -113,24 +114,25 @@ def main() -> None:
                 out = np_serving.synthesize(z, indices, batch_size=batch)
                 elapsed = time.time() - t0
                 fps = len(out) / elapsed
-                results[f"network_parallel_alternation_{factor}"] = round(fps, 2)
+                network_parallel_results[f"alternation_{factor}"] = round(fps, 2)
                 print(
                     f"network-parallel factor {factor:2d}: {fps:7.2f} f/s",
                     file=sys.stderr, flush=True,
                 )
 
-    numeric = [v for v in results.values() if isinstance(v, (int, float))]
-    baseline = max(numeric)
-    print(
-        json.dumps(
-            {
-                "metric": f"{resolution}px synthesize_stream f/s vs network alternation (bf16, batch {batch}, 2 nets)",
-                "unit": "frames/sec",
-                "results": results,
-                "worst_over_baseline": round(min(numeric) / baseline, 3),
-            }
-        )
-    )
+    # worst_over_baseline covers ONLY the windowed-stream arms: the
+    # network-parallel arm runs on a different device count, so mixing it in
+    # would turn the switching-overhead ratio into a hardware-config ratio.
+    baseline = max(results.values())
+    payload = {
+        "metric": f"{resolution}px synthesize_stream f/s vs network alternation (bf16, batch {batch}, 2 nets)",
+        "unit": "frames/sec",
+        "results": results,
+        "worst_over_baseline": round(min(results.values()) / baseline, 3),
+    }
+    if network_parallel_results:
+        payload["network_parallel"] = network_parallel_results
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
