@@ -94,15 +94,22 @@ def frames_in_video(
     take_every = reduce_fps_take_every(fps, reduce_fps_to)
 
     def iterate() -> Iterator[np.ndarray]:
-        while True:
-            ret, frame = video.read()
-            if not ret:
-                break
-            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            if width_height is not None:
-                frame = cv2.resize(frame, width_height, interpolation=cv2.INTER_CUBIC)
-            yield frame
-        video.release()
+        # finally: an abandoned iterator (e.g. islice'd to a frame cap) must
+        # still release the decoder handle when the generator is closed/GC'd,
+        # not only on full exhaustion.
+        try:
+            while True:
+                ret, frame = video.read()
+                if not ret:
+                    break
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                if width_height is not None:
+                    frame = cv2.resize(
+                        frame, width_height, interpolation=cv2.INTER_CUBIC
+                    )
+                yield frame
+        finally:
+            video.release()
 
     frames: Iterator[np.ndarray] = iterate()
     reduced_fps: Optional[float] = None
@@ -193,11 +200,23 @@ def create_video_writer(
         )
 
         def write_ffmpeg(frame: np.ndarray) -> None:
+            # Same guard as the cv2/spill writers: a wrong-sized frame fed
+            # into the rawvideo pipe would misalign EVERY later frame (ffmpeg
+            # slices the byte stream at the declared WxH) — silent garbage.
+            if image_resolution(frame) != resolution:
+                raise ValueError(
+                    f"Frame resolution {image_resolution(frame)} != writer "
+                    f"resolution {resolution}"
+                )
             proc.stdin.write(np.ascontiguousarray(frame, np.uint8).tobytes())
 
         def finish_ffmpeg() -> None:
             proc.stdin.close()
-            proc.wait()
+            if proc.wait() != 0:
+                raise RuntimeError(
+                    f"ffmpeg exited {proc.returncode} writing {video_path} "
+                    "(disk full / codec+container mismatch?)"
+                )
 
         return VideoWriterHandle(write=write_ffmpeg, finish=finish_ffmpeg)
 
@@ -280,8 +299,15 @@ def threaded_writer(
                 return
             try:
                 handle.write(item)
-            except BaseException as e:  # pragma: no cover - surfaced in finish
+            except BaseException as e:
                 errors.append(e)
+                # KEEP consuming (discarding) until the None sentinel: a
+                # producer blocked in put() on the full bounded queue would
+                # otherwise deadlock with no consumer, and finish()'s own
+                # put(None) would block forever — the error must surface,
+                # not hang the pipeline.
+                while frames.get() is not None:
+                    pass
                 return
 
     worker = threading.Thread(target=drain, daemon=True, name="video-encoder")
@@ -295,9 +321,15 @@ def threaded_writer(
     def finish() -> None:
         frames.put(None)
         worker.join()
-        handle.finish()
         if errors:
+            # Best-effort finalize (release encoder handles) but surface the
+            # original encode error, not any secondary finalize failure.
+            try:
+                handle.finish()
+            except BaseException:
+                pass
             raise errors[0]
+        handle.finish()
 
     return VideoWriterHandle(write=write, finish=finish)
 
@@ -328,8 +360,19 @@ def add_wavs_to_video(
             ]
         else:
             cmd += ["-map", "0:v", "-map", "1:a"]
-        cmd += ["-c:v", "copy", "-c:a", "flac", str(output_path)]
-        subprocess.run(cmd, check=True, capture_output=True)
+        # -strict -2: stock ffmpeg gates FLAC-in-MP4 as experimental; the
+        # reference wrote flac audio into .mp4 outputs, so keep its codec
+        # choice and unlock the mux explicitly.
+        cmd += ["-c:v", "copy", "-c:a", "flac", "-strict", "-2", str(output_path)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except subprocess.CalledProcessError as e:
+            LOGGER.error(
+                "ffmpeg audio mux failed (rc=%d): %s",
+                e.returncode,
+                (e.stderr or b"").decode(errors="replace")[-2000:],
+            )
+            raise
         return
 
     try:

@@ -573,7 +573,15 @@ class TPUProjector:
             while step_number < settings.num_steps:
                 segment = min(settings.scan_segment, settings.num_steps - step_number)
                 start_time = time.monotonic()
+                # A segment length not seen by this projector compiles a fresh
+                # lax.scan program (minutes over a tunneled TPU) — the
+                # compile-aware budget must apply to EVERY first use of a
+                # length, not just step 0: a shorter final remainder segment
+                # would otherwise trip the watchdog at the very end of the run.
+                # Freshness = the cache grew (robust to the cache's key shape).
+                cached_before = len(getattr(self, "_scan_fn_cache", {}))
                 scan_fn = self._scan_fn(segment)
+                fresh_compile = len(self._scan_fn_cache) > cached_before
                 w, noises, opt_state, rng, dists, w_history = scan_fn(
                     w, noises, opt_state, rng, target_proc, perceptual,
                     jnp.asarray(step_number, jnp.int32),
@@ -600,7 +608,7 @@ class TPUProjector:
                 # with the compile-aware allowance on the first segment.
                 if self.expected_time_per_step is not None:
                     budget = self.expected_time_per_step * segment
-                    if step_number == 0 and self.first_step_timeout is not None:
+                    if fresh_compile and self.first_step_timeout is not None:
                         budget = max(budget, self.first_step_timeout)
                     if elapsed > budget:
                         raise RuntimeError(

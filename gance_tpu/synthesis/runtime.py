@@ -587,8 +587,25 @@ class MultiNetwork:
             network_indices = np.zeros((n,), dtype=int)
         network_indices = np.asarray(network_indices).astype(int)
         if network_indices.shape[0] < n:
+            # zip semantics (the reference pairs streams the same way), but a
+            # silently shortened render is a classic off-by-one symptom — warn.
+            LOGGER.warning(
+                "synthesize_stream: %d frames but %d network indices; "
+                "truncating to the shorter stream",
+                n, network_indices.shape[0],
+            )
             n = network_indices.shape[0]
             frame_data = frame_data[:n]
+        if n and (
+            network_indices[:n].min() < 0
+            or network_indices[:n].max() >= len(networks)
+        ):
+            # Python's negative indexing would silently render with the WRONG
+            # network; the network-parallel path already rejects this.
+            raise ValueError(
+                f"network_indices out of range [0, {len(networks)}): "
+                f"[{network_indices[:n].min()}, {network_indices[:n].max()}]"
+            )
 
         if self._np_serving is not None:
             # Network-parallel mode: whole windows route through the all-networks

@@ -469,3 +469,29 @@ class TestSpillReadback:
         )
         assert result.exit_code == 0, result.output
         assert deliverable.exists()
+
+
+def test_threaded_writer_encoder_error_does_not_deadlock():
+    """An encoder error with a FULL bounded queue must surface, not hang: the
+    drain thread keeps consuming (discarding) after the error so producers
+    blocked in put() unblock and see the error (review finding: the old drain
+    returned immediately, deadlocking write() and finish() forever)."""
+    from gance_tpu.media.video import VideoWriterHandle, threaded_writer
+
+    def bad_write(frame):
+        raise ValueError("boom")
+
+    finished = []
+    tw = threaded_writer(
+        VideoWriterHandle(write=bad_write, finish=lambda: finished.append(True)),
+        queue_depth=2,
+    )
+    frame = np.zeros((4, 4, 3), np.uint8)
+    with pytest.raises(ValueError, match="boom"):
+        for _ in range(64):  # far past the queue depth
+            tw.write(frame)
+        tw.finish()
+    # finish() after the error re-raises but still attempts finalize
+    with pytest.raises(ValueError, match="boom"):
+        tw.finish()
+    assert finished == [True]

@@ -913,3 +913,25 @@ def test_project_video_warm_start_writer(tmp_path):
         finals = list(reader.final_latents)
         assert len(finals) == 4
         assert finals[0].shape == (TINY.num_style_rows, TINY.dlatent_size)
+
+
+def test_scan_watchdog_allows_fresh_compile_of_final_remainder_segment():
+    """A shorter final remainder segment compiles a NEW lax.scan program; the
+    compile-aware first-step budget must cover every first use of a segment
+    length, not just step 0 (review finding: the old gate was step_number==0,
+    so real runs with num_steps % scan_segment != 0 could be spuriously killed
+    at the very end by a cold remote compile)."""
+    params = init_generator_params(jax.random.PRNGKey(13), TINY)
+    targets = (np.random.RandomState(4).rand(1, 16, 16, 3) * 255).astype(np.uint8)
+    settings = ProjectorSettings(
+        num_steps=5, dlatent_avg_samples=64, perceptual_size=16, scan_segment=4,
+    )
+    projector = TPUProjector(
+        params, TINY, settings=settings,
+        # Any measurable wall time exceeds this per-step budget, so each
+        # segment survives ONLY through the compile-aware allowance — which
+        # the 1-step remainder at step 4 must also receive.
+        expected_time_per_step=1e-9, first_step_timeout=600.0,
+    )
+    out = projector.project_batch(targets)
+    assert np.isfinite(out[0].final_distance)
