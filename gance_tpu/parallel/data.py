@@ -23,9 +23,11 @@ from gance_tpu.utils.logging import LOGGER
 
 IMAGE_SUFFIXES = (".jpg", ".jpeg", ".png")
 
-# Decoded-image LRU capacity (images, not bytes): small datasets get RAM-stack
-# speed; large datasets stream with bounded memory.
-_DEFAULT_CACHE_IMAGES = 256
+# Decoded-image LRU budget in BYTES (an image-count default at 1024px would
+# silently cost ~3.2 GB host RAM — 256 x 12.6 MB float32 — on a small TPU-VM
+# host while claiming "constant memory"). The image capacity is derived from
+# the resolution at construction; pass cache_images to override it directly.
+_DEFAULT_CACHE_BYTES = 512 * 1024 * 1024
 
 
 def list_image_paths(
@@ -55,13 +57,16 @@ class StreamingImageDataset:
         seed: int = 0,
         host_index: int = 0,
         host_count: int = 1,
-        cache_images: int = _DEFAULT_CACHE_IMAGES,
+        cache_images: Optional[int] = None,
     ) -> None:
         self.paths = list_image_paths(directory, host_index, host_count)
         if not self.paths:
             raise ValueError(f"No images in {directory} (host shard {host_index}/{host_count})")
         self.resolution = resolution
         self.seed = seed
+        if cache_images is None:
+            bytes_per_image = resolution * resolution * 3 * 4  # decoded float32
+            cache_images = max(8, _DEFAULT_CACHE_BYTES // bytes_per_image)
         self._load_cached = lru_cache(maxsize=max(cache_images, 1))(self._load_image)
         LOGGER.info(
             "Streaming dataset: %d images at %dpx (host %d/%d, cache %d images)",
@@ -111,23 +116,48 @@ class StreamingImageDataset:
             maxsize=max(prefetch, 1)
         )
         error: List[BaseException] = []
+        stop = threading.Event()
+
+        def _put_or_stop(item: Optional[Tuple[int, np.ndarray]]) -> bool:
+            """put() that aborts when the consumer has gone away (a producer
+            blocked forever on the bounded queue would leak the thread and the
+            decoded batches it holds)."""
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce() -> None:
             try:
                 for step in range(start_step, total_steps):
-                    out.put((step, self.batch_at(step, batch_size)))
+                    if not _put_or_stop((step, self.batch_at(step, batch_size))):
+                        return
             except BaseException as e:  # pragma: no cover - surfaced to consumer
                 error.append(e)
             finally:
-                out.put(None)
+                _put_or_stop(None)
 
         worker = threading.Thread(target=produce, daemon=True, name="dataset-prefetch")
         worker.start()
-        while True:
-            item = out.get()
-            if item is None:
-                break
-            yield item
-        worker.join()
+        try:
+            while True:
+                item = out.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            # Runs on normal completion AND when the consumer abandons the
+            # generator (break / exception -> GeneratorExit): release the
+            # producer, drain, and join so nothing leaks.
+            stop.set()
+            while True:
+                try:
+                    out.get_nowait()
+                except queue.Empty:
+                    break
+            worker.join()
         if error:
             raise error[0]

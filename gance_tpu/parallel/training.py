@@ -188,6 +188,14 @@ def _make_train_step_core(
             )
 
         def r1_term() -> jax.Array:
+            # Lazy R1 is FUSED into the main D update every r1_interval-th step
+            # (interval-scaled strength), unlike NVlabs' separate interleaved
+            # reg-only optimizer steps. Deliberate deviation: NVlabs' mb_ratio
+            # Adam rescale (lr and betas x interval/(interval+1)) compensates
+            # for its optimizer seeing main-loss grads in only 16 of every 17
+            # updates — here the main loss is present in EVERY update, so that
+            # compensation does not apply and the raw hyperparameters are
+            # correct for this formulation.
             grads = jax.grad(real_score)(reals)
             penalty = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
             return penalty * (train_config.r1_gamma * 0.5) * train_config.r1_interval
@@ -311,24 +319,50 @@ def shard_training_state(
 
     opt = _optimizer(train_config)
 
-    def move_opt_state(reference: Any, old: Any) -> Any:
+    def opt_state_shardings(param_shardings: Any, params: Params) -> Any:
+        """
+        Sharding pytree for the optimizer state WITHOUT allocating it:
+        optax.adam's mu/nu mirror the params tree (shard like their params),
+        scalars (the step counter) replicate. Structure is asserted against an
+        abstract opt.init so an optimizer change can't silently mis-shard —
+        on mismatch, fall back to a real (allocating) opt.init reference.
+        """
         from jax.sharding import NamedSharding
 
-        def put(ref_leaf: Any, old_leaf: Any) -> Any:
+        abstract = jax.eval_shape(opt.init, params)
+        try:
+            # adam state = (ScaleByAdamState(count, mu, nu), EmptyState())
+            scale_state, *rest = abstract
+            candidate = (
+                type(scale_state)(count=rep, mu=param_shardings, nu=param_shardings),
+                *rest,
+            )
+            if jax.tree.structure(candidate) == jax.tree.structure(abstract):
+                return candidate
+        except (TypeError, AttributeError):
+            pass
+        # Fallback: allocate a reference state and read its shardings (the
+        # pre-existing behavior; costs a transient 2x-params allocation).
+        def from_ref(ref_leaf: Any) -> Any:
             sharding = getattr(ref_leaf, "sharding", None)
-            # Leaves opt.init created fresh (e.g. the step counter) land on a single
-            # default device — replicate those over the mesh instead.
             if not isinstance(sharding, NamedSharding) or sharding.mesh.devices.size != mesh.devices.size:
-                sharding = rep
-            return jax.device_put(old_leaf, sharding)
+                return rep
+            return sharding
 
-        return jax.tree.map(put, reference, old)
+        return jax.tree.map(from_ref, opt.init(params))
+
+    def move_opt_state(shardings: Any, old: Any) -> Any:
+        return jax.tree.map(jax.device_put, old, shardings)
 
     return TrainingState(
         g_params=g_params,
         d_params=d_params,
-        g_opt_state=move_opt_state(opt.init(g_params), state.g_opt_state),
-        d_opt_state=move_opt_state(opt.init(d_params), state.d_opt_state),
+        g_opt_state=move_opt_state(
+            opt_state_shardings(g_shard, g_params), state.g_opt_state
+        ),
+        d_opt_state=move_opt_state(
+            opt_state_shardings(d_shard, d_params), state.d_opt_state
+        ),
         ema_params=jax.device_put(state.ema_params, g_shard),
         step=jax.device_put(state.step, rep),
     )
@@ -340,8 +374,23 @@ def shard_training_state(
 
 
 def save_checkpoint(path: Path, state: TrainingState) -> None:
-    """Atomic-ish checkpoint: write to .tmp then rename."""
-    host_state = jax.tree.map(np.asarray, state)
+    """
+    Atomic-ish checkpoint: write to .tmp then rename.
+
+    Multi-host: np.asarray raises on arrays that aren't fully addressable from
+    this process, so sharded state is first allgathered to every host (a
+    collective — every process must call save_checkpoint, which the train loop
+    does), and only process 0 writes (the hosts would otherwise race on the
+    same path).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        host_state = multihost_utils.process_allgather(state, tiled=True)
+        if jax.process_index() != 0:
+            return
+    else:
+        host_state = jax.tree.map(np.asarray, state)
     tmp = Path(str(path) + ".tmp")
     with open(tmp, "wb") as f:
         pickle.dump(host_state, f, protocol=pickle.HIGHEST_PROTOCOL)

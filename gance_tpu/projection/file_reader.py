@@ -17,6 +17,7 @@ both our files and real GANce-written files read back with correct histories.
 """
 
 from contextlib import contextmanager
+from itertools import islice
 from pathlib import Path
 from typing import Iterator, Optional
 
@@ -184,7 +185,13 @@ def verify_projection_file_assumptions(projection_file_path: Path) -> None:
         for matrix in latents:
             first = matrix[0]
             for row in matrix:
-                assert np.array_equal(first, row)
+                # explicit raise, not assert: python -O strips asserts, and a
+                # verifier that silently verifies nothing is worse than none
+                if not np.array_equal(first, row):
+                    raise ValueError(
+                        f"{projection_file_path}: final-latent rows differ — "
+                        "the all-rows-identical invariant is broken"
+                    )
 
     with load_projection_file(projection_file_path) as reader:
         verify_all_rows_same(reader.final_latents)
@@ -197,7 +204,10 @@ def _iterator_to_matrices_label(iterator: Iterator[np.ndarray], label: str) -> M
     try:
         first = next(iterator)
     except StopIteration as e:
-        raise StopIteration(f"Iterator labeled: {label} was empty!") from e
+        # ValueError, NOT StopIteration: PEP 479 turns a StopIteration escaping
+        # a generator into RuntimeError, and iteration drivers (map, for) would
+        # swallow it as normal exhaustion — an empty file must error loudly.
+        raise ValueError(f"Iterator labeled: {label} was empty!") from e
     data = np.concatenate([first] + list(iterator), axis=-1)
     return MatricesLabel(data=data, vector_length=first.shape[-1], label=label)
 
@@ -231,8 +241,12 @@ def network_outputs_at_projection_step(
 ) -> Iterator[np.ndarray]:
     """Re-synthesize every frame's latents at one history step (reference :347-371)."""
     for history in reader.latents_histories:
-        steps = list(history)
-        yield network.images_from_matrices(steps[step][None])[0]
+        # islice, not list(): materializing all (typically 1000) gzip-9 step
+        # datasets to index one decodes orders of magnitude more than needed.
+        at = next(islice(history, step, step + 1), None)
+        if at is None:
+            raise ValueError(f"History has no step {step}")
+        yield network.images_from_matrices(at[None])[0]
 
 
 def projection_history_step_matrices_label(
@@ -243,8 +257,10 @@ def projection_history_step_matrices_label(
 
     def at_step() -> Iterator[np.ndarray]:
         for history in reader.latents_histories:
-            steps = list(history)
-            yield steps[step]
+            at = next(islice(history, step, step + 1), None)
+            if at is None:
+                raise ValueError(f"History has no step {step}")
+            yield at
 
     return _iterator_to_matrices_label(
         at_step(),

@@ -191,14 +191,23 @@ class _FrameWriter:
         image: np.ndarray,
     ) -> None:
         """Append one optimization step's intermediates to the enabled histories."""
+        # Payloads are built LAZILY per enabled group: flatten_noises alone is
+        # ~11 MB of host concat per step per frame at 1024px, and the default
+        # run has noises histories disabled — eager construction would burn
+        # tens of GB of copies on the hot callback path for nothing.
         payloads = {
-            LATENTS_HISTORIES_GROUP_NAME: np.asarray(latents),
-            IMAGES_HISTORIES_GROUP_NAME: np.asarray(image),
-            NOISES_HISTORIES_GROUP_NAME: flatten_noises(noises) if noises else None,
+            LATENTS_HISTORIES_GROUP_NAME: lambda: np.asarray(latents),
+            IMAGES_HISTORIES_GROUP_NAME: lambda: np.asarray(image),
+            NOISES_HISTORIES_GROUP_NAME: lambda: (
+                flatten_noises(noises) if noises else None
+            ),
         }
         for name, group in self._history_groups.items():
-            if group is not None and payloads[name] is not None:
-                _write_dataset(group, f"{name}_{self._index}_step_{step}", payloads[name])
+            if group is None:
+                continue
+            payload = payloads[name]()
+            if payload is not None:
+                _write_dataset(group, f"{name}_{self._index}_step_{step}", payload)
         if noises:
             self._parent.record_noises_shapes([tuple(np.asarray(n).shape) for n in noises])
 

@@ -140,3 +140,28 @@ def test_train_cli_scan_segment(tmp_path):
     net = SynthesisNetwork.from_pkl(out_net)
     image = net.images_from_vectors(np.zeros((1, 32), np.float32))
     assert image.shape == (1, 16, 16, 3)
+
+
+def test_batches_abandoned_consumer_releases_prefetch_thread(tmp_path):
+    """Breaking out of batches() early must stop the producer thread (review
+    finding: it previously blocked forever in put() on the bounded queue,
+    leaking the thread and the decoded batches it held)."""
+    import threading
+    import time
+
+    from gance_tpu.parallel.data import StreamingImageDataset
+
+    data = _image_dir(tmp_path, count=6)
+    ds = StreamingImageDataset(data, resolution=8, cache_images=4)
+    gen = ds.batches(0, 100000, batch_size=2, prefetch=1)
+    next(gen)
+    gen.close()  # GeneratorExit -> finally: stop, drain, join
+
+    deadline = time.time() + 5
+    while time.time() < deadline and any(
+        t.name == "dataset-prefetch" and t.is_alive() for t in threading.enumerate()
+    ):
+        time.sleep(0.05)
+    assert not any(
+        t.name == "dataset-prefetch" and t.is_alive() for t in threading.enumerate()
+    )
