@@ -24,6 +24,11 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
 @click.option("--total-steps", type=click.IntRange(min=1), default=1000)
 @click.option("--learning-rate", type=float, default=0.002)
 @click.option("--r1-gamma", type=float, default=10.0)
+@click.option(
+    "--pl-weight", type=float, default=2.0,
+    help="Path-length regularization weight (config-f's G regularizer); "
+    "0 disables it (no second-order graph is traced).",
+)
 @click.option("--fmap-base", type=int, default=None, help="Defaults to config-f scaling.")
 @click.option("--fmap-max", type=int, default=512)
 @click.option("--latent-size", type=int, default=512)
@@ -64,6 +69,7 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
     total_steps: int,
     learning_rate: float,
     r1_gamma: float,
+    pl_weight: float,
     fmap_base: Optional[int],
     fmap_max: int,
     latent_size: int,
@@ -103,7 +109,7 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
         mapping_fmaps=latent_size,
     )
     train_config = TrainingConfig(
-        learning_rate=learning_rate, r1_gamma=r1_gamma,
+        learning_rate=learning_rate, r1_gamma=r1_gamma, pl_weight=pl_weight,
         compute_dtype=compute_dtype, remat=remat,
     )
 
@@ -168,9 +174,9 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
             if boundary:
                 save_checkpoint(ckpt, state)
                 LOGGER.info(
-                    "step %d: d_loss=%.4f g_loss=%.4f r1=%.4f (checkpointed)",
+                    "step %d: d_loss=%.4f g_loss=%.4f r1=%.4f pl=%.4f (checkpointed)",
                     step + 1, float(metrics["d_loss"]), float(metrics["g_loss"]),
-                    float(metrics["r1"]),
+                    float(metrics["r1"]), float(metrics.get("pl", 0.0)),
                 )
     else:
         train_step = make_train_step(model_config, train_config, mesh=mesh)
@@ -180,9 +186,9 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
             if (step + 1) % checkpoint_every == 0 or step + 1 == total_steps:
                 save_checkpoint(ckpt, state)
                 LOGGER.info(
-                    "step %d: d_loss=%.4f g_loss=%.4f r1=%.4f (checkpointed)",
+                    "step %d: d_loss=%.4f g_loss=%.4f r1=%.4f pl=%.4f (checkpointed)",
                     step + 1, float(metrics["d_loss"]), float(metrics["g_loss"]),
-                    float(metrics["r1"]),
+                    float(metrics["r1"]), float(metrics.get("pl", 0.0)),
                 )
     timer.summary()
 

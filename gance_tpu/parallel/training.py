@@ -9,6 +9,10 @@ objective in functional JAX over a ('data', 'model') mesh:
   * non-saturating logistic GAN loss,
   * R1 gradient penalty on reals (lazy regularization: applied every
     `r1_interval` steps at interval-scaled strength, like the reference),
+  * path-length regularization on G (lazy, every `pl_interval` steps):
+    penalizes deviation of |J^T y| — the w+-space Jacobian contracted with a
+    unit-variance image-space probe — from its running mean, NVlabs config-f's
+    G regularizer (stylegan2 training/loss.py G_logistic_ns_pathreg),
   * style-mixing regularization (prob 0.9),
   * EMA of the generator ("Gs" — the network the inference pipeline consumes),
   * Adam for both networks, batch sharded over 'data', large weights over 'model',
@@ -55,7 +59,19 @@ class TrainingConfig:
     adam_eps: float = 1e-8
     r1_gamma: float = 10.0
     r1_interval: int = 16
+    # Path-length regularization (G's lazy regularizer in config-f). 0 disables
+    # it statically (no second-order graph is traced at all). The penalty is
+    # computed on batch // pl_minibatch_shrink samples, and its strength is
+    # interval-scaled exactly like R1. pl_decay is the running-mean EMA rate.
+    pl_weight: float = 2.0
+    pl_interval: int = 4
+    pl_decay: float = 0.01
+    pl_minibatch_shrink: int = 2
     style_mixing_prob: float = 0.9
+    # Moving average of the mapping output ("w_avg"): the center inference-time
+    # truncation contracts toward (networks.G_mapping's dlatent_avg_beta).
+    # Without this update an exported network truncates around the zero init.
+    dlatent_avg_beta: float = 0.995
     ema_beta: float = 0.999
     # Mixed precision: 'bfloat16' runs G/D forward+backward in bf16 on the MXU
     # while master weights, gradients (via the cast transpose), Adam moments,
@@ -70,7 +86,12 @@ class TrainingConfig:
 
 
 class TrainingState(NamedTuple):
-    """Everything needed to resume training."""
+    """Everything needed to resume training.
+
+    `pl_mean` (the path-length running mean) defaults to 0.0 so checkpoints
+    written before it existed unpickle cleanly (NamedTuple reconstruction
+    fills missing trailing fields from defaults).
+    """
 
     g_params: Params
     d_params: Params
@@ -78,6 +99,7 @@ class TrainingState(NamedTuple):
     d_opt_state: Any
     ema_params: Params
     step: jax.Array
+    pl_mean: jax.Array = 0.0
 
 
 def _optimizer(config: TrainingConfig) -> optax.GradientTransformation:
@@ -103,6 +125,7 @@ def init_training_state(
         d_opt_state=opt.init(d_params),
         ema_params=jax.tree.map(jnp.copy, g_params),
         step=jnp.zeros((), jnp.int32),
+        pl_mean=jnp.zeros((), jnp.float32),
     )
 
 
@@ -203,13 +226,68 @@ def _make_train_step_core(
         r1 = jax.lax.cond(apply_r1, r1_term, lambda: jnp.asarray(0.0))
         return loss + r1, (loss, r1)
 
-    def g_loss_fn(g_params, d_params, z1, z2, rng):
+    pl_enabled = train_config.pl_weight > 0.0 and train_config.pl_interval > 0
+
+    def g_loss_fn(g_params, d_params, z1, z2, rng, pl_mean, apply_pl):
         fakes = constrain(generate(g_params, z1, z2, rng))
         fake_logits = discriminator_apply(
             d_params, fakes, model_config, compute_dtype=compute_dtype,
             remat=train_config.remat,
         )
-        return jnp.mean(jax.nn.softplus(-fake_logits))
+        loss = jnp.mean(jax.nn.softplus(-fake_logits))
+
+        def pl_term() -> Tuple[jax.Array, jax.Array]:
+            # NVlabs pathreg: lengths = sqrt(mean over style rows of
+            # |d(sum(images * y))/d w+|^2 summed over the latent dim), with
+            # y ~ N(0, 1/HW) an image-space probe; penalize (lengths - EMA)^2.
+            # Differentiating the penalty w.r.t. g_params goes through the
+            # Jacobian-vector product (second order through synthesis) AND
+            # through w+'s dependence on the mapping network — same as the
+            # reference's tf.gradients-of-tf.gradients formulation.
+            pl_batch = max(
+                z1.shape[0] // max(train_config.pl_minibatch_shrink, 1), 1
+            )
+            pl_rng = jax.random.fold_in(rng, 2)
+            dlatents = _mixed_dlatents(
+                g_params, z1[:pl_batch], z2[:pl_batch], pl_rng, model_config,
+                train_config.style_mixing_prob,
+            )
+
+            def probed_sum(dl: jax.Array) -> jax.Array:
+                from gance_tpu.models.stylegan2 import resolve_phase_top_block
+
+                imgs = synthesis_apply(
+                    g_params, dl, model_config, noise_mode="random",
+                    rng=jax.random.fold_in(pl_rng, 1),
+                    compute_dtype=compute_dtype, remat=train_config.remat,
+                    phase_top_block_mode=resolve_phase_top_block(
+                        model_config, compute_dtype
+                    ),
+                ).astype(jnp.float32)
+                probe = jax.random.normal(
+                    jax.random.fold_in(pl_rng, 3), imgs.shape, jnp.float32
+                ) / np.sqrt(imgs.shape[1] * imgs.shape[2])
+                return jnp.sum(imgs * probe)
+
+            pl_grads = jax.grad(probed_sum)(dlatents)
+            pl_lengths = jnp.sqrt(
+                jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1)
+            )
+            penalty = jnp.mean(
+                jnp.square(pl_lengths - jax.lax.stop_gradient(pl_mean))
+            )
+            scaled = penalty * (
+                train_config.pl_weight * train_config.pl_interval
+            )
+            return scaled, jnp.mean(pl_lengths)
+
+        if pl_enabled:
+            pl_penalty, pl_length = jax.lax.cond(
+                apply_pl, pl_term, lambda: (jnp.asarray(0.0), jnp.asarray(0.0))
+            )
+        else:
+            pl_penalty = pl_length = jnp.asarray(0.0)
+        return loss + pl_penalty, (loss, pl_penalty, pl_length)
 
     def train_step(
         state: TrainingState, reals: jax.Array, rng: jax.Array
@@ -220,6 +298,7 @@ def _make_train_step_core(
         z1 = jax.random.normal(z_rng, (batch, model_config.latent_size))
         z2 = jax.random.normal(jax.random.fold_in(z_rng, 7), (batch, model_config.latent_size))
         apply_r1 = (state.step % train_config.r1_interval) == 0
+        apply_pl = (state.step % train_config.pl_interval) == 0 if pl_enabled else False
 
         # --- D step ---
         (_, (d_loss, r1)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -231,17 +310,42 @@ def _make_train_step_core(
         # --- G step (against the updated D) ---
         z1g = jax.random.normal(z_rng_g, (batch, model_config.latent_size))
         z2g = jax.random.normal(jax.random.fold_in(z_rng_g, 7), (batch, model_config.latent_size))
-        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(
-            state.g_params, d_params, z1g, z2g, mix_rng_g
-        )
+        pl_mean = jnp.asarray(state.pl_mean, jnp.float32)
+        (_, (g_loss, pl_penalty, pl_length)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params, d_params, z1g, z2g, mix_rng_g, pl_mean, apply_pl)
         g_updates, g_opt_state = opt.update(g_grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
+
+        # Path-length running mean: EMA toward the measured lengths, advanced
+        # only on steps where the regularizer actually ran.
+        if pl_enabled:
+            new_pl_mean = jnp.where(
+                apply_pl,
+                pl_mean + train_config.pl_decay * (pl_length - pl_mean),
+                pl_mean,
+            )
+        else:
+            new_pl_mean = pl_mean
+
+        # --- dlatent_avg ("w_avg") moving average: no gradient flows to it;
+        # it tracks the mean mapping output so inference truncation has a real
+        # center. One extra mapping forward on the G-step latents (tiny next
+        # to synthesis). ---
+        w_avg_batch = jnp.mean(mapping_apply(g_params, z1g, model_config), axis=0)
+        new_dlatent_avg = w_avg_batch + (
+            g_params["dlatent_avg"] - w_avg_batch
+        ) * train_config.dlatent_avg_beta
+        g_params = {**g_params, "dlatent_avg": new_dlatent_avg}
 
         # --- EMA ("Gs") ---
         beta = train_config.ema_beta
         ema_params = jax.tree.map(
             lambda ema, new: ema * beta + new * (1.0 - beta), state.ema_params, g_params
         )
+        # Non-trainable running statistics are copied, not EMA'd (the exported
+        # Gs should truncate around the CURRENT running w_avg).
+        ema_params = {**ema_params, "dlatent_avg": new_dlatent_avg}
 
         new_state = TrainingState(
             g_params=g_params,
@@ -250,8 +354,9 @@ def _make_train_step_core(
             d_opt_state=d_opt_state,
             ema_params=ema_params,
             step=state.step + 1,
+            pl_mean=new_pl_mean,
         )
-        metrics = {"d_loss": d_loss, "g_loss": g_loss, "r1": r1}
+        metrics = {"d_loss": d_loss, "g_loss": g_loss, "r1": r1, "pl": pl_penalty}
         return new_state, metrics
 
     return train_step
@@ -365,6 +470,7 @@ def shard_training_state(
         ),
         ema_params=jax.device_put(state.ema_params, g_shard),
         step=jax.device_put(state.step, rep),
+        pl_mean=jax.device_put(jnp.asarray(state.pl_mean, jnp.float32), rep),
     )
 
 

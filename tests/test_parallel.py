@@ -363,3 +363,82 @@ def test_train_scan_matches_per_step():
         jax.tree.leaves(state_a.ema_params), jax.tree.leaves(state_b.ema_params)
     ):
         np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b), atol=5e-4)
+
+
+def test_path_length_regularization_lazy_schedule():
+    """PL reg (config-f's G regularizer): applied on step % pl_interval == 0,
+    penalty nonzero, pl_mean EMA advances only on applied steps."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TRAIN, pl_interval=2)
+    state = init_training_state(jax.random.PRNGKey(0), TINY, cfg)
+    step = make_train_step(TINY, cfg)
+    reals = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3)) * 2 - 1
+
+    # NOTE: the step donates its input state, so read pl_mean BEFORE stepping on.
+    s1, m1 = step(state, reals, jax.random.PRNGKey(10))  # step 0: applied
+    pl_mean_1 = float(s1.pl_mean)
+    assert float(m1["pl"]) > 0.0
+    assert pl_mean_1 > 0.0
+
+    s2, m2 = step(s1, reals, jax.random.PRNGKey(11))  # step 1: skipped
+    pl_mean_2 = float(s2.pl_mean)
+    assert float(m2["pl"]) == 0.0
+    assert pl_mean_2 == pl_mean_1
+
+    s3, m3 = step(s2, reals, jax.random.PRNGKey(12))  # step 2: applied
+    pl_mean_3 = float(s3.pl_mean)
+    assert float(m3["pl"]) > 0.0
+    assert pl_mean_3 != pl_mean_2
+    # EMA moves toward the measured lengths at pl_decay per applied step
+    assert np.isfinite(pl_mean_3)
+
+
+def test_path_length_disabled_statically():
+    """pl_weight=0 keeps the old objective: pl metric pinned at zero, pl_mean
+    never advances (and no second-order graph exists to pay for)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TRAIN, pl_weight=0.0)
+    state = init_training_state(jax.random.PRNGKey(0), TINY, cfg)
+    step = make_train_step(TINY, cfg)
+    reals = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3)) * 2 - 1
+    for i in range(2):
+        state, metrics = step(state, reals, jax.random.PRNGKey(20 + i))
+        assert float(metrics["pl"]) == 0.0
+    assert float(state.pl_mean) == 0.0
+
+
+def test_pre_pl_checkpoint_loads_with_default_pl_mean():
+    """Checkpoints written before pl_mean existed reconstruct with the default
+    (NamedTuple trailing-field default), so old training runs resume cleanly."""
+    import pickle as _pickle
+
+    from gance_tpu.parallel.training import TrainingState
+
+    state = init_training_state(jax.random.PRNGKey(0), TINY, TRAIN)
+    old_style = TrainingState(*tuple(state)[:6])  # the 6-field layout
+    assert old_style.pl_mean == 0.0
+    restored = _pickle.loads(_pickle.dumps(old_style))
+    assert restored.pl_mean == 0.0
+    # and the restored state steps without error (PL resumes from a cold mean)
+    step = make_train_step(TINY, TRAIN)
+    reals = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3)) * 2 - 1
+    new_state, metrics = step(restored, reals, jax.random.PRNGKey(30))
+    assert np.isfinite(float(metrics["g_loss"]))
+    assert float(metrics["pl"]) > 0.0  # step 0 of TRAIN's pl_interval
+
+
+def test_dlatent_avg_tracks_mapping_mean():
+    """Training advances the w_avg running mean (beta 0.995) so inference-time
+    truncation contracts toward the trained distribution's center, and the
+    exported EMA network carries the CURRENT running value (copied, not EMA'd)."""
+    state = init_training_state(jax.random.PRNGKey(0), TINY, TRAIN)
+    assert not np.any(np.asarray(state.g_params["dlatent_avg"]))  # zero init
+    step = make_train_step(TINY, TRAIN)
+    reals = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3)) * 2 - 1
+    for i in range(2):
+        state, _ = step(state, reals, jax.random.PRNGKey(40 + i))
+    avg = np.asarray(state.g_params["dlatent_avg"])
+    assert np.any(avg != 0.0) and np.all(np.isfinite(avg))
+    np.testing.assert_array_equal(avg, np.asarray(state.ema_params["dlatent_avg"]))
