@@ -61,6 +61,10 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
     "Best when it divides --checkpoint-every.",
 )
 @click.option("--seed", type=int, default=0)
+@click.option(
+    "--run-config", type=click.Path(dir_okay=False), default=None,
+    help="Dump the resolved CLI arguments to this JSON path.",
+)
 @click.option("--log", type=click.Path(dir_okay=False), default=None)
 def cli(  # pylint: disable=too-many-arguments,too-many-locals
     dataset_directory: str,
@@ -81,9 +85,14 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
     remat: bool,
     scan_segment: int,
     seed: int,
+    run_config: Optional[str],
     log: Optional[str],
 ) -> None:
     """Train StyleGAN2 on an image folder (resumable; exports a loadable .pkl)."""
+    arguments = dict(locals())  # snapshot before any local bindings join
+    from gance_tpu.cli.common import dump_run_config
+
+    dump_run_config(run_config, arguments)
     add_log_file(Path(log) if log else None)
 
     import jax

@@ -34,9 +34,20 @@ def test_train_resume_and_export(tmp_path):
         "--output-network", str(out_net),
         "--data-parallel", "4",
     ]
-    result = CliRunner().invoke(cli, args + ["--total-steps", "2"], catch_exceptions=False)
+    run_config = tmp_path / "run_config.json"
+    result = CliRunner().invoke(
+        cli,
+        args + ["--total-steps", "2", "--run-config", str(run_config)],
+        catch_exceptions=False,
+    )
     assert result.exit_code == 0
     assert ckpt.exists() and out_net.exists()
+
+    # --run-config reproducibility dump (same surface as the pipeline CLIs)
+    import json
+
+    dumped = json.loads(run_config.read_text())
+    assert dumped["batch_size"] == 4 and dumped["pl_weight"] == 2.0
 
     # resume: continue to 4 steps from the checkpoint
     result = CliRunner().invoke(cli, args + ["--total-steps", "4"], catch_exceptions=False)
