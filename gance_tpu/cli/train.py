@@ -62,6 +62,16 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
 )
 @click.option("--seed", type=int, default=0)
 @click.option(
+    "--dist-coordinator", type=str, default=None,
+    help="host:port of process 0. Setting this (with the two options below) joins "
+    "a multi-host run: every host starts the same command with its own "
+    "--dist-process-id, devices aggregate into ONE global mesh, the dataset and "
+    "batch shard per host (--batch-size is PER HOST), and GSPMD carries the "
+    "gradient/TP collectives across hosts. Net-new vs the single-GPU reference.",
+)
+@click.option("--dist-num-processes", type=int, default=None)
+@click.option("--dist-process-id", type=int, default=None)
+@click.option(
     "--run-config", type=click.Path(dir_okay=False), default=None,
     help="Dump the resolved CLI arguments to this JSON path.",
 )
@@ -85,6 +95,9 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
     remat: bool,
     scan_segment: int,
     seed: int,
+    dist_coordinator: Optional[str],
+    dist_num_processes: Optional[int],
+    dist_process_id: Optional[int],
     run_config: Optional[str],
     log: Optional[str],
 ) -> None:
@@ -94,6 +107,19 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
 
     dump_run_config(run_config, arguments)
     add_log_file(Path(log) if log else None)
+
+    dist_options = (dist_coordinator, dist_num_processes, dist_process_id)
+    if any(option is not None for option in dist_options):
+        if any(option is None for option in dist_options):
+            raise click.UsageError(
+                "--dist-coordinator, --dist-num-processes and --dist-process-id "
+                "must be given together"
+            )
+        from gance_tpu.parallel.distributed import initialize_distributed
+
+        # Must precede every device query below — JAX fixes its process
+        # topology at backend init.
+        initialize_distributed(dist_coordinator, dist_num_processes, dist_process_id)
 
     import jax
 
@@ -167,6 +193,12 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
             if not pending_reals:
                 return
             block = np.stack(pending_reals)
+            if mesh is not None:
+                from gance_tpu.parallel.distributed import global_scan_block
+
+                # Host-local shard -> one global (S, B_global, ...) array over
+                # the mesh 'data' axis (each host loaded only its file shard).
+                block = global_scan_block(mesh, block)
             keys = np.stack(pending_keys)
             state, stacked = train_segment(state, block, keys)
             metrics = {k: np.asarray(v)[-1] for k, v in stacked.items()}
@@ -189,8 +221,16 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
                 )
     else:
         train_step = make_train_step(model_config, train_config, mesh=mesh)
+        if mesh is not None:
+            from gance_tpu.parallel.distributed import global_batch
         for step, reals in dataset.batches(start_step, total_steps, batch_size):
-            state, metrics = train_step(state, reals, jax.random.PRNGKey(seed * 1000 + step))
+            if mesh is not None:
+                reals = global_batch(mesh, reals)
+            # np.asarray: host-derived keys must arrive as plain host data so a
+            # multi-process jit treats them as replicated inputs.
+            state, metrics = train_step(
+                state, reals, np.asarray(jax.random.PRNGKey(seed * 1000 + step))
+            )
             timer.tick()
             if (step + 1) % checkpoint_every == 0 or step + 1 == total_steps:
                 save_checkpoint(ckpt, state)
@@ -201,7 +241,16 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
                 )
     timer.summary()
 
-    host_ema = jax.tree.map(np.asarray, state.ema_params)
+    if jax.process_count() > 1:
+        # Sharded leaves are not fully addressable from one host: allgather
+        # (collective — every process reaches this line), coordinator writes.
+        from jax.experimental import multihost_utils
+
+        host_ema = multihost_utils.process_allgather(state.ema_params, tiled=True)
+        if jax.process_index() != 0:
+            return
+    else:
+        host_ema = jax.tree.map(np.asarray, state.ema_params)
     save_generator_pickle(host_ema, Path(output_network))
     LOGGER.info("Wrote EMA generator to %s", output_network)
 

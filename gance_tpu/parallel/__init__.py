@@ -12,6 +12,12 @@ pick a Mesh, annotate shardings, let XLA insert the collectives over ICI.
     per-switch process respawn into one SPMD program.
 """
 
+from gance_tpu.parallel.distributed import (
+    global_batch,
+    global_scan_block,
+    initialize_distributed,
+    is_coordinator,
+)
 from gance_tpu.parallel.mesh import (
     create_mesh,
     shard_batch,
@@ -31,6 +37,10 @@ from gance_tpu.parallel.training import (
 )
 
 __all__ = [
+    "initialize_distributed",
+    "global_batch",
+    "global_scan_block",
+    "is_coordinator",
     "create_mesh",
     "shard_batch",
     "generator_param_sharding",

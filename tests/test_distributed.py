@@ -1,0 +1,202 @@
+"""
+Executed multi-process certification of the distributed backend.
+
+The reference is single-GPU/single-host (SURVEY §2.10: no NCCL/MPI/
+torch.distributed anywhere); multi-host training is net-new capability. The
+virtual 8-device mesh the rest of the suite uses lives in ONE process, so it
+can never exercise the process-spanning half of the runtime
+(jax.distributed init, cross-process Gloo/DCN collectives,
+make_array_from_process_local_data). This test does: it launches two real OS
+processes with 4 virtual CPU devices each, joins them over a coordinator into
+one 8-device ('data'=4, 'model'=2) mesh — the data axis crossing the process
+boundary exactly as it crosses DCN on multi-slice hardware — runs three real
+sharded train steps (R1 and path-length branches included), and asserts the
+final training state equals a single-process 8-device run of the same global
+batches.
+"""
+
+import os
+import pickle
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from gance_tpu.models.stylegan2 import GeneratorConfig
+from gance_tpu.parallel.mesh import create_mesh
+from gance_tpu.parallel.training import (
+    TrainingConfig,
+    init_training_state,
+    make_train_step,
+    shard_training_state,
+)
+
+MODEL = GeneratorConfig(
+    resolution=16, fmap_base=256, fmap_max=32, latent_size=16,
+    dlatent_size=16, mapping_layers=2, mapping_fmaps=16,
+)
+TRAIN = TrainingConfig(r1_interval=2, pl_interval=2)
+
+
+def _free_port() -> int:
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        return sock.getsockname()[1]
+
+
+def _run_workers(tmp_path: Path, num_processes: int = 2) -> dict:
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    repo_root = Path(__file__).resolve().parent.parent
+    workers = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "tests.distributed_worker",
+                str(process_id), str(num_processes), str(port), str(tmp_path),
+            ],
+            cwd=repo_root,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for process_id in range(num_processes)
+    ]
+    outputs = []
+    failed = False
+    for worker in workers:
+        try:
+            out, _ = worker.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            worker.kill()
+            out, _ = worker.communicate()
+            failed = True
+        outputs.append(out.decode(errors="replace"))
+        failed = failed or worker.returncode != 0
+    if failed:
+        pytest.fail("distributed worker failed:\n" + "\n=== worker ===\n".join(outputs))
+    with open(tmp_path / "result.pkl", "rb") as f:
+        return pickle.load(f)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "cpu", reason="subprocess workers are CPU-only"
+)
+def test_two_process_training_matches_single_process(tmp_path):
+    result = _run_workers(tmp_path)
+    batches = result["batches"]
+    assert len(batches) == 3 and batches[0].shape == (4, 16, 16, 3)
+
+    # Single-process replay on this process's 8 virtual devices: same mesh
+    # shape, same initial state, the exact global batches the workers ran.
+    mesh = create_mesh(data_parallel=4)
+    state = init_training_state(jax.random.PRNGKey(0), MODEL, TRAIN)
+    state = shard_training_state(mesh, state, TRAIN)
+    train_step = make_train_step(MODEL, TRAIN, mesh=mesh)
+    for step, reals in enumerate(batches):
+        state, metrics = train_step(state, reals, np.asarray(jax.random.PRNGKey(step)))
+
+    want = jax.tree.map(np.asarray, state)
+    got = result["state"]
+    assert int(got.step) == int(want.step) == 3
+
+    flat_want, _ = jax.tree_util.tree_flatten(want)
+    flat_got, _ = jax.tree_util.tree_flatten(got)
+    assert len(flat_want) == len(flat_got)
+    for array_want, array_got in zip(flat_want, flat_got):
+        # Cross-process Gloo reductions may associate differently than the
+        # single-process ring: allow float round-off, nothing more.
+        np.testing.assert_allclose(array_got, array_want, rtol=2e-4, atol=2e-5)
+
+    for key, value in result["metrics"].items():
+        np.testing.assert_allclose(
+            value, np.asarray(metrics[key]), rtol=2e-4, atol=2e-5, err_msg=key
+        )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "cpu", reason="subprocess workers are CPU-only"
+)
+def test_train_cli_multiprocess_smoke(tmp_path):
+    """
+    The real `train` CLI as two coordinated processes: per-host dataset shards,
+    --dist-* flags, the scanned (global_scan_block) path, multi-host checkpoint
+    write, and the coordinator-only EMA .pkl export — then the exported network
+    loads back through the standard pickle loader.
+    """
+    from PIL import Image
+
+    dataset = tmp_path / "dataset"
+    dataset.mkdir()
+    rng = np.random.RandomState(7)
+    for index in range(8):
+        Image.fromarray(
+            rng.randint(0, 255, size=(16, 16, 3), dtype=np.uint8)
+        ).save(dataset / f"img_{index}.png")
+
+    port = _free_port()
+    checkpoint = tmp_path / "ckpt.pkl"
+    network = tmp_path / "trained.pkl"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    repo_root = Path(__file__).resolve().parent.parent
+    # The axon plugin ignores JAX_PLATFORMS, so pin the platform via jax.config
+    # before the CLI touches devices (exactly what conftest.py does in-process).
+    shim = (
+        "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from gance_tpu.cli.train import cli; cli(args=sys.argv[1:])"
+    )
+    workers = [
+        subprocess.Popen(
+            [
+                sys.executable, "-c", shim,
+                "--dataset-directory", str(dataset),
+                "--resolution", "16",
+                "--batch-size", "4",
+                "--total-steps", "2",
+                "--checkpoint-every", "2",
+                "--scan-segment", "2",
+                "--fmap-base", "256",
+                "--fmap-max", "32",
+                "--latent-size", "16",
+                "--pl-weight", "0",
+                "--checkpoint-path", str(checkpoint),
+                "--output-network", str(network),
+                "--dist-coordinator", f"localhost:{port}",
+                "--dist-num-processes", "2",
+                "--dist-process-id", str(process_id),
+            ],
+            cwd=repo_root,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for process_id in range(2)
+    ]
+    outputs = []
+    failed = False
+    for worker in workers:
+        try:
+            out, _ = worker.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            worker.kill()
+            out, _ = worker.communicate()
+            failed = True
+        outputs.append(out.decode(errors="replace"))
+        failed = failed or worker.returncode != 0
+    if failed:
+        pytest.fail("train CLI worker failed:\n" + "\n=== worker ===\n".join(outputs))
+
+    assert checkpoint.exists() and network.exists()
+
+    from gance_tpu.models.pickle_loader import load_generator
+
+    params, config = load_generator(network)
+    assert config.resolution == 16
+    assert params["dlatent_avg"].shape == (16,)
