@@ -69,11 +69,44 @@ def projection_options(func: Callable) -> Callable:
         ),
         click.option("--noises-histories-enabled", is_flag=True, default=False),
         click.option("--images-histories-enabled", is_flag=True, default=False),
+        click.option(
+            "--dist-coordinator", type=str, default=None,
+            help="host:port of process 0. Setting this (with the two options "
+            "below) joins a multi-host projection: every host runs the same "
+            "command with its own --dist-process-id, the mesh spans all "
+            "hosts' chips (frames data-parallelize across them), and only "
+            "process 0 writes the projection file.",
+        ),
+        click.option("--dist-num-processes", type=int, default=None),
+        click.option("--dist-process-id", type=int, default=None),
         click.option("--log", type=click.Path(dir_okay=False), default=None),
     ]
     for option in reversed(options):
         func = option(func)
     return func
+
+
+def _pop_distributed_options(kwargs: dict) -> None:
+    """
+    Consume the --dist-* options and (when given) join the multi-process JAX
+    runtime. Must run before the first device query (JAX fixes its process
+    topology at backend init), i.e. before any mesh/projector construction.
+    """
+    triple = (
+        kwargs.pop("dist_coordinator"),
+        kwargs.pop("dist_num_processes"),
+        kwargs.pop("dist_process_id"),
+    )
+    if all(option is None for option in triple):
+        return
+    if any(option is None for option in triple):
+        raise click.UsageError(
+            "--dist-coordinator, --dist-num-processes and --dist-process-id "
+            "must be given together"
+        )
+    from gance_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed(*triple)
 
 
 @click.group()
@@ -100,10 +133,19 @@ def _run_projection(
     warm_start: bool = False,
     batch_number: Optional[int] = None,
 ) -> None:
+    import jax
+
     from gance_tpu.projection.file_writer import project_video_to_file
 
     mesh = None
-    if data_parallel is not None:
+    if data_parallel is None and jax.process_count() > 1:
+        # Multi-host with no explicit mesh would have every host redundantly
+        # project the full batch on its own chips; default to pure DP over all
+        # global devices instead (frames are independent — DP is always right).
+        from gance_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()
+    elif data_parallel is not None:
         from gance_tpu.parallel.mesh import create_mesh
 
         mesh = create_mesh(data_parallel=data_parallel)
@@ -139,6 +181,7 @@ def _run_projection(
 def videos(video_output: Tuple[Tuple[str, str], ...], log: Optional[str], **kwargs) -> None:
     """Project one or more (video, output) pairs."""
     add_log_file(Path(log) if log else None)
+    _pop_distributed_options(kwargs)
     for batch_number, (video_path, output_path) in enumerate(video_output):
         _run_projection(
             Path(video_path), Path(output_path), batch_number=batch_number, **kwargs
@@ -165,6 +208,7 @@ def directory(
 ) -> None:
     """Project every video in a directory."""
     add_log_file(Path(log) if log else None)
+    _pop_distributed_options(kwargs)
     out_dir = Path(output_file_directory)
     out_dir.mkdir(parents=True, exist_ok=True)
     sources = sorted(Path(directory_of_videos).glob(f"*{video_extension}"))

@@ -237,6 +237,63 @@ class _FrameWriter:
         self.finished = True
 
 
+class _NullFrameWriter:
+    """record_step/finish surface of _FrameWriter, writing nothing."""
+
+    def __init__(self) -> None:
+        self.finished = False
+
+    def record_step(self, step, latents, noises, image) -> None:  # noqa: D102
+        pass
+
+    def finish(self, target_image, final_latents, final_image) -> None:  # noqa: D102
+        self.finished = True
+
+
+class NullProjectionFileWriter:
+    """
+    Same surface as ProjectionFileWriter, writes nothing.
+
+    Non-coordinator processes of a multi-host projection run drive the
+    identical control flow through this stand-in: the projector's host fetches
+    are collectives (projector.TPUProjector._fetch), so every process must
+    execute the same callback/finish sequence — only process 0 may own the
+    HDF5 file (the hosts would otherwise race on one path, and on real pods
+    the paths aren't even shared).
+    """
+
+    def __init__(self, path: Path, attributes: ProjectionAttributes) -> None:
+        self.attributes = attributes
+        self._frame_index = 0
+
+    def __enter__(self) -> "NullProjectionFileWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        pass
+
+    @property
+    def frame_index(self) -> int:
+        return self._frame_index
+
+    @contextmanager
+    def frame_writer(self):
+        writer = _NullFrameWriter()
+        yield writer
+        self._frame_index += 1
+
+    @contextmanager
+    def batch_frame_writers(self, count: int):
+        yield [_NullFrameWriter() for _ in range(count)]
+        self._frame_index += count
+
+    def record_noises_shapes(self, shapes: NoisesShapesType) -> None:
+        pass
+
+    def close(self, complete: bool) -> None:
+        pass
+
+
 def project_video_to_file(
     path_to_video: Path,
     path_to_network: Path,
@@ -352,8 +409,19 @@ def project_video_to_file(
     )
     frames_iterator = itertools.islice(video.frames, num_frames_to_project)
 
+    # Multi-host (after parallel.distributed.initialize_distributed): every
+    # process reads the video and runs the identical loop — the mesh spreads
+    # each batch's frames over all hosts' chips — but only the coordinator owns
+    # the HDF5 file; the others drive the same (collective) control flow
+    # through the null writer.
+    import jax  # local: keep module import light for reader-only use
+
+    writer_factory = (
+        ProjectionFileWriter if jax.process_index() == 0 else NullProjectionFileWriter
+    )
+
     previous_finals = None
-    with ProjectionFileWriter(projection_file_path, attributes) as writer:
+    with writer_factory(projection_file_path, attributes) as writer:
         while True:
             chunk = list(itertools.islice(frames_iterator, max(projection_batch, 1)))
             if not chunk:

@@ -162,6 +162,12 @@ class TPUProjector:
         # collectives. This multiplies per-chip projection throughput by the
         # data-axis size; the reference is strictly one frame per child process
         # (projector_file_writer.py:617 — the 8h-for-5s-of-video bottleneck).
+        # The mesh may span PROCESSES (multi-host): after
+        # parallel.distributed.initialize_distributed, every process constructs
+        # this projector with the same global mesh and calls project/
+        # project_batch with the same full batch — placement shards frames
+        # across all hosts' chips, host fetches allgather (collective; see
+        # _fetch), and callers gate file writes to the coordinator.
         self.mesh = mesh
         if mesh is not None:
             self._replicated_sharding = NamedSharding(mesh, PartitionSpec())
@@ -229,10 +235,36 @@ class TPUProjector:
         return self._perceptual_device_cache[1]
 
     def _place_data(self, value: jax.Array) -> jax.Array:
-        """Shard a batch-leading array over the mesh 'data' axis (no-op off-mesh)."""
+        """
+        Shard a batch-leading array over the mesh 'data' axis (no-op off-mesh).
+
+        Multi-host: `jax.device_put` of a host value onto a process-spanning
+        sharding treats it as the GLOBAL value and places each process's
+        addressable shards — so every process passes the same full batch and
+        the mesh spreads the frames across all hosts' chips.
+        """
         if self._data_sharding is None:
             return value
         return jax.device_put(value, self._data_sharding)
+
+    @staticmethod
+    def _fetch(value: jax.Array) -> np.ndarray:
+        """
+        Device array -> host numpy, multi-host-safe.
+
+        An array sharded over a process-spanning mesh is not fully addressable
+        from one host, so it is first allgathered to every host (a COLLECTIVE:
+        in a multi-process run every process must reach every fetch — which is
+        why non-coordinator processes of a distributed projection drive the
+        same callback control flow through the null writer instead of skipping
+        it; see file_writer.project_video_to_file). Single-process (or
+        local-mesh) arrays take the plain np.asarray path.
+        """
+        if isinstance(value, jax.Array) and not value.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(value, tiled=True))
+        return np.asarray(value)
 
     def _compute_dlatent_stats(self) -> None:
         """Sampled w average/std (NVlabs uses 10k z samples)."""
@@ -592,8 +624,8 @@ class TPUProjector:
                     dist.block_until_ready()
                 if step_callback is not None:
                     # latents histories: the scan stacked post-update w per step
-                    history = np.asarray(w_history)[:, :batch]
-                    noises_np = [np.asarray(n)[:batch] for n in noises]
+                    history = self._fetch(w_history)[:, :batch]
+                    noises_np = [self._fetch(n)[:batch] for n in noises]
                     for offset in range(segment):
                         latents = np.tile(
                             history[offset][:, None, :],
@@ -639,11 +671,11 @@ class TPUProjector:
                     # (NVlabs get_dlatents reads the updated variable while get_images
                     # returns the forward images the loss saw).
                     latents = np.tile(
-                        np.asarray(w)[:batch, None, :], (1, self.config.num_style_rows, 1)
+                        self._fetch(w)[:batch, None, :], (1, self.config.num_style_rows, 1)
                     )
-                    noises_np = [np.asarray(n)[:batch] for n in noises]
+                    noises_np = [self._fetch(n)[:batch] for n in noises]
                     images = (
-                        np.asarray(images_dev)[:batch]
+                        self._fetch(images_dev)[:batch]
                         if want_step_images
                         else empty_image
                     )
@@ -667,10 +699,10 @@ class TPUProjector:
             final_fn = self._final_render_fn = jax.jit(
                 lambda w, noises: images_to_uint8(self._synthesis_from_w(w, noises))
             )
-        final_images = np.asarray(final_fn(w, noises))
-        latents = np.asarray(w)
-        noises_np = [np.asarray(n) for n in noises]
-        distances = np.asarray(dist).reshape(-1)[:batch]
+        final_images = self._fetch(final_fn(w, noises))
+        latents = self._fetch(w)
+        noises_np = [self._fetch(n) for n in noises]
+        distances = self._fetch(dist).reshape(-1)[:batch]
         return [
             ProjectionResult(
                 final_latents=np.tile(

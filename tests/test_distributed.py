@@ -122,6 +122,108 @@ def test_two_process_training_matches_single_process(tmp_path):
 @pytest.mark.skipif(
     jax.default_backend() != "cpu", reason="subprocess workers are CPU-only"
 )
+def test_projection_multiprocess_matches_single_process(tmp_path):
+    """
+    The real projection CLI as two coordinated processes: the frame batch
+    shards over a process-spanning pure-DP mesh (collective host fetches via
+    process_allgather), only the coordinator writes the HDF5 file, and the
+    resulting projection file matches a single-process 8-device run of the
+    same command.
+    """
+    import h5py
+
+    from gance_tpu.media.video import write_source_to_disk_consume
+    from gance_tpu.models.pickle_loader import save_generator_pickle
+    from gance_tpu.models.stylegan2 import init_generator_params
+
+    params = init_generator_params(jax.random.PRNGKey(0), MODEL)
+    save_generator_pickle(params, tmp_path / "net.pkl")
+    rng = np.random.RandomState(3)
+    write_source_to_disk_consume(
+        iter([rng.randint(0, 255, size=(16, 16, 3), dtype=np.uint8) for _ in range(4)]),
+        tmp_path / "source.mp4",
+        video_fps=30.0,
+    )
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    repo_root = Path(__file__).resolve().parent.parent
+    workers = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "tests.distributed_projection_worker",
+                str(process_id), "2", str(port), str(tmp_path),
+            ],
+            cwd=repo_root,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for process_id in range(2)
+    ]
+    outputs = []
+    failed = False
+    for worker in workers:
+        try:
+            out, _ = worker.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            worker.kill()
+            out, _ = worker.communicate()
+            failed = True
+        outputs.append(out.decode(errors="replace"))
+        failed = failed or worker.returncode != 0
+    if failed:
+        pytest.fail(
+            "projection worker failed:\n" + "\n=== worker ===\n".join(outputs)
+        )
+    assert (tmp_path / "multi.hdf5").exists()
+
+    # Single-process reference run: same CLI, same 8-device pure-DP mesh.
+    from click.testing import CliRunner
+
+    from gance_tpu.cli.project_video_to_file import cli as projection_cli
+
+    result = CliRunner().invoke(
+        projection_cli,
+        [
+            "videos",
+            "--path-to-network", str(tmp_path / "net.pkl"),
+            "--steps-per-projection", "4",
+            "--projection-batch", "4",
+            "--data-parallel", "8",
+            "--video-output", str(tmp_path / "source.mp4"), str(tmp_path / "single.hdf5"),
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+
+    with h5py.File(tmp_path / "multi.hdf5", "r") as multi, h5py.File(
+        tmp_path / "single.hdf5", "r"
+    ) as single:
+        assert multi.attrs["complete"] and single.attrs["complete"]
+        assert sorted(multi["final_latents"]) == sorted(single["final_latents"])
+        for name in multi["final_latents"]:
+            np.testing.assert_allclose(
+                multi["final_latents"][name][()],
+                single["final_latents"][name][()],
+                rtol=2e-4,
+                atol=2e-5,
+                err_msg=name,
+            )
+        # latents histories streamed per step from the scanned device loop
+        multi_frames = sorted(multi["latents_histories"])
+        assert multi_frames == sorted(single["latents_histories"])
+        for frame in multi_frames:
+            assert sorted(multi["latents_histories"][frame]) == sorted(
+                single["latents_histories"][frame]
+            )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "cpu", reason="subprocess workers are CPU-only"
+)
 def test_train_cli_multiprocess_smoke(tmp_path):
     """
     The real `train` CLI as two coordinated processes: per-host dataset shards,
