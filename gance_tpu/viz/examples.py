@@ -188,6 +188,93 @@ def synthesis_frame_demo(output_directory: Path, wav_path: Path, vector_length: 
     return out
 
 
+def blog_media_demo(output_directory: Path, resolution: int = 32) -> Path:
+    """
+    The blog-post media suite (reference visualization_examples.py:175-278
+    `blog_post_media`): quick-look images of a projection file's final latents
+    at three scales, then a line, sine wave, noise, and square wave pushed
+    through the same network. The reference renders these from the artist's
+    private production network + projection file; this demo fabricates both
+    (a tiny random-init network and a projection file holding its mapped
+    latents) so the walk-through runs on any host.
+    """
+    import jax
+    import numpy as np
+
+    from gance_tpu.audio.primitives import single_square_wave_vector
+    from gance_tpu.models.stylegan2 import GeneratorConfig, init_generator_params
+    from gance_tpu.projection.file_reader import load_projection_file
+    from gance_tpu.projection.file_writer import ProjectionFileWriter
+    from gance_tpu.projection.projection_types import LATEST_VERSION, ProjectionAttributes
+    from gance_tpu.synthesis.runtime import SynthesisNetwork
+    from gance_tpu.viz.one_shot import single_vector_single_network_visualization
+
+    output_directory = Path(output_directory)
+    config = GeneratorConfig(
+        resolution=resolution, fmap_base=512, fmap_max=64, latent_size=64,
+        dlatent_size=64, mapping_layers=2, mapping_fmaps=64,
+    )
+    network = SynthesisNetwork(
+        params=init_generator_params(jax.random.PRNGKey(0), config), config=config
+    )
+
+    # Fabricate the projection file the reference reads its finals from.
+    projection_path = output_directory / "blog_media_projection.hdf5"
+    frame_count = 3
+    attrs = ProjectionAttributes(
+        version_number=LATEST_VERSION, complete=True, original_target_path="demo",
+        original_width_height=(resolution, resolution),
+        projection_width_height=(resolution, resolution),
+        target_md5_hash="0" * 32, original_network_path="demo",
+        network_md5_hash="0" * 32, steps_in_projection=1, noises_shapes=np.nan,
+        latents_histories_enabled=False, noises_histories_enabled=False,
+        images_histories_enabled=False, original_fps=30.0, projection_fps=30.0,
+        original_frame_count=frame_count, projection_frame_count=frame_count,
+    )
+    rng = np.random.RandomState(2)
+    with ProjectionFileWriter(projection_path, attrs) as writer:
+        for index in range(frame_count):
+            with writer.frame_writer() as frame_writer:
+                target = rng.randint(
+                    0, 255, (resolution, resolution, 3), np.uint8
+                )
+                latents = np.tile(
+                    rng.randn(config.dlatent_size).astype(np.float32),
+                    (1, config.num_style_rows, 1),
+                )
+                frame_writer.finish(target, latents, target)
+
+    with load_projection_file(projection_path) as reader:
+        finals = reader.final_latents_at_frame(frame_count - 1)
+
+    y_range = (-20.0, 20.0)
+    outputs = [
+        (finals, "Projection File Original Final Latents",
+         "projection_final_original.png"),
+        (finals * 0.9, "Projection File Original Final Latents",
+         "projection_final_small.png"),
+        (finals * 1.1, "Projection File Original Final Latents",
+         "projection_final_large.png"),
+        (np.full((config.latent_size,), 10.0, np.float32),
+         "Line", "line_to_image.png"),
+        ((np.sin(np.arange(0, config.latent_size / 10, 0.1)) * 10).astype(np.float32),
+         "Sine Wave", "sine_wav_to_image.png"),
+        (rng.rand(config.latent_size).astype(np.float32) * 10,
+         "Noise", "noise_image.png"),
+        (single_square_wave_vector(
+            rising_edge_x=10, falling_edge_x=40, y_offset=0, y_amplitude=10,
+            vector_length=config.latent_size,
+        ), "Square Wave", "original_step.png"),
+    ]
+    for vector, title, filename in outputs:
+        single_vector_single_network_visualization(
+            vector=vector, title=title,
+            output_image_path=output_directory / filename,
+            network=network, image_height=resolution * 4, y_range=y_range,
+        )
+    return output_directory / "projection_final_original.png"
+
+
 def quick_look_demo(output_directory: Path, resolution: int = 32) -> Path:
     """
     The one-shot [scatter | synthesis] quick-look over a random-init network

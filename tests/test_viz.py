@@ -171,6 +171,20 @@ def test_examples_audio_and_quicklook(tmp_path):
     assert (tmp_path / "quick_look.mp4").exists()
 
 
+def test_blog_media_demo(tmp_path):
+    """The blog_post_media suite renders from fabricated assets (reference
+    visualization_examples.py:175-278)."""
+    from gance_tpu.viz.examples import blog_media_demo
+
+    assert blog_media_demo(tmp_path).exists()
+    for name in (
+        "projection_final_small.png", "projection_final_large.png",
+        "line_to_image.png", "sine_wav_to_image.png", "noise_image.png",
+        "original_step.png",
+    ):
+        assert (tmp_path / name).exists()
+
+
 def test_stage_timer():
     from gance_tpu.utils.profiling import StageTimer
 
