@@ -384,7 +384,7 @@ def make_train_scan(
     of leaves (G+D params, two Adam states, EMA), so per-step dispatch marshals
     hundreds of buffer handles over the interconnect every step — the same
     overhead class measured at ~60% of projection step time; scanning removes
-    it (the projection precedent: 45.1 -> 12.9 s/frame).
+    it (the projection precedent: 45.1 -> ~20 s/frame).
 
     Signature: (state, reals_block (S, B, R, R, 3), step_keys (S, 2) uint32
     PRNG keys — one per step, host-derived so the per-step protocol matches
