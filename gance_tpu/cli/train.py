@@ -60,6 +60,28 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
     "raise it on hosts where dispatch marshaling outruns the step time. "
     "Best when it divides --checkpoint-every.",
 )
+@click.option(
+    "--metrics-every", type=click.IntRange(min=1), default=None,
+    help="Evaluate the EMA generator every N steps (PPL + Fréchet feature "
+    "distance vs the training images — the NVlabs fork's run-metrics-during-"
+    "training capability) and append one JSON line per eval to "
+    "--metrics-path. Evaluations run at checkpoint boundaries, so N is "
+    "effectively rounded up to a multiple of --checkpoint-every.",
+)
+@click.option(
+    "--metrics-samples", type=click.IntRange(min=2), default=64,
+    help="Sample count per metric per evaluation (training-curve cheapness "
+    "over publication precision).",
+)
+@click.option(
+    "--metrics-path", type=click.Path(dir_okay=False), default=None,
+    help="Metrics JSONL sidecar; default: <checkpoint-path>.metrics.jsonl.",
+)
+@click.option(
+    "--metrics-vgg-weights", type=click.Path(exists=True, dir_okay=False), default=None,
+    help="Perceptual weights for the metrics (NVlabs vgg16_zhang_perceptual.pkl "
+    "or imported .npz); default: the deterministic random-VGG metric.",
+)
 @click.option("--seed", type=int, default=0)
 @click.option(
     "--dist-coordinator", type=str, default=None,
@@ -94,6 +116,10 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
     compute_dtype: str,
     remat: bool,
     scan_segment: int,
+    metrics_every: Optional[int],
+    metrics_samples: int,
+    metrics_path: Optional[str],
+    metrics_vgg_weights: Optional[str],
     seed: int,
     dist_coordinator: Optional[str],
     dist_num_processes: Optional[int],
@@ -114,6 +140,17 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
             raise click.UsageError(
                 "--dist-coordinator, --dist-num-processes and --dist-process-id "
                 "must be given together"
+            )
+        if metrics_every is not None:
+            # Metric evaluation drives its own (local) jitted programs; under a
+            # process-spanning mesh that would need every host to run a second,
+            # synchronized collective program mid-training. Run metrics offline
+            # (network_metrics.py) against the exported checkpoints instead.
+            # (Checked BEFORE initialize_distributed — that call blocks on the
+            # coordinator rendezvous, and a usage error must not.)
+            raise click.UsageError(
+                "--metrics-every is single-process-only; evaluate multi-host "
+                "runs offline with network_metrics.py against the exported .pkl."
             )
         from gance_tpu.parallel.distributed import initialize_distributed
 
@@ -180,6 +217,45 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
     start_step = int(state.step)
     metrics = None
 
+    metrics_file = (
+        Path(metrics_path)
+        if metrics_path
+        else ckpt.with_name(ckpt.name + ".metrics.jsonl")
+    )
+    eval_perceptual = None
+    last_metrics_step = start_step
+
+    def maybe_eval_metrics(next_step: int) -> None:
+        """EMA-quality eval at a checkpoint boundary (every --metrics-every steps)."""
+        nonlocal eval_perceptual, last_metrics_step
+        if metrics_every is None or next_step - last_metrics_step < metrics_every:
+            return
+        last_metrics_step = next_step
+        from gance_tpu.metrics.training_eval import (
+            append_metrics_record,
+            evaluate_training_metrics,
+        )
+
+        if eval_perceptual is None:
+            from gance_tpu.projection.lpips import load_vgg_params, random_vgg_params
+
+            eval_perceptual = (
+                load_vgg_params(Path(metrics_vgg_weights))
+                if metrics_vgg_weights
+                else random_vgg_params(seed=0)
+            )
+        host_ema = jax.tree.map(np.asarray, state.ema_params)
+        record = evaluate_training_metrics(
+            host_ema,
+            model_config,
+            eval_perceptual,
+            Path(dataset_directory),
+            step=next_step,
+            num_samples=metrics_samples,
+            seed=seed,
+        )
+        append_metrics_record(metrics_file, record)
+
     if scan_segment > 1:
         # Device-side scan: one dispatch per block of steps. Per-step keys are
         # host-derived exactly as the per-step path derives them, so the two
@@ -219,6 +295,7 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
                     step + 1, float(metrics["d_loss"]), float(metrics["g_loss"]),
                     float(metrics["r1"]), float(metrics.get("pl", 0.0)),
                 )
+                maybe_eval_metrics(step + 1)
     else:
         train_step = make_train_step(model_config, train_config, mesh=mesh)
         if mesh is not None:
@@ -239,6 +316,7 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
                     step + 1, float(metrics["d_loss"]), float(metrics["g_loss"]),
                     float(metrics["r1"]), float(metrics.get("pl", 0.0)),
                 )
+                maybe_eval_metrics(step + 1)
     timer.summary()
 
     if jax.process_count() > 1:

@@ -116,6 +116,9 @@ def gaussian_frechet_distance(
     return float(max(value, 0.0))
 
 
+FeatureFn = Callable[[Dict[str, Any], jax.Array], jax.Array]
+
+
 def _network_feature_stream(
     params: Dict[str, Any],
     config: GeneratorConfig,
@@ -124,6 +127,7 @@ def _network_feature_stream(
     batch_size: int,
     truncation_psi: Optional[float],
     seed: int,
+    feature_fn: FeatureFn,
 ) -> Iterator[np.ndarray]:
     """Pooled features of freshly sampled network outputs, one batch at a time."""
 
@@ -140,7 +144,7 @@ def _network_feature_stream(
         # comparing the unclipped float output against clipped uint8 files
         # would build a metric artifact into the distance.
         images = images_to_uint8(images).astype(jnp.float32) / 127.5 - 1.0
-        return pooled_vgg_features(perc, images)
+        return feature_fn(perc, images)
 
     chunk_fn = jax.jit(chunk, static_argnums=(3,))
     key = jax.random.PRNGKey(seed)
@@ -158,13 +162,14 @@ def _image_feature_stream(
     resolution: int,
     perceptual_params: Dict[str, Any],
     batch_size: int,
+    feature_fn: FeatureFn,
 ) -> Iterator[np.ndarray]:
     """Pooled features of on-disk images (resized to `resolution`, [-1, 1])."""
     import cv2
 
     from gance_tpu.media.images import read_image
 
-    feature_fn = jax.jit(lambda perc, imgs: pooled_vgg_features(perc, imgs))
+    feature_fn = jax.jit(feature_fn)
     for start in range(0, len(image_paths), batch_size):
         chunk_paths = image_paths[start : start + batch_size]
         images = np.stack(
@@ -189,7 +194,7 @@ def frechet_distance_network_vs_images(
     num_samples: int = 2048,
     batch_size: int = 8,
     truncation_psi: Optional[float] = None,
-    feature_blocks: Sequence[int] = DEFAULT_FEATURE_BLOCKS,
+    feature_fn: Optional[FeatureFn] = None,
     seed: int = 0,
     feature_stream_hook: Optional[Callable[[str, Iterator[np.ndarray]], Iterator[np.ndarray]]] = None,
 ) -> Dict[str, Any]:
@@ -200,12 +205,18 @@ def frechet_distance_network_vs_images(
 
     :param num_samples: generated-sample count; the real side uses every image
         in the folder (capped at num_samples, taking the sorted prefix).
+    :param feature_fn: the pluggable extractor — (extractor_params,
+        (B, H, W, 3) float images in [-1, 1]) -> (B, D) features; default
+        `pooled_vgg_features`. Drop an Inception-v3 apply function (and its
+        params as `perceptual_params`) into this slot for published-FID
+        features; both streams run through the same function, jitted.
     :param feature_stream_hook: test seam — wraps each ("fake"|"real", stream).
     :return: dict with `distance`, the per-side sample counts, and provenance.
     """
     from gance_tpu.parallel.data import list_image_paths
 
-    del feature_blocks  # pooled_vgg_features currently fixes the default set
+    if feature_fn is None:
+        feature_fn = pooled_vgg_features
 
     paths = list_image_paths(Path(image_directory))
     if len(paths) < 2:
@@ -214,10 +225,10 @@ def frechet_distance_network_vs_images(
 
     fake_stream: Iterator[np.ndarray] = _network_feature_stream(
         params, config, perceptual_params, num_samples, batch_size,
-        truncation_psi, seed,
+        truncation_psi, seed, feature_fn,
     )
     real_stream: Iterator[np.ndarray] = _image_feature_stream(
-        paths, config.resolution, perceptual_params, batch_size
+        paths, config.resolution, perceptual_params, batch_size, feature_fn
     )
     if feature_stream_hook is not None:
         fake_stream = feature_stream_hook("fake", fake_stream)
@@ -242,5 +253,7 @@ def frechet_distance_network_vs_images(
         "note": (
             "Frechet distance over pooled VGG16 features (pluggable; NOT "
             "comparable to published Inception-FID numbers)"
+            if feature_fn is pooled_vgg_features
+            else "Frechet distance over custom feature_fn features"
         ),
     }

@@ -217,3 +217,36 @@ def test_frechet_cli_self_distance_is_small(network_pkl, tmp_path):
     assert own_payload["feature_dim"] == 1472
     assert np.isfinite(own_payload["value"]) and own_payload["value"] >= 0.0
     assert own_payload["value"] < noise_payload["value"]
+
+
+def test_frechet_pluggable_feature_fn(small_network, perceptual, tmp_path):
+    """The extractor slot is a real parameter: a custom feature_fn replaces the
+    VGG stack on BOTH streams (feature_dim follows it, distance stays sane)."""
+    from PIL import Image
+
+    from gance_tpu.metrics.frechet import frechet_distance_network_vs_images
+
+    rng = np.random.RandomState(9)
+    real = tmp_path / "real"
+    real.mkdir()
+    for i in range(8):
+        Image.fromarray(
+            rng.randint(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        ).save(real / f"r_{i}.png")
+
+    def mean_rgb(params, images):  # ignores extractor params entirely
+        del params
+        return jnp.mean(images, axis=(1, 2))
+
+    result = frechet_distance_network_vs_images(
+        small_network,
+        MODEL,
+        perceptual,
+        real,
+        num_samples=8,
+        batch_size=4,
+        feature_fn=mean_rgb,
+    )
+    assert result["feature_dim"] == 3
+    assert np.isfinite(result["distance"]) and result["distance"] >= 0.0
+    assert "custom feature_fn" in result["note"]

@@ -153,6 +153,55 @@ def test_train_cli_scan_segment(tmp_path):
     assert image.shape == (1, 16, 16, 3)
 
 
+def test_train_cli_metrics_every_writes_quality_curve(tmp_path):
+    """--metrics-every evaluates the EMA generator at checkpoint boundaries and
+    appends finite PPL/Fréchet records to the JSONL sidecar."""
+    import json
+    import math
+
+    data = _image_dir(tmp_path, count=6, side=16)
+    ckpt = tmp_path / "ckpt_metrics.pkl"
+    out_net = tmp_path / "trained_metrics.pkl"
+    result = CliRunner().invoke(cli, [
+        "--dataset-directory", str(data),
+        "--resolution", "16",
+        "--batch-size", "4",
+        "--fmap-base", "256",
+        "--fmap-max", "32",
+        "--latent-size", "32",
+        "--checkpoint-path", str(ckpt),
+        "--checkpoint-every", "2",
+        "--total-steps", "4",
+        "--metrics-every", "2",
+        "--metrics-samples", "4",
+        "--output-network", str(out_net),
+    ], catch_exceptions=False)
+    assert result.exit_code == 0
+
+    metrics_file = ckpt.with_name(ckpt.name + ".metrics.jsonl")
+    records = [json.loads(line) for line in metrics_file.read_text().splitlines()]
+    assert [r["step"] for r in records] == [2, 4]
+    for record in records:
+        assert math.isfinite(record["ppl_w_full"])
+        assert math.isfinite(record["frechet_feature_distance"])
+        assert record["num_samples"] == 4
+
+
+def test_train_cli_metrics_rejected_multi_host():
+    """--metrics-every + --dist-* is a UsageError (single-process-only eval)."""
+    result = CliRunner().invoke(cli, [
+        "--dataset-directory", ".",
+        "--checkpoint-path", "x.pkl",
+        "--output-network", "y.pkl",
+        "--metrics-every", "2",
+        "--dist-coordinator", "localhost:9999",
+        "--dist-num-processes", "2",
+        "--dist-process-id", "0",
+    ])
+    assert result.exit_code != 0
+    assert "single-process-only" in result.output
+
+
 def test_batches_abandoned_consumer_releases_prefetch_thread(tmp_path):
     """Breaking out of batches() early must stop the producer thread (review
     finding: it previously blocked forever in put() on the bounded queue,
