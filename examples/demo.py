@@ -25,14 +25,34 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np  # noqa: E402
 
-CLAPS = Path("/root/reference/test/assets/claps.wav")
+
+def fabricate_wav(path: Path, seconds: float = 2.0, sample_rate: int = 44100) -> Path:
+    """A percussive synthetic track (decaying noise bursts over a chirp) so the
+    demo is self-contained — no reference checkout, no external assets."""
+    from gance_tpu.audio.io import WavFileProperties, write_wav_file
+
+    rng = np.random.RandomState(42)
+    t = np.arange(int(seconds * sample_rate)) / sample_rate
+    chirp = 0.3 * np.sin(2 * np.pi * (110 + 220 * t) * t)
+    signal = chirp.copy()
+    for onset in np.arange(0.0, seconds, 0.25):  # 4 "claps" per second
+        start = int(onset * sample_rate)
+        length = min(int(0.05 * sample_rate), signal.size - start)
+        envelope = np.exp(-np.arange(length) / (0.01 * sample_rate))
+        signal[start : start + length] += 0.7 * envelope * rng.randn(length)
+    pcm = (np.clip(signal, -1.0, 1.0) * 32767).astype(np.int16)
+    write_wav_file(path, WavFileProperties(wav_data=pcm, sample_rate=sample_rate, name=path.stem))
+    return path
 
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--output-directory", type=Path, required=True)
     parser.add_argument("--resolution", type=int, default=32)
-    parser.add_argument("--wav", type=Path, default=CLAPS)
+    parser.add_argument(
+        "--wav", type=Path, default=None,
+        help="Soundtrack WAV; default: fabricate one in the output directory.",
+    )
     args = parser.parse_args()
 
     out = args.output_directory
@@ -41,6 +61,10 @@ def main() -> None:
     import gance_tpu  # noqa: F401 (platform plumbing)
     from gance_tpu.media.images import write_image
     from gance_tpu.media.video import write_source_to_disk_consume
+
+    if args.wav is None:
+        args.wav = fabricate_wav(out / "soundtrack.wav")
+        print("fabricated soundtrack:", args.wav)
 
     # ---- 0. synthetic "dataset" + source video --------------------------------
     rng = np.random.RandomState(0)

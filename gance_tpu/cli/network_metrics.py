@@ -116,8 +116,9 @@ def ppl(
 @click.option("--batch-size", type=click.IntRange(min=1), default=8)
 @click.option(
     "--truncation-psi", type=float, default=None,
-    help="Sampling truncation for the generated side; default: the serving "
-    "default psi.",
+    help="Sampling truncation for the generated side; default: untruncated "
+    "(FID convention). Pass the serving psi (1.2) to measure the delivered "
+    "truncated distribution instead.",
 )
 @click.option(
     "--vgg-weights", type=click.Path(exists=True, dir_okay=False), default=None,

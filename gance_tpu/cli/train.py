@@ -201,11 +201,31 @@ def cli(  # pylint: disable=too-many-arguments,too-many-locals
 
     mesh = create_mesh(data_parallel=data_parallel) if len(jax.devices()) > 1 else None
     ckpt = Path(checkpoint_path)
-    if ckpt.exists():
+    had_checkpoint = ckpt.exists()
+    if had_checkpoint:
         state = load_checkpoint(ckpt)
         LOGGER.info("Resumed from %s at step %d", ckpt, int(state.step))
     else:
         state = init_training_state(jax.random.PRNGKey(seed), model_config, train_config)
+    if jax.process_count() > 1:
+        # Multi-host agreement: checkpoints are written by process 0 only, so
+        # on pods WITHOUT a shared filesystem the other hosts would init fresh
+        # state here while process 0 resumes — shard_training_state would then
+        # assemble mismatched per-host values into one global array (silent
+        # corruption), and disagreeing start steps hang the collectives.
+        # Process 0's load-or-init result is canonical; ship it to everyone.
+        from jax.experimental import multihost_utils
+
+        seen = multihost_utils.process_allgather(np.asarray([had_checkpoint]))
+        if bool(seen.any()) and not bool(seen.all()):
+            LOGGER.warning(
+                "Checkpoint %s visible on %d/%d hosts (no shared filesystem?);"
+                " adopting process 0's state everywhere.",
+                ckpt, int(seen.sum()), int(seen.size),
+            )
+        state = multihost_utils.broadcast_one_to_all(
+            jax.tree.map(np.asarray, state)
+        )
     if mesh is not None:
         state = shard_training_state(mesh, state, train_config)
         LOGGER.info("Training over mesh %s", dict(mesh.shape))

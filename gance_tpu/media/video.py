@@ -180,37 +180,55 @@ def create_video_writer(
         )
 
     if high_quality and _ffmpeg_binary():
-        proc = subprocess.Popen(
-            [
+        # The reference's exact "YouTube-tuned" x264 profile (video_common.py
+        # :108-140): yadif + scale filter, crf 18, 2 B-frames, no edit list,
+        # faststart, yuv422p. Like the reference's WriteGear, the input frame
+        # size is taken from the FIRST frame and the scale filter maps it to
+        # the declared output resolution — so mismatched sources are scaled,
+        # not rejected. ffmpeg starts lazily on the first write for that.
+        state = {"proc": None, "input_resolution": None}
+
+        def ffmpeg_args(input_resolution: ImageResolution) -> list:
+            return [
                 _ffmpeg_binary(),
                 "-y",
                 "-f", "rawvideo",
                 "-pix_fmt", "rgb24",
-                "-s", f"{resolution.width}x{resolution.height}",
+                "-s", f"{input_resolution.width}x{input_resolution.height}",
                 "-r", str(video_fps),
                 "-i", "-",
+                "-vf", f"yadif,scale={resolution.width}:{resolution.height}",
                 "-vcodec", "libx264",
                 "-crf", "18",
-                "-pix_fmt", "yuv422p",
+                "-bf", "2",
+                "-use_editlist", "0",
                 "-movflags", "+faststart",
+                "-pix_fmt", "yuv422p",
                 str(video_path),
-            ],
-            stdin=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
-        )
+            ]
 
         def write_ffmpeg(frame: np.ndarray) -> None:
-            # Same guard as the cv2/spill writers: a wrong-sized frame fed
-            # into the rawvideo pipe would misalign EVERY later frame (ffmpeg
-            # slices the byte stream at the declared WxH) — silent garbage.
-            if image_resolution(frame) != resolution:
-                raise ValueError(
-                    f"Frame resolution {image_resolution(frame)} != writer "
-                    f"resolution {resolution}"
+            if state["proc"] is None:
+                state["input_resolution"] = image_resolution(frame)
+                state["proc"] = subprocess.Popen(
+                    ffmpeg_args(state["input_resolution"]),
+                    stdin=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL,
                 )
-            proc.stdin.write(np.ascontiguousarray(frame, np.uint8).tobytes())
+            # Frames after the first must match it: the rawvideo pipe slices
+            # the byte stream at the declared WxH, so a size change would
+            # misalign EVERY later frame — silent garbage.
+            elif image_resolution(frame) != state["input_resolution"]:
+                raise ValueError(
+                    f"Frame resolution {image_resolution(frame)} != first "
+                    f"frame resolution {state['input_resolution']}"
+                )
+            state["proc"].stdin.write(np.ascontiguousarray(frame, np.uint8).tobytes())
 
         def finish_ffmpeg() -> None:
+            proc = state["proc"]
+            if proc is None:  # zero frames written — nothing to mux
+                return
             proc.stdin.close()
             if proc.wait() != 0:
                 raise RuntimeError(

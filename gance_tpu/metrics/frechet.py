@@ -29,11 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from gance_tpu.models.stylegan2 import (
-    DEFAULT_TRUNCATION_PSI,
     GeneratorConfig,
     generator_apply,
     images_to_uint8,
 )
+from gance_tpu.utils.logging import LOGGER
 from gance_tpu.projection.lpips import (
     DEFAULT_FEATURE_BLOCKS,
     downsample_to,
@@ -110,6 +110,19 @@ def gaussian_frechet_distance(
         offset = np.eye(cov_a.shape[0]) * eps
         covmean = linalg.sqrtm((cov_a + offset).dot(cov_b + offset))
     if np.iscomplexobj(covmean):
+        # sqrtm of a PSD-matrix product is real up to round-off; a large
+        # imaginary part means the covariances were not meaningful (typically
+        # rank-deficient: fewer samples than feature dims). Reference FID
+        # implementations raise here; we warn so a mid-training quality curve
+        # survives, but the number is flagged as unreliable.
+        imag_max = float(np.abs(np.diagonal(covmean).imag).max())
+        if imag_max > 1e-3:
+            LOGGER.warning(
+                "Frechet sqrtm is significantly complex (max diagonal imag "
+                "%.3g) — covariances are likely rank-deficient (sample count "
+                "below the feature dim); treat this distance as unreliable.",
+                imag_max,
+            )
         covmean = covmean.real
     value = diff.dot(diff) + np.trace(cov_a) + np.trace(cov_b) - 2.0 * np.trace(covmean)
     # Exact-zero case (identical inputs) can land epsilon-negative.
@@ -135,8 +148,7 @@ def _network_feature_stream(
         z = jax.random.normal(key, (batch, config.latent_size))
         images = generator_apply(
             p, z, config,
-            truncation_psi=truncation_psi if truncation_psi is not None
-            else DEFAULT_TRUNCATION_PSI,
+            truncation_psi=truncation_psi,
             noise_mode="const",
         )
         # Measure the DELIVERED distribution: quantize exactly like the uint8
@@ -205,6 +217,13 @@ def frechet_distance_network_vs_images(
 
     :param num_samples: generated-sample count; the real side uses every image
         in the folder (capped at num_samples, taking the sorted prefix).
+        Counts at or below the feature dim (1472 for the default extractor)
+        give rank-deficient covariances — fine for a relative training curve,
+        logged as unreliable for absolute comparison.
+    :param truncation_psi: None/1.0 = UNTRUNCATED sampling, the FID convention
+        (NVlabs evaluates metrics without truncation — truncation suppresses
+        diversity and would understate mode collapse). Pass the serving psi
+        (1.2) explicitly to measure the delivered truncated distribution.
     :param feature_fn: the pluggable extractor — (extractor_params,
         (B, H, W, 3) float images in [-1, 1]) -> (B, D) features; default
         `pooled_vgg_features`. Drop an Inception-v3 apply function (and its
@@ -245,6 +264,15 @@ def frechet_distance_network_vs_images(
 
     mu_fake, cov_fake = moments["fake"].finalize()
     mu_real, cov_real = moments["real"].finalize()
+    min_count = min(moments["fake"].count, moments["real"].count)
+    if min_count <= mu_fake.shape[0]:
+        LOGGER.warning(
+            "Frechet covariances are rank-deficient (%d samples over %d "
+            "feature dims) — comparable across steps of one run, unreliable "
+            "as an absolute distance.",
+            min_count,
+            int(mu_fake.shape[0]),
+        )
     return {
         "distance": gaussian_frechet_distance(mu_fake, cov_fake, mu_real, cov_real),
         "num_fake": moments["fake"].count,

@@ -420,6 +420,52 @@ def project_video_to_file(
         ProjectionFileWriter if jax.process_index() == 0 else NullProjectionFileWriter
     )
 
+    # Multi-host failure containment: the projector's host fetches are
+    # collectives, so a process that dies quietly (e.g. the coordinator's HDF5
+    # writer hitting a full disk) would leave its peers blocked in the next
+    # collective until the runtime's own timeout. Tear the distributed runtime
+    # down loudly instead so every peer fails fast.
+    try:
+        _projection_write_loop(
+            writer_factory, projection_file_path, attributes, frames_iterator,
+            projection_batch, projector, batch_number, num_projection_frames,
+            any_histories, images_histories_enabled, noises_histories_enabled,
+            warm_start,
+        )
+    except BaseException:
+        if jax.process_count() > 1:
+            LOGGER.exception(
+                "Projection failed on process %d of %d; shutting down the "
+                "distributed runtime so peer processes abort instead of "
+                "hanging in collectives.",
+                jax.process_index(), jax.process_count(),
+            )
+            import os
+
+            # os._exit, NOT sys.exit / jax.distributed.shutdown: both run
+            # barrier-like teardown that blocks while peers sit in collectives
+            # — the very hang this handler exists to break. Hard process death
+            # resets the peers' Gloo/DCN connections, failing them fast.
+            os._exit(1)
+        raise
+    LOGGER.info("Projection totally complete!")
+
+
+def _projection_write_loop(
+    writer_factory,
+    projection_file_path: Path,
+    attributes: ProjectionAttributes,
+    frames_iterator,
+    projection_batch: int,
+    projector,
+    batch_number: Optional[int],
+    num_projection_frames: int,
+    any_histories: bool,
+    images_histories_enabled: bool,
+    noises_histories_enabled: bool,
+    warm_start: bool,
+) -> None:
+    """The per-batch project→write loop of project_video_to_file."""
     previous_finals = None
     with writer_factory(projection_file_path, attributes) as writer:
         while True:
@@ -476,4 +522,3 @@ def project_video_to_file(
                         final_latents=result.final_latents,
                         final_image=result.final_image,
                     )
-    LOGGER.info("Projection totally complete!")

@@ -10,7 +10,9 @@ HDF5 projection file, the other process drives the identical collective control
 flow through the null writer.
 
 Invoked as `python -m tests.distributed_projection_worker <process_id>
-<num_processes> <port> <workdir>`; never collected by pytest itself.
+<num_processes> <port> <workdir> [output_relpath]`; never collected by pytest
+itself. The optional output_relpath (default multi.hdf5) lets the
+writer-failure-abort test point the coordinator at an unwritable path.
 """
 
 import os
@@ -22,6 +24,7 @@ def main() -> None:
     num_processes = sys.argv[2]
     port = sys.argv[3]
     workdir = sys.argv[4]
+    output_relpath = sys.argv[5] if len(sys.argv) > 5 else "multi.hdf5"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
@@ -41,7 +44,7 @@ def main() -> None:
             "--path-to-network", f"{workdir}/net.pkl",
             "--steps-per-projection", "4",
             "--projection-batch", "4",
-            "--video-output", f"{workdir}/source.mp4", f"{workdir}/multi.hdf5",
+            "--video-output", f"{workdir}/source.mp4", f"{workdir}/{output_relpath}",
             "--dist-coordinator", f"localhost:{port}",
             "--dist-num-processes", num_processes,
             "--dist-process-id", process_id,

@@ -224,6 +224,71 @@ def test_projection_multiprocess_matches_single_process(tmp_path):
 @pytest.mark.skipif(
     jax.default_backend() != "cpu", reason="subprocess workers are CPU-only"
 )
+def test_projection_coordinator_writer_failure_aborts_peers(tmp_path):
+    """
+    A coordinator-side writer failure (here: the HDF5 path's parent directory
+    does not exist) must tear down the distributed runtime so the peer process
+    fails fast instead of hanging in its next collective host fetch
+    (ADVICE r3: file_writer.py coordinator exception containment).
+    """
+    from gance_tpu.media.video import write_source_to_disk_consume
+    from gance_tpu.models.pickle_loader import save_generator_pickle
+    from gance_tpu.models.stylegan2 import init_generator_params
+
+    params = init_generator_params(jax.random.PRNGKey(0), MODEL)
+    save_generator_pickle(params, tmp_path / "net.pkl")
+    rng = np.random.RandomState(3)
+    write_source_to_disk_consume(
+        iter([rng.randint(0, 255, size=(16, 16, 3), dtype=np.uint8) for _ in range(4)]),
+        tmp_path / "source.mp4",
+        video_fps=30.0,
+    )
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    repo_root = Path(__file__).resolve().parent.parent
+    workers = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "tests.distributed_projection_worker",
+                str(process_id), "2", str(port), str(tmp_path),
+                # only the coordinator opens the file; the missing parent dir
+                # makes h5py raise there while the peer heads into collectives
+                "no_such_directory/multi.hdf5",
+            ],
+            cwd=repo_root,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for process_id in range(2)
+    ]
+    outputs = []
+    hung = False
+    for worker in workers:
+        try:
+            out, _ = worker.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            worker.kill()
+            out, _ = worker.communicate()
+            hung = True
+        outputs.append(out.decode(errors="replace"))
+    assert not hung, (
+        "peer hung after coordinator writer failure:\n"
+        + "\n=== worker ===\n".join(outputs)
+    )
+    for worker, out in zip(workers, outputs):
+        assert worker.returncode != 0, (
+            "every process must fail loudly, got success:\n" + out
+        )
+    assert "shutting down the distributed runtime" in outputs[0]
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "cpu", reason="subprocess workers are CPU-only"
+)
 def test_train_cli_multiprocess_smoke(tmp_path):
     """
     The real `train` CLI as two coordinated processes: per-host dataset shards,

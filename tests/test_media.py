@@ -471,6 +471,98 @@ class TestSpillReadback:
         assert deliverable.exists()
 
 
+def _install_fake_ffmpeg(tmp_path, monkeypatch):
+    """A fake ffmpeg on PATH that records its argv and drains stdin — the host
+    has no real ffmpeg, so the x264 profile is pinned at the argv level."""
+    import os
+
+    record = tmp_path / "ffmpeg_argv.txt"
+    bin_dir = tmp_path / "fakebin"
+    bin_dir.mkdir()
+    script = bin_dir / "ffmpeg"
+    script.write_text(
+        "#!/bin/sh\n"
+        f'printf \'%s\\n\' "$@" > "{record}"\n'
+        "cat > /dev/null\n"
+    )
+    script.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ.get('PATH', '')}")
+    return record
+
+
+def test_high_quality_writer_x264_argv_golden(tmp_path, monkeypatch):
+    """
+    The reference's exact YouTube-tuned x264 profile
+    (gance/image_sources/video_common.py:108-140): yadif+scale filter, crf 18,
+    2 B-frames, no edit list, faststart, yuv422p — pinned argv-for-argv.
+    """
+    from gance_tpu.media.video import create_video_writer
+    from gance_tpu.types import ImageResolution
+
+    record = _install_fake_ffmpeg(tmp_path, monkeypatch)
+    out = tmp_path / "out.mp4"
+    handle = create_video_writer(
+        out, 60.0, ImageResolution(width=32, height=16), high_quality=True
+    )
+    frame = np.zeros((16, 32, 3), np.uint8)
+    handle.write(frame)
+    handle.write(frame)
+    handle.finish()
+
+    assert record.read_text().splitlines() == [
+        "-y",
+        "-f", "rawvideo",
+        "-pix_fmt", "rgb24",
+        "-s", "32x16",
+        "-r", "60.0",
+        "-i", "-",
+        "-vf", "yadif,scale=32:16",
+        "-vcodec", "libx264",
+        "-crf", "18",
+        "-bf", "2",
+        "-use_editlist", "0",
+        "-movflags", "+faststart",
+        "-pix_fmt", "yuv422p",
+        str(out),
+    ]
+
+
+def test_high_quality_writer_scales_mismatched_source(tmp_path, monkeypatch):
+    """Reference semantics: a source that doesn't match the declared output
+    resolution is SCALED by the filter chain (WriteGear takes the input size
+    from the first frame), not rejected — but a mid-stream size change still
+    raises (it would misalign the rawvideo pipe)."""
+    from gance_tpu.media.video import create_video_writer
+    from gance_tpu.types import ImageResolution
+
+    record = _install_fake_ffmpeg(tmp_path, monkeypatch)
+    handle = create_video_writer(
+        tmp_path / "out.mp4", 30.0,
+        ImageResolution(width=16, height=16), high_quality=True,
+    )
+    handle.write(np.zeros((32, 32, 3), np.uint8))  # larger source: OK
+    with pytest.raises(ValueError, match="first"):
+        handle.write(np.zeros((8, 8, 3), np.uint8))  # mid-stream change: no
+    handle.write(np.zeros((32, 32, 3), np.uint8))
+    handle.finish()
+
+    argv = record.read_text().splitlines()
+    assert argv[argv.index("-s") + 1] == "32x32"  # input size = first frame
+    assert argv[argv.index("-vf") + 1] == "yadif,scale=16:16"  # output scaled
+
+
+def test_high_quality_writer_zero_frames_is_clean(tmp_path, monkeypatch):
+    from gance_tpu.media.video import create_video_writer
+    from gance_tpu.types import ImageResolution
+
+    _install_fake_ffmpeg(tmp_path, monkeypatch)
+    handle = create_video_writer(
+        tmp_path / "out.mp4", 30.0,
+        ImageResolution(width=16, height=16), high_quality=True,
+    )
+    handle.finish()  # no ffmpeg ever started; must not raise
+
+
 def test_threaded_writer_encoder_error_does_not_deadlock():
     """An encoder error with a FULL bounded queue must surface, not hang: the
     drain thread keeps consuming (discarding) after the error so producers

@@ -250,3 +250,82 @@ def test_frechet_pluggable_feature_fn(small_network, perceptual, tmp_path):
     assert result["feature_dim"] == 3
     assert np.isfinite(result["distance"]) and result["distance"] >= 0.0
     assert "custom feature_fn" in result["note"]
+
+
+def test_frechet_sampling_defaults_to_untruncated(small_network, perceptual, tmp_path):
+    """
+    FID convention (ADVICE r3): the generated side samples UNTRUNCATED by
+    default — the default run must equal an explicit psi=1.0 run and differ
+    from a strongly truncated one (truncation collapses diversity).
+    """
+    from PIL import Image
+
+    from gance_tpu.metrics.frechet import frechet_distance_network_vs_images
+
+    rng = np.random.RandomState(11)
+    real = tmp_path / "real"
+    real.mkdir()
+    for i in range(8):
+        Image.fromarray(
+            rng.randint(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        ).save(real / f"r_{i}.png")
+
+    def mean_rgb(params, images):
+        del params
+        return jnp.mean(images, axis=(1, 2))
+
+    def run(**kwargs):
+        return frechet_distance_network_vs_images(
+            small_network, MODEL, perceptual, real,
+            num_samples=8, batch_size=4, feature_fn=mean_rgb, **kwargs
+        )["distance"]
+
+    default = run()
+    assert default == pytest.approx(run(truncation_psi=1.0), rel=1e-6)
+    assert default != pytest.approx(run(truncation_psi=0.2), rel=1e-6)
+
+
+def test_frechet_complex_sqrtm_warns(caplog):
+    """A significantly complex matrix sqrt (rank-deficient / invalid
+    covariances) must be flagged, not silently absorbed (ADVICE r3)."""
+    import logging
+
+    mu = np.zeros(2)
+    good = np.eye(2)
+    indefinite = np.diag([-1.0, 1.0])  # sqrtm(diag(-1,1)) = diag(i, 1)
+    with caplog.at_level(logging.WARNING, logger="gance_tpu"):
+        value = gaussian_frechet_distance(mu, good, mu, indefinite)
+    assert np.isfinite(value)
+    assert any("complex" in rec.message for rec in caplog.records)
+
+
+def test_frechet_warns_on_rank_deficient_sample_count(
+    small_network, perceptual, tmp_path, caplog
+):
+    """num_samples <= feature_dim gives rank-deficient covariances; the
+    documented regime guard must log it (ADVICE r3)."""
+    import logging
+
+    from PIL import Image
+
+    from gance_tpu.metrics.frechet import frechet_distance_network_vs_images
+
+    rng = np.random.RandomState(13)
+    real = tmp_path / "real"
+    real.mkdir()
+    for i in range(3):
+        Image.fromarray(
+            rng.randint(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        ).save(real / f"r_{i}.png")
+
+    def mean_rgb(params, images):
+        del params
+        return jnp.mean(images, axis=(1, 2))
+
+    with caplog.at_level(logging.WARNING, logger="gance_tpu"):
+        result = frechet_distance_network_vs_images(
+            small_network, MODEL, perceptual, real,
+            num_samples=3, batch_size=4, feature_fn=mean_rgb,
+        )
+    assert np.isfinite(result["distance"])
+    assert any("rank-deficient" in rec.message for rec in caplog.records)
