@@ -54,6 +54,21 @@ def projection_options(func: Callable) -> Callable:
             "behavior.",
         ),
         click.option(
+            "--convergence-stop", type=click.FloatRange(min=0), default=None,
+            help="Stop each frame's optimization early once the per-step "
+            "distance trace plateaus: when the relative improvement between "
+            "the two most recent --convergence-window step blocks falls below "
+            "this value for every frame in the batch (the online form of the "
+            "reference's 80%-projected convergence analysis). Measured: the "
+            "NVlabs schedule plateaus well before 1000 steps on coherent "
+            "targets. Default: off (run the full --steps-per-projection).",
+        ),
+        click.option(
+            "--convergence-window", type=click.IntRange(min=2), default=50,
+            help="Block size (steps) for the --convergence-stop plateau "
+            "check; also the stop granularity on the scanned device loop.",
+        ),
+        click.option(
             "--vgg-weights", type=click.Path(exists=True, dir_okay=False),
             default=None,
             help="Pretrained perceptual weights: the NVlabs "
@@ -131,6 +146,8 @@ def _run_projection(
     data_parallel: Optional[int] = None,
     vgg_weights: Optional[str] = None,
     warm_start: bool = False,
+    convergence_stop: Optional[float] = None,
+    convergence_window: int = 50,
     batch_number: Optional[int] = None,
 ) -> None:
     import jax
@@ -167,6 +184,8 @@ def _run_projection(
         mesh=mesh,
         vgg_weights_path=Path(vgg_weights) if vgg_weights else None,
         warm_start=warm_start,
+        convergence_stop=convergence_stop,
+        convergence_window=convergence_window,
         batch_number=batch_number,
     )
 

@@ -313,6 +313,9 @@ def project_video_to_file(
     mesh: Optional[object] = None,
     vgg_weights_path: Optional[Path] = None,
     warm_start: bool = False,
+    convergence_stop: Optional[float] = None,
+    convergence_window: Optional[int] = None,
+    convergence_min_steps: Optional[int] = None,
 ) -> None:
     """
     Project every frame of a video into a network's latent space, streaming results
@@ -332,6 +335,12 @@ def project_video_to_file(
         is temporal smoothing of the latent trajectory, not fewer steps. The
         first batch still cold-starts. Off by default: cold-start per frame
         is the reference's exact behavior.
+    :param convergence_stop: opt-in early stop — end a batch's optimization
+        once every frame's distance trace plateaus (relative improvement
+        between the two most recent `convergence_window`-step median blocks
+        below this value). See ProjectorSettings.convergence_stop. The file's
+        `steps_in_projection` attr keeps the configured maximum; the per-frame
+        history group lengths record the steps actually run.
     """
     from gance_tpu.projection.projector import TPUProjector  # local: heavy import
 
@@ -374,6 +383,12 @@ def project_video_to_file(
     settings = ProjectorSettings(num_steps=steps_per_projection)
     if compute_dtype is not None:
         settings.compute_dtype = compute_dtype
+    if convergence_stop is not None:
+        settings.convergence_stop = convergence_stop
+    if convergence_window is not None:
+        settings.convergence_window = convergence_window
+    if convergence_min_steps is not None:
+        settings.convergence_min_steps = convergence_min_steps
     projector = TPUProjector.from_pkl(
         path_to_network,
         expected_time_per_step=expected_time_per_step,

@@ -47,6 +47,7 @@ from gance_tpu.projection.lpips import (
     load_vgg_params,
     random_vgg_params,
 )
+from gance_tpu.utils.logging import LOGGER
 
 StepCallback = Callable[[int, np.ndarray, List[np.ndarray], np.ndarray], None]
 
@@ -59,6 +60,9 @@ class ProjectionResult(NamedTuple):
     noises: List[np.ndarray]
     noises_shapes: List[Tuple[int, ...]]
     final_distance: float
+    # Optimization steps actually run: == num_steps unless the convergence
+    # early stop (ProjectorSettings.convergence_stop) fired first.
+    steps_run: int = 0
 
 
 @dataclass
@@ -88,6 +92,30 @@ class ProjectorSettings:
     # dispatch remains for noises/images histories and is forced by
     # scan_segment=1.
     scan_segment: int = 250
+    # Convergence early stop (opt-in): stop the optimization once EVERY
+    # frame's perceptual-distance trace has plateaued — the online form of the
+    # reference's "80% projected" convergence analysis
+    # (projection_visualization.py:59-211, the analysis NVlabs/GANce used
+    # offline to pick production step counts, CHANGELOG 0.14.0). The rule:
+    # compare the medians of the two most recent `convergence_window`-step
+    # blocks of the per-step distance trace; stop when the relative
+    # improvement falls below `convergence_stop` for all frames in the batch.
+    # Medians ride out the annealed w-jitter's noise; the check runs at scan-
+    # segment boundaries (the trace is a tiny (S, B) fetch), so it costs one
+    # host sync per segment. None = run the full num_steps (reference
+    # behavior). The LR/jitter schedules still stretch over the NOMINAL
+    # num_steps — stopping truncates the trajectory, it does not reschedule.
+    convergence_stop: Optional[float] = None
+    convergence_window: int = 50
+    # Earliest step the stop may fire. None scales with the budget:
+    # max(2 * convergence_window, 10% of num_steps) — past the LR ramp-up
+    # (the first 5% of the nominal schedule), which reads as a plateau.
+    convergence_min_steps: Optional[int] = None
+
+    def resolved_convergence_min_steps(self) -> int:
+        if self.convergence_min_steps is not None:
+            return self.convergence_min_steps
+        return max(2 * self.convergence_window, self.num_steps // 10)
     # Rematerialize synthesis blocks in the backward pass (jax.checkpoint):
     # recompute activations instead of storing them — the trade that makes
     # 1024px TRAINING fit one chip (parallel/training.py). For projection it
@@ -99,6 +127,27 @@ class ProjectorSettings:
     # from training's: per-layer noises are differentiated arguments and the
     # perceptual net rides the same backward); do not enable in production.
     remat: bool = False
+
+
+def convergence_should_stop(
+    distance_trace: np.ndarray, window: int, epsilon: float, min_steps: int
+) -> bool:
+    """
+    Plateau detector over a per-step distance trace (T,) or (T, B): True when
+    EVERY frame's relative improvement between the medians of the two most
+    recent `window`-step blocks is below `epsilon`. Medians absorb the
+    annealed-jitter noise; `min_steps` keeps the LR ramp-up (the first 5% of
+    the nominal schedule) from reading as a plateau.
+    """
+    trace = np.asarray(distance_trace, np.float64)
+    if trace.ndim == 1:
+        trace = trace[:, None]
+    if trace.shape[0] < max(min_steps, 2 * window):
+        return False
+    recent = np.median(trace[-window:], axis=0)
+    previous = np.median(trace[-2 * window : -window], axis=0)
+    improvement = (previous - recent) / np.maximum(previous, 1e-12)
+    return bool(np.all(improvement < epsilon))
 
 
 def _lr_schedule(t: jax.Array, s: ProjectorSettings) -> jax.Array:
@@ -600,10 +649,35 @@ class TPUProjector:
             jnp.float32,
         )
 
+        # Convergence early stop (opt-in): host-side per-step distance trace,
+        # checked at scan-segment boundaries / per step. The fetch is a
+        # collective under a multi-host mesh, and every process sees the same
+        # trace, so the stop decision is identical everywhere by construction.
+        converge = settings.convergence_stop is not None
+        distance_trace: List[np.ndarray] = []
+        steps_completed = 0
+
+        def _converged() -> bool:
+            if not converge or not distance_trace:
+                return False
+            return convergence_should_stop(
+                np.concatenate(distance_trace, axis=0),
+                window=settings.convergence_window,
+                epsilon=float(settings.convergence_stop),
+                min_steps=settings.resolved_convergence_min_steps(),
+            )
+
         if use_scan:
+            # Checks happen at segment boundaries, so the segment length caps
+            # the stop granularity: clamp it to the convergence window.
+            segment_cap = (
+                min(settings.scan_segment, settings.convergence_window)
+                if converge
+                else settings.scan_segment
+            )
             step_number = 0
             while step_number < settings.num_steps:
-                segment = min(settings.scan_segment, settings.num_steps - step_number)
+                segment = min(segment_cap, settings.num_steps - step_number)
                 start_time = time.monotonic()
                 # A segment length not seen by this projector compiles a fresh
                 # lax.scan program (minutes over a tunneled TPU) — the
@@ -650,6 +724,17 @@ class TPUProjector:
                             "timeout, at scan-segment granularity)."
                         )
                 step_number += segment
+                steps_completed = step_number
+                if converge:
+                    distance_trace.append(self._fetch(dists)[:, :batch])
+                    if _converged():
+                        LOGGER.info(
+                            "Convergence stop at step %d/%d (windowed relative "
+                            "improvement < %g for every frame).",
+                            steps_completed, settings.num_steps,
+                            settings.convergence_stop,
+                        )
+                        break
         else:
             for step_number in range(settings.num_steps):
                 start_time = time.monotonic()
@@ -691,6 +776,17 @@ class TPUProjector:
                         "(watchdog semantics from the reference's per-step timeout; "
                         "step 0 uses a compile-aware budget)."
                     )
+                steps_completed = step_number + 1
+                if converge:
+                    distance_trace.append(self._fetch(dist).reshape(1, -1)[:, :batch])
+                    if _converged():
+                        LOGGER.info(
+                            "Convergence stop at step %d/%d (windowed relative "
+                            "improvement < %g for every frame).",
+                            steps_completed, settings.num_steps,
+                            settings.convergence_stop,
+                        )
+                        break
 
         # Jitted final render: the op-by-op eager chain costs seconds of RPC
         # round-trips over a tunneled device; one compiled dispatch instead.
@@ -712,6 +808,46 @@ class TPUProjector:
                 noises=[n[b : b + 1] for n in noises_np],
                 noises_shapes=[(1,) + tuple(n.shape[1:]) for n in noises_np],
                 final_distance=float(distances[b]),
+                steps_run=steps_completed,
             )
             for b in range(batch)
         ]
+
+    def evaluate_distance(
+        self,
+        latents: np.ndarray,
+        noises: List[np.ndarray],
+        target_images: np.ndarray,
+    ) -> np.ndarray:
+        """
+        CLEAN perceptual distance of an endpoint: synthesize from `latents`
+        ((B, 512) or (B, R, 512) — row 0) with `noises` and measure against
+        `target_images` ((B, H, W, 3) uint8), no exploration jitter. The
+        streamed per-step distances include the annealed w-jitter early in a
+        run, so this is the honest quality of stopping at a given step —
+        the number the convergence-stop benchmarks compare.
+        """
+        fn = getattr(self, "_eval_distance_fn", None)
+        if fn is None:
+
+            def eval_fn(perceptual, w, noise_list, target_proc):
+                images = self._synthesis_from_w(w, noise_list)
+                proc = downsample_to(images, self.settings.perceptual_size)
+                return lpips_distance(perceptual, proc, target_proc)
+
+            fn = self._eval_distance_fn = jax.jit(eval_fn)
+
+        w = jnp.asarray(np.asarray(latents), jnp.float32)
+        if w.ndim == 3:  # (B, R, 512): rows identical by invariant
+            w = w[:, 0, :]
+        target = jnp.asarray(np.asarray(target_images), jnp.float32) / 127.5 - 1.0
+        resolution = self.config.resolution
+        if target.shape[1] != resolution:
+            target = jax.image.resize(
+                target, (target.shape[0], resolution, resolution, 3), method="linear"
+            )
+        target_proc = downsample_to(target, self.settings.perceptual_size)
+        noise_list = [jnp.asarray(np.asarray(n), jnp.float32) for n in noises]
+        return np.asarray(
+            fn(self._perceptual_on_device(), w, noise_list, target_proc)
+        )

@@ -935,3 +935,135 @@ def test_scan_watchdog_allows_fresh_compile_of_final_remainder_segment():
     )
     out = projector.project_batch(targets)
     assert np.isfinite(out[0].final_distance)
+
+
+def test_convergence_should_stop_detector():
+    """Truth table for the plateau detector behind --convergence-stop."""
+    from gance_tpu.projection.projector import convergence_should_stop
+
+    # steadily improving trace: no stop
+    improving = np.linspace(1.0, 0.1, 100)[:, None]
+    assert not convergence_should_stop(improving, window=10, epsilon=0.01, min_steps=20)
+    # flat plateau: stop
+    flat = np.full((100, 2), 0.5)
+    assert convergence_should_stop(flat, window=10, epsilon=0.01, min_steps=20)
+    # not enough steps yet (min_steps / 2*window guards)
+    assert not convergence_should_stop(flat[:15], window=10, epsilon=0.01, min_steps=20)
+    assert not convergence_should_stop(flat[:30], window=10, epsilon=0.01, min_steps=40)
+    # one frame plateaued, the other still improving: no stop (ALL must plateau)
+    mixed = np.stack([np.full(100, 0.5), np.linspace(1.0, 0.1, 100)], axis=1)
+    assert not convergence_should_stop(mixed, window=10, epsilon=0.01, min_steps=20)
+    # noisy plateau (the annealed-jitter case): medians ride the noise out
+    rng = np.random.RandomState(0)
+    noisy = 0.5 + 0.005 * rng.randn(100, 1)
+    assert convergence_should_stop(noisy, window=10, epsilon=0.05, min_steps=20)
+    # 1-D trace accepted
+    assert convergence_should_stop(np.full(100, 0.5), window=10, epsilon=0.01, min_steps=20)
+
+
+@pytest.mark.parametrize("scan_segment", [8, 1])  # scanned and per-step loops
+def test_convergence_stop_truncates_both_loops(scan_segment):
+    """With an always-true threshold the run must stop at the first legal
+    check (max(min_steps, 2*window)), on the scanned AND per-step paths, and
+    report steps_run accordingly."""
+    params = init_generator_params(jax.random.PRNGKey(5), TINY)
+    targets = (np.random.RandomState(6).rand(2, 16, 16, 3) * 255).astype(np.uint8)
+    settings = ProjectorSettings(
+        num_steps=40, dlatent_avg_samples=64, scan_segment=scan_segment,
+        convergence_stop=10.0, convergence_window=4, convergence_min_steps=8,
+    )
+    projector = TPUProjector(params, TINY, settings=settings)
+    results = projector.project_batch(
+        targets, want_step_images=False, per_step_noises=False
+    )
+    assert all(r.steps_run == 8 for r in results)
+    assert all(np.isfinite(r.final_distance) for r in results)
+
+
+def test_convergence_stop_off_runs_full_budget():
+    params = init_generator_params(jax.random.PRNGKey(5), TINY)
+    targets = (np.random.RandomState(6).rand(1, 16, 16, 3) * 255).astype(np.uint8)
+    settings = ProjectorSettings(num_steps=10, dlatent_avg_samples=64, scan_segment=5)
+    projector = TPUProjector(params, TINY, settings=settings)
+    results = projector.project_batch(targets, want_step_images=False)
+    assert results[0].steps_run == 10
+
+
+def test_convergence_stop_callback_steps_match_steps_run():
+    """Latents histories streamed under an early stop cover exactly the steps
+    that ran — the projection file's history groups stay self-consistent."""
+    params = init_generator_params(jax.random.PRNGKey(5), TINY)
+    targets = (np.random.RandomState(7).rand(1, 16, 16, 3) * 255).astype(np.uint8)
+    settings = ProjectorSettings(
+        num_steps=40, dlatent_avg_samples=64, scan_segment=8,
+        convergence_stop=10.0, convergence_window=4, convergence_min_steps=8,
+    )
+    projector = TPUProjector(params, TINY, settings=settings)
+    seen_steps = []
+    results = projector.project_batch(
+        targets,
+        step_callback=lambda step, lat, noi, img: seen_steps.append(step),
+        want_step_images=False,
+        per_step_noises=False,
+    )
+    assert seen_steps == list(range(results[0].steps_run))
+
+
+def test_convergence_stop_through_project_video_to_file(tmp_path):
+    """The CLI-facing plumbing: an early-stopped projection file is complete,
+    and its per-frame latents histories record only the steps that ran."""
+    params = init_generator_params(jax.random.PRNGKey(8), TINY)
+    pkl = tmp_path / "net.pkl"
+    save_generator_pickle(params, pkl)
+    rng = np.random.RandomState(9)
+    frames = [(rng.rand(16, 16, 3) * 255).astype(np.uint8) for _ in range(2)]
+    video = tmp_path / "src.mp4"
+    write_source_to_disk_consume(iter(frames), video, video_fps=30.0)
+
+    out = tmp_path / "converged.hdf5"
+    project_video_to_file(
+        path_to_video=video,
+        path_to_network=pkl,
+        projection_file_path=out,
+        steps_per_projection=30,
+        projection_batch=2,
+        latents_histories_enabled=True,
+        convergence_stop=10.0,
+        convergence_window=4,
+        convergence_min_steps=8,
+    )
+    with load_projection_file(out) as reader:
+        attrs = reader.projection_attributes
+        assert attrs.complete
+        assert attrs.steps_in_projection == 30  # the configured maximum
+        histories = list(reader.latents_histories)
+        assert len(histories) == 2
+        for history in histories:
+            # the always-true threshold stops at the first legal check:
+            # max(convergence_min_steps, 2 * convergence_window) = 8
+            assert len(list(history)) == 8
+
+
+def test_evaluate_distance_ranks_endpoints():
+    """evaluate_distance (the clean, jitter-free endpoint metric): a projected
+    endpoint must score better than the cold dlatent-average start."""
+    from gance_tpu.models.stylegan2 import generator_apply, images_to_uint8
+
+    params = init_generator_params(jax.random.PRNGKey(2), TINY)
+    settings = ProjectorSettings(dlatent_avg_samples=64, num_steps=15)
+    projector = TPUProjector(params, TINY, settings=settings)
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, TINY.latent_size))
+    target = np.asarray(images_to_uint8(generator_apply(params, z, TINY)))[0]
+
+    result = projector.project(target)
+    final = projector.evaluate_distance(
+        result.final_latents, result.noises, target[None]
+    )
+    start = projector.evaluate_distance(
+        np.asarray(projector.dlatent_avg), result.noises, target[None]
+    )
+    assert final.shape == (1,) and start.shape == (1,)
+    assert float(final[0]) < float(start[0])
+    # late-schedule jitter is 0, so the streamed final_distance and the clean
+    # eval (one update apart) must be close
+    assert abs(float(final[0]) - result.final_distance) < 0.1
