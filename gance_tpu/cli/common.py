@@ -83,6 +83,31 @@ def common_command_options(func: Callable) -> Callable:
             "Mutually exclusive with --data-parallel.",
         ),
         click.option(
+            "--dist-coordinator", type=str, default=None,
+            help="host:port of process 0. Setting this (with the two options "
+            "below) joins a multi-host render: every host runs the same "
+            "command with its own --dist-process-id, frame batches shard "
+            "across all hosts' chips (pure data parallelism unless a "
+            "placement flag says otherwise), and only process 0 writes the "
+            "output files.",
+        ),
+        click.option("--dist-num-processes", type=int, default=None),
+        click.option("--dist-process-id", type=int, default=None),
+        click.option(
+            "--resumable", is_flag=True, default=False,
+            help="Checkpoint the render every --resume-chunk-frames frames (a "
+            "<output>.resume.json sidecar + finished part files). Re-running "
+            "the same command after a crash resumes at the durable frame "
+            "count instead of restarting; the final output is identical to "
+            "an uninterrupted run. Incompatible with the debug video. The "
+            "reference cannot resume synthesis runs.",
+        ),
+        click.option(
+            "--resume-chunk-frames", type=click.IntRange(min=1), default=300,
+            help="Frames per durable chunk for --resumable (smaller = less "
+            "lost work per crash, more finalize overhead).",
+        ),
+        click.option(
             "--network-parallel", is_flag=True, default=False,
             help="All networks resident at once on a ('network','data') mesh: "
             "each network owns a device GROUP (data-parallel within it) and one "
@@ -136,3 +161,26 @@ def dump_run_config(run_config: Optional[str], arguments: Dict[str, Any]) -> Non
 
 def setup_log(log: Optional[str]) -> None:
     add_log_file(Path(log) if log else None)
+
+
+def maybe_initialize_distributed(
+    coordinator: Optional[str],
+    num_processes: Optional[int],
+    process_id: Optional[int],
+) -> None:
+    """
+    Join the multi-process JAX runtime when the --dist-* triple is given
+    (all-or-none). Must run before the first device query — JAX fixes its
+    process topology at backend init — i.e. before any mesh or network load.
+    """
+    triple = (coordinator, num_processes, process_id)
+    if all(option is None for option in triple):
+        return
+    if any(option is None for option in triple):
+        raise click.UsageError(
+            "--dist-coordinator, --dist-num-processes and --dist-process-id "
+            "must be given together"
+        )
+    from gance_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed(coordinator, num_processes, process_id)

@@ -12,6 +12,7 @@ import click
 from gance_tpu.cli.common import (
     common_command_options,
     dump_run_config,
+    maybe_initialize_distributed,
     resolve_networks,
     setup_log,
 )
@@ -45,11 +46,17 @@ def noise_blend(  # pylint: disable=too-many-arguments
     data_parallel: Optional[int],
     one_network_per_device: bool,
     network_parallel: bool,
+    dist_coordinator: Optional[str],
+    dist_num_processes: Optional[int],
+    dist_process_id: Optional[int],
+    resumable: bool,
+    resume_chunk_frames: int,
     run_config: Optional[str],
     log: Optional[str],
 ) -> None:
     """Blend audio spectrogram with smoothed noise and synthesize a video."""
     setup_log(log)
+    maybe_initialize_distributed(dist_coordinator, dist_num_processes, dist_process_id)
     network_paths = resolve_networks(networks_directory, network_path, networks_json)
     dump_run_config(run_config, dict(locals()))
 
@@ -74,6 +81,8 @@ def noise_blend(  # pylint: disable=too-many-arguments
         data_parallel=data_parallel,
         device_per_network=one_network_per_device,
         network_parallel=network_parallel,
+        resumable=resumable,
+        resume_chunk_frames=resume_chunk_frames,
     )
 
 
@@ -125,6 +134,11 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
     data_parallel: Optional[int],
     one_network_per_device: bool,
     network_parallel: bool,
+    dist_coordinator: Optional[str],
+    dist_num_processes: Optional[int],
+    dist_process_id: Optional[int],
+    resumable: bool,
+    resume_chunk_frames: int,
     run_config: Optional[str],
     log: Optional[str],
     projection_file_path: str,
@@ -152,6 +166,7 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
         )
 
     setup_log(log)
+    maybe_initialize_distributed(dist_coordinator, dist_num_processes, dist_process_id)
     network_paths = resolve_networks(networks_directory, network_path, networks_json)
     dump_run_config(run_config, dict(locals()))
 
@@ -182,6 +197,8 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
         bbox_distance=bbox_distance,
         track_length=track_length,
         overlay_detection_side=overlay_detection_side,
+        resumable=resumable,
+        resume_chunk_frames=resume_chunk_frames,
     )
 
 

@@ -419,7 +419,25 @@ def write_source_to_disk_forward(
     Write `source` to disk while re-yielding each frame — the key streaming
     tee-through primitive (reference :301-368). The first frame is peeked to learn
     the resolution; with audio, video goes to a temp file then gets muxed.
+
+    Multi-host runs (after parallel.distributed.initialize_distributed): every
+    process drives the identical frame loop — the collective host fetches
+    inside synthesis require it — but only process 0 owns output files, so the
+    other processes tee the frames through without touching the disk.
     """
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        LOGGER.info(
+            "Process %d: coordinator-only write — passing %s frames through "
+            "without writing.", jax.process_index(), video_path,
+        )
+
+        def passthrough() -> Iterator[np.ndarray]:
+            yield from source
+
+        return passthrough()
+
     source = iter(source)
     try:
         first = next(source)

@@ -142,3 +142,20 @@ def discriminator_param_sharding(mesh: Mesh, params: Params) -> Params:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def fetch_to_host(value: Any) -> np.ndarray:
+    """
+    Device array -> host numpy, multi-host-safe: an array sharded over a
+    process-spanning mesh is not fully addressable from one host, so it is
+    allgathered to every host first. This is a COLLECTIVE in multi-process
+    runs — every process must reach every fetch in the same order (the serving
+    pipelines guarantee it by running the identical frame loop on all hosts,
+    with only the coordinator's writers doing real I/O). Plain arrays take the
+    np.asarray fast path untouched.
+    """
+    if isinstance(value, jax.Array) and not value.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(value, tiled=True))
+    return np.asarray(value)

@@ -7,6 +7,7 @@ from pathlib import Path
 from typing import List, Optional, Tuple
 
 import more_itertools
+import numpy as np
 
 from gance_tpu.audio.io import read_wavs_scale_for_video
 from gance_tpu.media.images import horizontal_concat_images
@@ -71,6 +72,25 @@ def _resolve_placement(
             "--data-parallel, --one-network-per-device, and --network-parallel "
             "are mutually exclusive"
         )
+    import jax
+
+    if (
+        data_parallel is None
+        and not device_per_network
+        and not network_parallel
+        and jax.process_count() > 1
+    ):
+        # Multi-host with no placement flag would have every host redundantly
+        # synthesize the full frame stream on its own chips; default to pure
+        # DP over all global devices (frames are independent — DP is always
+        # right), mirroring the projection CLI's multi-host default.
+        from gance_tpu.parallel.mesh import create_mesh
+
+        LOGGER.info(
+            "Multi-host render: defaulting to pure data parallelism over all "
+            "%d global devices.", len(jax.devices()),
+        )
+        return create_mesh(), False, False
     mesh = _build_mesh(data_parallel)
     return mesh, device_per_network, _check_network_parallel(
         network_parallel, network_paths
@@ -97,13 +117,24 @@ def noise_blend_api(
     data_parallel: Optional[int] = None,
     device_per_network: bool = False,
     network_parallel: bool = False,
+    resumable: bool = False,
+    resume_chunk_frames: int = 300,
 ) -> None:
     """
     Render a music video: audio features alpha-blended with smoothed gaussian noise,
     network per frame selected by quantized RMS loudness.
+
+    :param resumable: checkpoint the render every `resume_chunk_frames` frames
+        (media/resume.py): a killed run resumes from the durable frame count —
+        the input arrays are sliced there, so finished frames are never
+        re-synthesized — and the final output (with audio) is identical to an
+        uninterrupted run. Requires debug_path=None (the debug tile stream has
+        no resume story). The reference cannot resume synthesis (SURVEY §5).
     """
     create_debug_visualization = debug_path is not None
     audio_paths = [Path(p) for p in wav]
+    if resumable and create_debug_visualization:
+        raise ValueError("--resumable does not support the debug visualization video")
 
     import contextlib
 
@@ -142,6 +173,46 @@ def noise_blend_api(
             vector_length=multi_networks.expected_vector_length,
             network_indices=multi_networks.network_indices,
         )
+
+        if resumable:
+            from gance_tpu.media.resume import durable_frames, write_source_resumable
+            from gance_tpu.synthesis.inputs import slice_visualization_input
+
+            total_frames = len(np.asarray(viz_input.network_indices.result.data))
+            if frames_to_visualize is not None:
+                total_frames = min(total_frames, frames_to_visualize)
+            fingerprint = {
+                "pipeline": "noise_blend",
+                "wavs": [str(p) for p in audio_paths],
+                "networks": [str(p) for p in network_paths],
+                "alpha": alpha,
+                "fft_roll_enabled": bool(fft_roll_enabled),
+                "fft_amplitude_range": list(fft_amplitude_range),
+                "output_fps": float(output_fps),
+                "output_side_length": int(output_side_length),
+                "frames_to_visualize": frames_to_visualize,
+                "compute_dtype": compute_dtype,
+            }
+            start = durable_frames(Path(output_path), fingerprint)
+            if start:
+                LOGGER.info(
+                    "Resuming noise_blend at frame %d/%d", start, total_frames
+                )
+            synthesis_output = vector_synthesis(
+                networks=multi_networks,
+                data=slice_visualization_input(viz_input, start),
+                frames_to_visualize=total_frames - start,
+            )
+            write_source_resumable(
+                source=synthesis_output.synthesized_images,
+                output_path=Path(output_path),
+                video_fps=output_fps,
+                fingerprint=fingerprint,
+                audio_paths=audio_paths,
+                chunk_frames=resume_chunk_frames,
+            )
+            LOGGER.info("noise_blend complete: %s", output_path)
+            return
 
         visualizer = None
         if create_debug_visualization:

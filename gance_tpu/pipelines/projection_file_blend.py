@@ -27,7 +27,7 @@ from gance_tpu.media.video import (
     write_source_to_disk_consume,
     write_source_to_disk_forward,
 )
-from gance_tpu.overlay.common import write_boxes_onto_image
+from gance_tpu.overlay.common import BoundingBox, write_boxes_onto_image
 from gance_tpu.overlay.eye_tracking import compute_eye_tracking_overlay
 from gance_tpu.projection import file_reader as projection_file_reader
 from gance_tpu.synthesis.inputs import alpha_blend_projection_file
@@ -36,6 +36,233 @@ from gance_tpu.synthesis.runtime import MultiNetwork
 from gance_tpu.types import ResultLayers
 from gance_tpu.utils.divisor import divide_no_remainder
 from gance_tpu.utils.logging import LOGGER
+
+
+def _overlay_decisions_path(output_path: Path) -> Path:
+    return output_path.with_name(output_path.name + ".overlay.jsonl")
+
+
+def _load_overlay_decisions(path: Path, fingerprint: dict) -> List[Optional[List[BoundingBox]]]:
+    """
+    Per-frame overlay decisions checkpointed by a previous resumable run
+    (detection at ~126 ms/frame is the flagship's host bottleneck — worth far
+    more than the 5 ms synthesis to not repeat). First line pins the render
+    fingerprint; a mismatch discards the cache (stale thresholds would change
+    decisions).
+    """
+    import json
+
+    if not path.exists():
+        return []
+    lines = path.read_text().splitlines()
+    if not lines:
+        return []
+    header = json.loads(lines[0])
+    if header.get("fingerprint") != fingerprint:
+        LOGGER.warning(
+            "%s was written by a render with different parameters; "
+            "recomputing overlay decisions.", path
+        )
+        path.unlink()
+        return []
+    decisions: List[Optional[List[BoundingBox]]] = []
+    for line in lines[1:]:
+        record = json.loads(line)
+        boxes = record["boxes"]
+        decisions.append(
+            None if boxes is None else [BoundingBox(*box) for box in boxes]
+        )
+    return decisions
+
+
+def _checkpoint_decisions(
+    path: Path, fingerprint: dict, start_index: int, decisions: Iterator
+) -> Iterator:
+    """Append each newly computed decision to the jsonl as it streams through."""
+    import json
+
+    if start_index == 0 or not path.exists():
+        header = json.dumps({"fingerprint": fingerprint})
+        path.write_text(header + "\n")
+    with path.open("a", encoding="utf-8") as handle:
+        for boxes in decisions:
+            handle.write(
+                json.dumps(
+                    {"boxes": None if boxes is None else [list(b) for b in boxes]}
+                )
+                + "\n"
+            )
+            handle.flush()
+            yield boxes
+
+
+def _resumable_blend(  # pylint: disable=too-many-locals
+    *,
+    reader,
+    viz_input,
+    multi_networks,
+    output_path: Path,
+    output_fps: float,
+    output_side_length: int,
+    frame_multiplier: int,
+    num_output_frames: int,
+    frames_to_visualize: Optional[int],
+    audio_paths: List[Path],
+    time_series_audio_vectors: np.ndarray,
+    overlay_enabled: bool,
+    overlay_music_mask_enabled: bool,
+    complexity_change_rolling_sum_window: Optional[int],
+    complexity_change_threshold: Optional[float],
+    phash_distance: Optional[int],
+    bbox_distance: Optional[float],
+    track_length: Optional[int],
+    overlay_detection_side: Optional[int],
+    resume_chunk_frames: int,
+    fingerprint: dict,
+) -> None:
+    """
+    The flagship render with frame-indexed checkpoint/resume: hero frames land
+    in finished chunks (media/resume.py), and the per-frame eye-tracking
+    decisions land in a jsonl sidecar as they are computed — so a killed run
+    resumes synthesis at the durable frame count AND detection at the decided
+    frame count. The output equals an uninterrupted run's because every stage
+    is deterministic and the track-length filter always sees the decision set
+    for ALL frames (cached prefix + freshly computed tail).
+    """
+    from itertools import islice
+
+    from gance_tpu.media.resume import durable_frames, write_source_resumable
+    from gance_tpu.synthesis.inputs import slice_visualization_input
+
+    total = (
+        num_output_frames
+        if frames_to_visualize is None
+        else min(num_output_frames, frames_to_visualize)
+    )
+    start = durable_frames(output_path, fingerprint)
+    decisions_path = _overlay_decisions_path(output_path)
+    cached: List[Optional[List[BoundingBox]]] = (
+        _load_overlay_decisions(decisions_path, fingerprint)[:total]
+        if overlay_enabled
+        else []
+    )
+    done = len(cached)
+    if start:
+        LOGGER.info(
+            "Resuming projection_file_blend at frame %d/%d (%d overlay "
+            "decisions cached)", start, total, done,
+        )
+
+    # Compose needs synthesized frames [start, total); detection needs
+    # [done, total). Chunks are only written after ALL decisions are durable,
+    # so start > 0 implies done == total; min() is belt-and-braces.
+    synth_from = (
+        start if (not overlay_enabled or done >= total) else min(start, done)
+    )
+    synthesis_output = vector_synthesis(
+        networks=multi_networks,
+        data=slice_visualization_input(viz_input, synth_from),
+        frames_to_visualize=total - synth_from,
+        unload_networks_when_complete=True,
+    )
+    background_scaled = scale_square_source_duplicate(
+        source=synthesis_output.synthesized_images,
+        output_side_length=output_side_length,
+    )
+
+    def scaled_targets() -> "Iterator[np.ndarray]":
+        # reader.target_images returns a FRESH lazy iterator per access, so
+        # detection and compose each take their own (no disk tee needed)
+        return scale_square_source_duplicate(
+            source=reader.target_images,
+            output_side_length=output_side_length,
+            frame_multiplier=frame_multiplier,
+        )
+
+    if overlay_enabled:
+        if overlay_music_mask_enabled:
+            mask = vector_reduction.music_complexity_mask(
+                time_series_audio_vectors=time_series_audio_vectors,
+                vector_length=multi_networks.expected_vector_length,
+                rolling_sum_window=complexity_change_rolling_sum_window,
+            )
+            mask_data = np.asarray(mask.result.data, dtype=float)
+            mask_data = np.where(np.isnan(mask_data), np.inf, mask_data)
+            skip_mask: List[bool] = list(mask_data > complexity_change_threshold)
+        else:
+            skip_mask = [False] * num_output_frames
+
+        if done < total:
+            # synthesized frames feed detection AND compose: disk-tee them
+            background_iterators = iterator_on_disk(
+                iterator=background_scaled, copies=1, serializer=HDF5_SERIALIZER
+            )
+            overlay_results = compute_eye_tracking_overlay(
+                foreground_images=islice(scaled_targets(), done, None),
+                background_images=islice(
+                    background_iterators[0], done - synth_from, None
+                ),
+                min_phash_distance=phash_distance,
+                min_bbox_distance=bbox_distance,
+                skip_mask=skip_mask[done:],
+                detection_side=overlay_detection_side,
+            )
+            # materialize (the track filter needs every decision), streaming
+            # each new decision into the sidecar as it is computed
+            new_boxes = list(
+                _checkpoint_decisions(
+                    decisions_path, fingerprint, done, overlay_results.bbox_lists
+                )
+            )
+            all_boxes = cached + new_boxes
+            background_for_compose = islice(
+                background_iterators[1], start - synth_from, None
+            )
+        else:
+            all_boxes = cached
+            background_for_compose = background_scaled  # starts at start already
+
+        long_tracks_mask = vector_reduction.track_length_filter(
+            bool_tracks=np.asarray(
+                [
+                    (not skip) and (box is not None)
+                    for skip, box in zip(skip_mask, all_boxes)
+                ]
+            ),
+            track_length=track_length,
+        )
+
+        def compose() -> "Iterator[np.ndarray]":
+            for boxes, foreground, background, in_long_track in zip(
+                all_boxes[start:],
+                islice(scaled_targets(), start, None),
+                background_for_compose,
+                list(long_tracks_mask)[start:],
+            ):
+                yield (
+                    write_boxes_onto_image(
+                        foreground_image=foreground,
+                        background_image=background,
+                        bounding_boxes=boxes,
+                    )
+                    if in_long_track
+                    else background
+                )
+
+        blended = compose()
+    else:
+        blended = background_for_compose = background_scaled
+
+    write_source_resumable(
+        source=blended,
+        output_path=output_path,
+        video_fps=output_fps,
+        fingerprint=fingerprint,
+        audio_paths=audio_paths,
+        chunk_frames=resume_chunk_frames,
+    )
+    if overlay_enabled:
+        decisions_path.unlink(missing_ok=True)
 
 
 def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branches
@@ -65,10 +292,23 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
     bbox_distance: Optional[float] = None,
     track_length: Optional[int] = None,
     overlay_detection_side: Optional[int] = None,
+    resumable: bool = False,
+    resume_chunk_frames: int = 300,
 ) -> None:
-    """See module docstring; parameter meanings match the reference CLI help."""
+    """
+    See module docstring; parameter meanings match the reference CLI help.
+
+    :param resumable: checkpoint the render every `resume_chunk_frames` frames
+        plus the per-frame overlay decisions (media/resume.py): a killed run
+        resumes from the durable frame count — inputs are sliced there, and
+        already-computed eye-tracking decisions are replayed from the sidecar
+        instead of re-detected — and the final output (with audio) equals an
+        uninterrupted run's. Requires debug_path=None.
+    """
     create_debug_visualization = debug_path is not None
     audio_paths = [Path(p) for p in wav]
+    if resumable and create_debug_visualization:
+        raise ValueError("--resumable does not support the debug visualization video")
 
     overlay_enabled = all(
         p is not None for p in (phash_distance, bbox_distance, track_length)
@@ -147,6 +387,53 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
             vector_length=multi_networks.expected_vector_length,
             network_indices=multi_networks.network_indices,
         )
+
+        if resumable:
+            _resumable_blend(
+                reader=reader,
+                viz_input=viz_input,
+                multi_networks=multi_networks,
+                output_path=Path(output_path),
+                output_fps=output_fps,
+                output_side_length=output_side_length,
+                frame_multiplier=frame_multiplier,
+                num_output_frames=num_output_frames,
+                frames_to_visualize=frames_to_visualize,
+                audio_paths=audio_paths,
+                time_series_audio_vectors=time_series_audio_vectors,
+                overlay_enabled=overlay_enabled,
+                overlay_music_mask_enabled=overlay_music_mask_enabled,
+                complexity_change_rolling_sum_window=complexity_change_rolling_sum_window,
+                complexity_change_threshold=complexity_change_threshold,
+                phash_distance=phash_distance,
+                bbox_distance=bbox_distance,
+                track_length=track_length,
+                overlay_detection_side=overlay_detection_side,
+                resume_chunk_frames=resume_chunk_frames,
+                fingerprint={
+                    "pipeline": "projection_file_blend",
+                    "wavs": [str(p) for p in audio_paths],
+                    "networks": [str(p) for p in network_paths],
+                    "projection_file": str(projection_file_path),
+                    "projection_file_md5": reader.projection_attributes.target_md5_hash,
+                    "alpha": alpha,
+                    "fft_roll_enabled": bool(fft_roll_enabled),
+                    "fft_amplitude_range": list(fft_amplitude_range),
+                    "blend_depth": int(blend_depth),
+                    "output_fps": float(output_fps),
+                    "output_side_length": int(output_side_length),
+                    "frames_to_visualize": frames_to_visualize,
+                    "compute_dtype": compute_dtype,
+                    "phash_distance": phash_distance,
+                    "bbox_distance": bbox_distance,
+                    "track_length": track_length,
+                    "overlay_detection_side": overlay_detection_side,
+                    "complexity_change_rolling_sum_window": complexity_change_rolling_sum_window,
+                    "complexity_change_threshold": complexity_change_threshold,
+                },
+            )
+            LOGGER.info("projection_file_blend complete: %s", output_path)
+            return
 
         visualizer = None
         if create_debug_visualization:

@@ -206,3 +206,37 @@ def alpha_blend_projection_file(
         ),
         network_indices=indices_layers,
     )
+
+
+def slice_visualization_input(
+    data: VisualizationInput, start_frame: int
+) -> VisualizationInput:
+    """
+    The tail of a VisualizationInput from `start_frame` on — the resume
+    primitive (media/resume.py): every stream is a precomputed array, so a
+    resumed render SLICES the inputs instead of replaying synthesis of the
+    already-durable frames. Frame f of the slice equals frame start_frame + f
+    of the original exactly (pure indexing, no recomputation).
+    """
+    if start_frame == 0:
+        return data
+
+    def slice_data_label(data_label):
+        return data_label._replace(data=np.asarray(data_label.data)[start_frame:])
+
+    indices = data.network_indices
+    return VisualizationInput(
+        a_vectors=data.a_vectors._replace(
+            data=np.asarray(data.a_vectors.data)[..., start_frame * data.a_vectors.vector_length :]
+        ),
+        b_vectors=data.b_vectors._replace(
+            data=np.asarray(data.b_vectors.data)[..., start_frame * data.b_vectors.vector_length :]
+        ),
+        combined=data.combined._replace(
+            data=np.asarray(data.combined.data)[..., start_frame * data.combined.vector_length :]
+        ),
+        network_indices=ResultLayers(
+            result=slice_data_label(indices.result),
+            layers=[slice_data_label(layer) for layer in indices.layers],
+        ),
+    )

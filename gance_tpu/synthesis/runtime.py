@@ -37,6 +37,7 @@ from gance_tpu.models.stylegan2 import (
     synthesis_apply,
     truncate_dlatents,
 )
+from gance_tpu.parallel.mesh import fetch_to_host
 from gance_tpu.types import is_vector
 from gance_tpu.utils.logging import LOGGER
 
@@ -132,7 +133,7 @@ def _window_in_order(
     count, groups = window
     out: List[Optional[np.ndarray]] = [None] * count
     for device_images, positions in groups:
-        host_images = np.asarray(device_images)
+        host_images = fetch_to_host(device_images)
         for row, position in enumerate(positions):
             out[position - window_start] = host_images[row]
     for image in out:
@@ -297,13 +298,13 @@ class SynthesisNetwork:
         raise ValueError(f"Cannot dispatch batch of shape {batch.shape}")
 
     def images_from_vectors(self, z_batch: np.ndarray) -> np.ndarray:
-        return np.asarray(self.device_images_from_vectors(z_batch))
+        return fetch_to_host(self.device_images_from_vectors(z_batch))
 
     def images_from_matrices(self, dlatent_batch: np.ndarray) -> np.ndarray:
-        return np.asarray(self.device_images_from_matrices(dlatent_batch))
+        return fetch_to_host(self.device_images_from_matrices(dlatent_batch))
 
     def images_generic(self, batch: np.ndarray) -> np.ndarray:
-        return np.asarray(self.device_images_generic(batch))
+        return fetch_to_host(self.device_images_generic(batch))
 
     # ---- single-image compatibility surface (reference ImageFunction protocol) ----
 

@@ -224,6 +224,115 @@ def test_projection_multiprocess_matches_single_process(tmp_path):
 @pytest.mark.skipif(
     jax.default_backend() != "cpu", reason="subprocess workers are CPU-only"
 )
+def test_serving_multiprocess_matches_single_process(tmp_path):
+    """
+    The real `noise-blend` CLI as two coordinated processes (the multi-host
+    SERVING leg): frame batches shard over a process-spanning pure-DP mesh,
+    host fetches allgather, only the coordinator writes the video — and the
+    result matches a single-process 8-device run of the same render exactly
+    (pure DP synthesis has no reductions, so frames are bit-identical).
+    """
+    import cv2
+
+    from gance_tpu.models.pickle_loader import save_generator_pickle
+    from gance_tpu.models.stylegan2 import GeneratorConfig, init_generator_params
+
+    # latent 512 like real networks (the RMS reducer's librosa hop-512 quirk
+    # needs enough samples for its savgol window)
+    serving_model = GeneratorConfig(
+        resolution=16, fmap_base=256, fmap_max=32, latent_size=512,
+        dlatent_size=512, mapping_layers=2, mapping_fmaps=512,
+    )
+    params = init_generator_params(jax.random.PRNGKey(0), serving_model)
+    save_generator_pickle(params, tmp_path / "net.pkl")
+
+    from gance_tpu.audio.io import WavFileProperties, write_wav_file
+
+    rng = np.random.RandomState(1)
+    write_wav_file(
+        tmp_path / "sound.wav",
+        WavFileProperties(
+            sample_rate=16000,
+            wav_data=(rng.randn(16000) * 3000).astype(np.int16),
+            name="sound",
+        ),
+    )
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    repo_root = Path(__file__).resolve().parent.parent
+    workers = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "tests.distributed_serving_worker",
+                str(process_id), "2", str(port), str(tmp_path),
+            ],
+            cwd=repo_root,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for process_id in range(2)
+    ]
+    outputs = []
+    failed = False
+    for worker in workers:
+        try:
+            out, _ = worker.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            worker.kill()
+            out, _ = worker.communicate()
+            failed = True
+        outputs.append(out.decode(errors="replace"))
+        failed = failed or worker.returncode != 0
+    if failed:
+        pytest.fail("serving worker failed:\n" + "\n=== worker ===\n".join(outputs))
+    assert (tmp_path / "multi.mp4").exists()
+
+    # Single-process reference: same render over the same 8-device pure-DP mesh.
+    from click.testing import CliRunner
+
+    from gance_tpu.cli.music_into_networks import cli as music_cli
+
+    result = CliRunner().invoke(
+        music_cli,
+        [
+            "noise-blend",
+            "--wav", str(tmp_path / "sound.wav"),
+            "--output-path", str(tmp_path / "single.mp4"),
+            "--network-path", str(tmp_path / "net.pkl"),
+            "--frames-to-visualize", "12",
+            "--output-fps", "30",
+            "--output-side-length", "32",
+            "--data-parallel", "8",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+
+    def read_frames(path):
+        cap = cv2.VideoCapture(str(path))
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame)
+        cap.release()
+        return frames
+
+    multi = read_frames(tmp_path / "multi.mp4")
+    single = read_frames(tmp_path / "single.mp4")
+    assert len(multi) == len(single) == 12
+    for index, (got, want) in enumerate(zip(multi, single)):
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {index}")
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "cpu", reason="subprocess workers are CPU-only"
+)
 def test_projection_coordinator_writer_failure_aborts_peers(tmp_path):
     """
     A coordinator-side writer failure (here: the HDF5 path's parent directory

@@ -67,7 +67,11 @@ def main() -> None:
     video = frames_in_video(video_path=Path(args.video))
     frames = list(itertools.islice(video.frames, args.batch))
     if len(frames) < args.batch:
-        raise SystemExit(f"{args.video}: only {len(frames)} frames")
+        print(
+            f"{args.video}: only {len(frames)} frames; batch {args.batch} -> "
+            f"{len(frames)}",
+            file=sys.stderr, flush=True,
+        )
     targets = np.stack(frames)
     print(
         f"device={jax.devices()[0]} targets={targets.shape} "
