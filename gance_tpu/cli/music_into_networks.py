@@ -113,6 +113,13 @@ def noise_blend(  # pylint: disable=too-many-arguments
     help="Run eye DETECTION on frames downscaled to this side (gating still "
     "happens at full resolution). Default: detect at full resolution.",
 )
+@click.option(
+    "--overlay-smoothing", type=click.IntRange(min=0), default=0,
+    help="Average the matched eye-box pair over this many trailing frames "
+    "before the distance gate and composite (suppresses detector jitter; "
+    "history resets on gaps/scene cuts). 0 = off, the reference's exact "
+    "per-frame behavior.",
+)
 def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
     wav: Tuple[str, ...],
     output_path: str,
@@ -147,6 +154,7 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
     bbox_distance: Optional[float],
     track_length: Optional[int],
     overlay_detection_side: Optional[int],
+    overlay_smoothing: int,
 ) -> None:
     """Blend audio into projection-file latents and synthesize, with optional
     eye-tracking overlay (all three overlay options must be given together)."""
@@ -162,6 +170,11 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
     ):
         raise click.UsageError(
             "--overlay-detection-side requires the overlay to be enabled "
+            "(--phash-distance, --bbox-distance, --track-length)."
+        )
+    if overlay_smoothing and not all(p is not None for p in overlay_params):
+        raise click.UsageError(
+            "--overlay-smoothing requires the overlay to be enabled "
             "(--phash-distance, --bbox-distance, --track-length)."
         )
 
@@ -197,6 +210,7 @@ def projection_file_blend(  # pylint: disable=too-many-arguments,too-many-locals
         bbox_distance=bbox_distance,
         track_length=track_length,
         overlay_detection_side=overlay_detection_side,
+        overlay_smoothing=overlay_smoothing,
         resumable=resumable,
         resume_chunk_frames=resume_chunk_frames,
     )

@@ -43,6 +43,118 @@ class _FrameOverlayResult(NamedTuple):
     context: OverlayContext = OverlayContext()
 
 
+class _DetectionRecord(NamedTuple):
+    """Per-frame raw detection outputs (the parallel stage's product); the
+    gating decision is applied sequentially so temporal smoothing can carry
+    state across frames."""
+
+    skip: bool = False
+    foreground_boxes: List[BoundingBox] = []
+    distance_boxes: Optional[DistanceBoxes] = None
+    bbox_phash_distance: Optional[int] = None
+
+
+def _box_center(box: BoundingBox) -> Tuple[float, float]:
+    return (box.x + box.width / 2.0, box.y + box.height / 2.0)
+
+
+def _center_distance(a: BoundingBox, b: BoundingBox) -> float:
+    (ax, ay), (bx, by) = _box_center(a), _box_center(b)
+    return float(np.hypot(ax - bx, ay - by))
+
+
+def _mean_box(history: "collections.deque") -> BoundingBox:
+    arr = np.asarray([tuple(box) for box in history], dtype=np.float64)
+    x, y, w, h = arr.mean(axis=0)
+    return BoundingBox(int(round(x)), int(round(y)), int(round(w)), int(round(h)))
+
+
+def _decide(
+    record: _DetectionRecord,
+    min_phash_distance: int,
+    min_bbox_distance: float,
+    pair: Optional[Tuple[BoundingBox, BoundingBox]] = None,
+) -> _FrameOverlayResult:
+    """The gating rule over a frame's (possibly smoothed) box pair: overlay iff
+    the pair's center distance < min_bbox_distance AND the eye-crop phash
+    distance <= min_phash_distance (reference overlay_eye_tracking.py:95-120)."""
+    if record.skip or record.distance_boxes is None:
+        return _FrameOverlayResult(
+            context=OverlayContext(
+                bbox_distance=(
+                    record.distance_boxes.distance if record.distance_boxes else None
+                ),
+                bbox_perceptual_hash_distance=record.bbox_phash_distance,
+            )
+        )
+    a_box, b_box = pair if pair is not None else (
+        record.distance_boxes.a_box, record.distance_boxes.b_box,
+    )
+    distance = _center_distance(a_box, b_box)
+    box_flag = distance < min_bbox_distance
+    overlay_flag = (
+        box_flag
+        and record.bbox_phash_distance is not None
+        and record.bbox_phash_distance <= min_phash_distance
+    )
+    drawn = record.foreground_boxes
+    if overlay_flag and pair is not None:
+        # draw the SMOOTHED box for the matched face (the stabilization the
+        # smoothing exists for); other detected faces keep their raw boxes
+        drawn = [
+            a_box if box == record.distance_boxes.a_box else box
+            for box in record.foreground_boxes
+        ]
+    return _FrameOverlayResult(
+        foreground_bounding_boxes=drawn if overlay_flag else None,
+        context=OverlayContext(
+            bbox_perceptual_hash_distance=record.bbox_phash_distance,
+            bbox_distance=distance,
+            overlay_written=overlay_flag,
+        ),
+    )
+
+
+def _smoothed_decisions(
+    records: Iterable[_DetectionRecord],
+    window: int,
+    min_phash_distance: int,
+    min_bbox_distance: float,
+) -> Iterator[_FrameOverlayResult]:
+    """
+    Sequential temporal smoothing of the matched eye-box pair: each side's
+    (x, y, w, h) is averaged over a trailing `window` of frames before the
+    distance gate runs, which suppresses single-frame detector jitter (box
+    instability the reference's track-length filter cannot catch — it filters
+    decision flips after the fact, not geometry). The history RESETS on
+    skip/no-detection frames and on center jumps larger than twice the box
+    size (scene cuts must not smear across shots). pHash gating uses the RAW
+    detected crops — smoothing stabilizes geometry, not content identity.
+    """
+    history_a: "collections.deque" = collections.deque(maxlen=window)
+    history_b: "collections.deque" = collections.deque(maxlen=window)
+    for record in records:
+        if record.skip or record.distance_boxes is None:
+            history_a.clear()
+            history_b.clear()
+            yield _decide(record, min_phash_distance, min_bbox_distance)
+            continue
+        raw_a, raw_b = record.distance_boxes.a_box, record.distance_boxes.b_box
+        if history_a:
+            jump_limit = 2.0 * max(raw_a.width, raw_a.height, 1)
+            if _center_distance(raw_a, history_a[-1]) > jump_limit:
+                history_a.clear()
+                history_b.clear()
+        history_a.append(raw_a)
+        history_b.append(raw_b)
+        yield _decide(
+            record,
+            min_phash_distance,
+            min_bbox_distance,
+            pair=(_mean_box(history_a), _mean_box(history_b)),
+        )
+
+
 def _crop(image: np.ndarray, box: BoundingBox) -> np.ndarray:
     """
     Crop with PIL semantics: the output is always exactly box-sized, with regions
@@ -133,6 +245,7 @@ def compute_eye_tracking_overlay(
     skip_mask: Optional[List[bool]] = None,
     detection_side: Optional[int] = None,
     detection_workers: Optional[int] = None,
+    temporal_smoothing: int = 0,
 ) -> OverlayResult:
     """
     Lazily compute per-frame overlay decisions; returns the two decision streams
@@ -144,6 +257,12 @@ def compute_eye_tracking_overlay(
     :param detection_workers: worker threads for the per-frame detection
         (results stay frame-ordered and bit-identical; the detector releases
         the GIL). None = one per host core.
+    :param temporal_smoothing: when > 1, average the matched eye-box pair's
+        geometry over this many trailing frames before the distance gate and
+        composite (see _smoothed_decisions). 0/1 = off, the reference's exact
+        per-frame behavior. With smoothing on, the eye-crop pHash is computed
+        for EVERY detected pair (the raw distance no longer decides alone), a
+        small extra cost per detected frame.
     """
     face_finder = FaceFinderProxy()
     # Default capped at 8: the in-flight buffer is 2*workers full-res frame
@@ -154,15 +273,16 @@ def compute_eye_tracking_overlay(
         if detection_workers is not None
         else min(os.cpu_count() or 1, 8)
     )
+    smoothing = temporal_smoothing if temporal_smoothing and temporal_smoothing > 1 else 0
 
     def per_frame(
         packed: Tuple[int, np.ndarray, np.ndarray, bool]
-    ) -> _FrameOverlayResult:
+    ) -> _DetectionRecord:
         frame_number, foreground_image, background_image, skip = packed
 
         if skip:
             LOGGER.info("Skipping eye tracking overlay for frame #%d", frame_number)
-            return _FrameOverlayResult()
+            return _DetectionRecord(skip=True)
 
         foreground_boxes = landmarks_to_bounding_boxes(
             _landmarks_at_detection_side(
@@ -178,38 +298,30 @@ def compute_eye_tracking_overlay(
         distance_boxes: Optional[DistanceBoxes] = bounding_box_distance(
             a_boxes=foreground_boxes, b_boxes=background_boxes
         )
-        box_flag = distance_boxes is not None and (
-            distance_boxes.distance < min_bbox_distance
-        )
 
+        # pHash of the RAW matched crops. Without smoothing it is computed
+        # lazily — only when the raw distance gate passes (the reference's
+        # behavior); with smoothing the gate distance is decided later, so
+        # every detected pair is hashed.
         bbox_phash_dist: Optional[int] = None
-        if box_flag:
+        if distance_boxes is not None and (
+            smoothing or distance_boxes.distance < min_bbox_distance
+        ):
             fg_crop = _crop(foreground_image, distance_boxes.a_box)
             bg_crop = _crop(background_image, distance_boxes.b_box)
             if fg_crop.size and bg_crop.size:
                 hashes = phash_batch([fg_crop, bg_crop])
                 bbox_phash_dist = phash_distance(hashes[0], hashes[1])
-            else:
-                box_flag = False
 
-        overlay_flag = box_flag and bbox_phash_dist <= min_phash_distance
-
-        LOGGER.info(
-            "Computed eye tracking overlay for frame #%d, content? %s",
-            frame_number,
-            overlay_flag,
+        LOGGER.info("Computed eye tracking detection for frame #%d", frame_number)
+        return _DetectionRecord(
+            skip=False,
+            foreground_boxes=foreground_boxes,
+            distance_boxes=distance_boxes,
+            bbox_phash_distance=bbox_phash_dist,
         )
 
-        return _FrameOverlayResult(
-            foreground_bounding_boxes=foreground_boxes if overlay_flag else None,
-            context=OverlayContext(
-                bbox_perceptual_hash_distance=bbox_phash_dist,
-                bbox_distance=distance_boxes.distance if distance_boxes else None,
-                overlay_written=overlay_flag,
-            ),
-        )
-
-    results: Iterator[_FrameOverlayResult] = _bounded_ordered_map(
+    records: Iterator[_DetectionRecord] = _bounded_ordered_map(
         per_frame,
         zip(
             itertools.count(),
@@ -219,6 +331,16 @@ def compute_eye_tracking_overlay(
         ),
         workers=workers,
     )
+
+    if smoothing:
+        results: Iterator[_FrameOverlayResult] = _smoothed_decisions(
+            records, smoothing, min_phash_distance, min_bbox_distance
+        )
+    else:
+        results = (
+            _decide(record, min_phash_distance, min_bbox_distance)
+            for record in records
+        )
 
     # Split the per-frame tuples into two lockstep streams without materializing.
     primary, secondary = itertools.tee(results, 2)

@@ -117,6 +117,7 @@ def _resumable_blend(  # pylint: disable=too-many-locals
     bbox_distance: Optional[float],
     track_length: Optional[int],
     overlay_detection_side: Optional[int],
+    overlay_smoothing: int,
     resume_chunk_frames: int,
     fingerprint: dict,
 ) -> None:
@@ -206,6 +207,7 @@ def _resumable_blend(  # pylint: disable=too-many-locals
                 min_bbox_distance=bbox_distance,
                 skip_mask=skip_mask[done:],
                 detection_side=overlay_detection_side,
+                temporal_smoothing=overlay_smoothing,
             )
             # materialize (the track filter needs every decision), streaming
             # each new decision into the sidecar as it is computed
@@ -292,6 +294,7 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
     bbox_distance: Optional[float] = None,
     track_length: Optional[int] = None,
     overlay_detection_side: Optional[int] = None,
+    overlay_smoothing: int = 0,
     resumable: bool = False,
     resume_chunk_frames: int = 300,
 ) -> None:
@@ -409,6 +412,7 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
                 bbox_distance=bbox_distance,
                 track_length=track_length,
                 overlay_detection_side=overlay_detection_side,
+                overlay_smoothing=overlay_smoothing,
                 resume_chunk_frames=resume_chunk_frames,
                 fingerprint={
                     "pipeline": "projection_file_blend",
@@ -428,6 +432,7 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
                     "bbox_distance": bbox_distance,
                     "track_length": track_length,
                     "overlay_detection_side": overlay_detection_side,
+                    "overlay_smoothing": overlay_smoothing,
                     "complexity_change_rolling_sum_window": complexity_change_rolling_sum_window,
                     "complexity_change_threshold": complexity_change_threshold,
                 },
@@ -503,6 +508,7 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
                 min_bbox_distance=bbox_distance,
                 skip_mask=skip_mask,
                 detection_side=overlay_detection_side,
+                temporal_smoothing=overlay_smoothing,
             )
 
             logging.info(

@@ -289,3 +289,125 @@ def test_eye_tracking_overlay_threaded_matches_sequential():
     assert seq_ctx == par_ctx
     assert seq_boxes == par_boxes
     assert not seq_ctx[1].overlay_written  # skip_mask respected in both
+
+
+class TestTemporalSmoothing:
+    """The --overlay-smoothing plateau: geometry averages over a trailing
+    window, history resets on gaps and scene cuts, decisions stabilize."""
+
+    @staticmethod
+    def _record(x, phash=0, fg_extra=()):
+        from gance_tpu.overlay.common import DistanceBoxes
+        from gance_tpu.overlay.eye_tracking import _DetectionRecord
+        from gance_tpu.types import BoundingBox
+
+        a = BoundingBox(x, 10, 20, 10)
+        b = BoundingBox(x + 4, 12, 20, 10)
+        return _DetectionRecord(
+            skip=False,
+            foreground_boxes=[a, *fg_extra],
+            distance_boxes=DistanceBoxes(
+                distance=float(np.hypot(4, 2)), a_box=a, b_box=b
+            ),
+            bbox_phash_distance=phash,
+        )
+
+    def test_smoothing_averages_boxes(self):
+        from gance_tpu.overlay.eye_tracking import _smoothed_decisions
+
+        records = [self._record(x) for x in (10, 14, 18)]
+        results = list(
+            _smoothed_decisions(
+                iter(records), window=3, min_phash_distance=5,
+                min_bbox_distance=100.0,
+            )
+        )
+        assert all(r.context.overlay_written for r in results)
+        # frame 2's drawn box x = mean(10, 14, 18) = 14
+        assert results[2].foreground_bounding_boxes[0].x == 14
+        # frame 0 has no history: its own box
+        assert results[0].foreground_bounding_boxes[0].x == 10
+
+    def test_history_resets_on_gap_and_jump(self):
+        from gance_tpu.overlay.eye_tracking import _DetectionRecord, _smoothed_decisions
+
+        gap = _DetectionRecord(skip=True)
+        # 500px jump >> 2 * box size: scene cut
+        records = [self._record(10), gap, self._record(12), self._record(512)]
+        results = list(
+            _smoothed_decisions(
+                iter(records), window=5, min_phash_distance=5,
+                min_bbox_distance=100.0,
+            )
+        )
+        assert results[1].foreground_bounding_boxes is None  # the gap frame
+        assert results[2].foreground_bounding_boxes[0].x == 12  # fresh history
+        assert results[3].foreground_bounding_boxes[0].x == 512  # reset on jump
+
+    def test_smoothing_suppresses_single_frame_distance_spike(self):
+        """One jittered frame pushes the raw pair past the distance gate; the
+        windowed mean keeps the decision stable (the flip the reference's
+        track-length filter can't prevent, only mask)."""
+        from gance_tpu.overlay.common import DistanceBoxes
+        from gance_tpu.overlay.eye_tracking import (
+            _DetectionRecord,
+            _decide,
+            _smoothed_decisions,
+        )
+        from gance_tpu.types import BoundingBox
+
+        def pair_record(b_offset):
+            a = BoundingBox(100, 100, 20, 10)
+            b = BoundingBox(100 + b_offset, 100, 20, 10)
+            return _DetectionRecord(
+                skip=False,
+                foreground_boxes=[a],
+                distance_boxes=DistanceBoxes(
+                    distance=float(b_offset), a_box=a, b_box=b
+                ),
+                bbox_phash_distance=0,
+            )
+
+        # offsets: stable 5px, one 25px spike (gate at 15px), stable again
+        records = [pair_record(o) for o in (5, 5, 25, 5, 5)]
+        raw = [
+            _decide(record, min_phash_distance=5, min_bbox_distance=15.0)
+            for record in records
+        ]
+        assert [r.context.overlay_written for r in raw] == [
+            True, True, False, True, True,
+        ]
+        smoothed = list(
+            _smoothed_decisions(
+                iter(records), window=3, min_phash_distance=5,
+                min_bbox_distance=15.0,
+            )
+        )
+        assert all(r.context.overlay_written for r in smoothed)
+
+    def test_zero_smoothing_is_reference_behavior(self, monkeypatch):
+        """compute_eye_tracking_overlay(temporal_smoothing=0) must keep the
+        lazy-phash reference semantics: no phash computed when the raw
+        distance gate fails."""
+        import gance_tpu.overlay.eye_tracking as et
+
+        calls = []
+        original = et.phash_batch
+
+        def counting(images):
+            calls.append(1)
+            return original(images)
+
+        monkeypatch.setattr(et, "phash_batch", counting)
+        rng = np.random.RandomState(0)
+        frames = [rng.randint(0, 255, (64, 64, 3), np.uint8) for _ in range(2)]
+        result = et.compute_eye_tracking_overlay(
+            foreground_images=iter(frames),
+            background_images=iter(frames),
+            min_phash_distance=5,
+            min_bbox_distance=1.0,
+            temporal_smoothing=0,
+        )
+        list(result.bbox_lists)
+        # noise frames: no faces detected -> no pairs -> no phash either way
+        assert calls == []
