@@ -22,7 +22,12 @@ from gance_tpu.media.video import (
     write_source_to_disk_consume,
     write_source_to_disk_forward,
 )
-from gance_tpu.media.disk_tee import HDF5_SERIALIZER, PICKLE_SERIALIZER, iterator_on_disk
+from gance_tpu.media.disk_tee import (
+    HDF5_SERIALIZER,
+    NPY_SERIALIZER,
+    PICKLE_SERIALIZER,
+    iterator_on_disk,
+)
 
 __all__ = [
     "VideoFrames",
@@ -40,4 +45,5 @@ __all__ = [
     "iterator_on_disk",
     "PICKLE_SERIALIZER",
     "HDF5_SERIALIZER",
+    "NPY_SERIALIZER",
 ]

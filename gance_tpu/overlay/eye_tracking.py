@@ -268,10 +268,16 @@ def compute_eye_tracking_overlay(
     # Default capped at 8: the in-flight buffer is 2*workers full-res frame
     # PAIRS (a 64-core default would pin ~3.6GB at 2160px), and beyond ~8
     # workers the GIL-bound share (cvtColor, numpy, phash) saturates anyway.
+    # Floor of 2 even on a 1-core host: pulling the next frame pair blocks on
+    # device fetch / disk with the GIL released, and the native detector also
+    # releases it — so one worker detecting while the pool feeder pulls the
+    # next pair overlaps detection with synthesis egress instead of
+    # serializing them (the r3 flagship profile showed exactly that serial
+    # chain as the bottleneck).
     workers = (
         detection_workers
         if detection_workers is not None
-        else min(os.cpu_count() or 1, 8)
+        else max(2, min(os.cpu_count() or 1, 8))
     )
     smoothing = temporal_smoothing if temporal_smoothing and temporal_smoothing > 1 else 0
 

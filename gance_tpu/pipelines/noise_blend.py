@@ -230,12 +230,17 @@ def noise_blend_api(
             visualizer=visualizer,
         )
 
-        hero_frames = write_source_to_disk_forward(
-            source=synthesis_output.synthesized_images,  # already output-sized
-            video_path=Path(output_path),
-            video_fps=output_fps,
-            audio_paths=audio_paths,
-            high_quality=True,
+        from gance_tpu.utils.profiling import timed_iterator
+
+        hero_frames = timed_iterator(
+            "encode",
+            write_source_to_disk_forward(
+                source=synthesis_output.synthesized_images,  # already output-sized
+                video_path=Path(output_path),
+                video_fps=output_fps,
+                audio_paths=audio_paths,
+                high_quality=True,
+            ),
         )
 
         if create_debug_visualization:

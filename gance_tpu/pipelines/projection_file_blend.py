@@ -20,7 +20,7 @@ import numpy as np
 from gance_tpu.audio import reduction as vector_reduction
 from gance_tpu.audio.io import read_wavs_scale_for_video
 from gance_tpu.audio.vectors import underlying_length
-from gance_tpu.media.disk_tee import HDF5_SERIALIZER, iterator_on_disk
+from gance_tpu.media.disk_tee import NPY_SERIALIZER, iterator_on_disk
 from gance_tpu.media.images import horizontal_concat_images
 from gance_tpu.media.video import (
     scale_square_source_duplicate,
@@ -196,7 +196,7 @@ def _resumable_blend(  # pylint: disable=too-many-locals
         if done < total:
             # synthesized frames feed detection AND compose: disk-tee them
             background_iterators = iterator_on_disk(
-                iterator=background_scaled, copies=1, serializer=HDF5_SERIALIZER
+                iterator=background_scaled, copies=1, serializer=NPY_SERIALIZER
             )
             overlay_results = compute_eye_tracking_overlay(
                 foreground_images=islice(scaled_targets(), done, None),
@@ -457,25 +457,35 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
             unload_networks_when_complete=True,
         )
 
+        from gance_tpu.utils.profiling import timed_iterator
+
         # Disk-tee the two frame streams so overlay detection and final compositing
         # can each consume a copy without holding frames in RAM (reference :184-199).
+        # NPY (not gzip-9 HDF5) serialization: the tee is scratch, and gzip-9
+        # costs ~1.9 s per 1024px frame on one host core — ~70x the raw store.
         num_copies = 1 if overlay_enabled else 0
         foreground_iterators = iterator_on_disk(
-            iterator=scale_square_source_duplicate(
-                source=reader.target_images,
-                output_side_length=output_side_length,
-                frame_multiplier=frame_multiplier,
+            iterator=timed_iterator(
+                "target_read",
+                scale_square_source_duplicate(
+                    source=reader.target_images,
+                    output_side_length=output_side_length,
+                    frame_multiplier=frame_multiplier,
+                ),
             ),
             copies=num_copies,
-            serializer=HDF5_SERIALIZER,
+            serializer=NPY_SERIALIZER,
         )
         background_iterators = iterator_on_disk(
-            iterator=scale_square_source_duplicate(
-                source=synthesis_output.synthesized_images,
-                output_side_length=output_side_length,
+            iterator=timed_iterator(
+                "synth_egress",
+                scale_square_source_duplicate(
+                    source=synthesis_output.synthesized_images,
+                    output_side_length=output_side_length,
+                ),
             ),
             copies=num_copies,
-            serializer=HDF5_SERIALIZER,
+            serializer=NPY_SERIALIZER,
         )
 
         music_complexity_overlay_mask: Optional[ResultLayers] = (
@@ -517,7 +527,7 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
 
             # The one full-stream materialization (reference :247): track-length
             # filtering needs all overlay decisions.
-            boxes_list = list(overlay_results.bbox_lists)
+            boxes_list = list(timed_iterator("detect", overlay_results.bbox_lists))
 
             long_tracks_mask = vector_reduction.track_length_filter(
                 bool_tracks=np.asarray(
@@ -554,12 +564,15 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
             # Foreground stream is left unconsumed (lazy, so it costs nothing).
             blended_output = background_iterators[0]
 
-        blended_output = write_source_to_disk_forward(
-            source=blended_output,
-            video_path=Path(output_path),
-            video_fps=output_fps,
-            audio_paths=audio_paths,
-            high_quality=True,
+        blended_output = timed_iterator(
+            "encode",
+            write_source_to_disk_forward(
+                source=timed_iterator("compose", blended_output),
+                video_path=Path(output_path),
+                video_fps=output_fps,
+                audio_paths=audio_paths,
+                high_quality=True,
+            ),
         )
 
         if create_debug_visualization:

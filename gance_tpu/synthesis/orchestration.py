@@ -118,13 +118,12 @@ def vector_synthesis(
     indices = np.clip(indices[:count], 0, max(len(networks) - 1, 0))
 
     def synthesized() -> Iterator[np.ndarray]:
-        from gance_tpu.utils.profiling import StageTimer
+        from gance_tpu.utils.profiling import timed_iterator
 
-        timer = StageTimer("synthesis")
-        for image in networks.synthesize_stream(combined, indices, batch_size=batch_size):
-            timer.tick()
-            yield image
-        timer.summary()
+        yield from timed_iterator(
+            "synthesis",
+            networks.synthesize_stream(combined, indices, batch_size=batch_size),
+        )
         if unload_networks_when_complete:
             networks.unload()
 

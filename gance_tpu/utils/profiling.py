@@ -11,12 +11,21 @@ Two tools:
 """
 
 import contextlib
+import json
+import os
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterable, Iterator, Optional, TypeVar
 
 from gance_tpu.utils.logging import LOGGER
+
+_T = TypeVar("_T")
+
+#: When set, every StageTimer.summary() also appends its dict as one JSON line
+#: here — the machine-readable side of the per-stage table (tools/bench_pipeline
+#: reads it back to build the end-to-end stage accounting).
+STAGE_STATS_ENV = "GANCE_TPU_STAGE_STATS"
 
 
 @contextlib.contextmanager
@@ -42,6 +51,12 @@ class StageTimer:
     _last_log: float = field(default_factory=time.monotonic)
     _count: int = 0
     _count_at_last_log: int = 0
+    _busy: float = 0.0
+
+    def add_busy(self, seconds: float) -> None:
+        """Accrue time spent *inside* this stage (vs. wall elapsed, which every
+        stage of a serialized generator chain shares)."""
+        self._busy += seconds
 
     def tick(self, n: int = 1) -> None:
         self._count += n
@@ -63,8 +78,49 @@ class StageTimer:
             "elapsed_sec": round(elapsed, 3),
             "rate_per_sec": round(self._count / elapsed, 3),
         }
+        if self._busy:
+            stats["busy_sec"] = round(self._busy, 3)
+            stats["busy_rate_per_sec"] = round(self._count / max(self._busy, 1e-9), 3)
         LOGGER.info(
             "[%s] complete: %d items in %.2fs (%.2f items/sec)",
             self.name, self._count, elapsed, stats["rate_per_sec"],
         )
+        sink = os.environ.get(STAGE_STATS_ENV)
+        if sink:
+            try:
+                with open(sink, "a", encoding="utf-8") as handle:
+                    handle.write(json.dumps(stats) + "\n")
+            except OSError:  # stats are diagnostics; never kill the render
+                LOGGER.warning("Could not append stage stats to %s", sink)
         return stats
+
+
+def timed_iterator(name: str, iterator: Iterable[_T]) -> Iterator[_T]:
+    """
+    Wrap an iterator in a StageTimer: each item ticks, and the time spent inside
+    ``next()`` accrues as the stage's busy time — i.e. the CUMULATIVE production
+    cost of this stage plus everything upstream of it in the generator chain.
+    A stage's own cost is the difference between its cumulative busy time and
+    its upstream wrapper's (tools/bench_pipeline does that subtraction). The
+    summary (logged + optionally appended to $GANCE_TPU_STAGE_STATS) fires when
+    the iterator exhausts.
+    """
+    timer = StageTimer(name)
+    iterator = iter(iterator)
+    try:
+        while True:
+            t0 = time.monotonic()
+            try:
+                item = next(iterator)
+            except StopIteration:
+                timer.add_busy(time.monotonic() - t0)
+                return
+            timer.add_busy(time.monotonic() - t0)
+            timer.tick()
+            yield item
+    finally:
+        # `zip` stops pulling one short of a peer stream's StopIteration, so a
+        # stage wrapped here may never exhaust; the summary must also fire when
+        # the generator is closed/finalized (end of pipeline), not only on
+        # clean exhaustion.
+        timer.summary()

@@ -196,6 +196,41 @@ def test_iterator_on_disk_hdf5():
     np.testing.assert_array_equal(out[1], items[1])
 
 
+def test_iterator_on_disk_npy():
+    """The pipelines' frame-tee serializer (raw .npy — the tee is scratch, so
+    it must cost I/O, not gzip-9 CPU) roundtrips frames exactly."""
+    from gance_tpu.media.disk_tee import NPY_SERIALIZER
+
+    items = _frames(3)
+    primary, secondary = iterator_on_disk(iter(items), copies=1, serializer=NPY_SERIALIZER)
+    collected = list(primary)
+    out = list(secondary)
+    assert len(out) == 3
+    for a, b in zip(collected, out):
+        np.testing.assert_array_equal(a, b)
+        assert a.dtype == b.dtype
+
+
+def test_timed_iterator_passthrough_and_stats(tmp_path, monkeypatch):
+    """timed_iterator is transparent to the stream and appends its summary as a
+    JSON line to $GANCE_TPU_STAGE_STATS when set."""
+    import json
+
+    from gance_tpu.utils.profiling import STAGE_STATS_ENV, timed_iterator
+
+    sink = tmp_path / "stages.jsonl"
+    monkeypatch.setenv(STAGE_STATS_ENV, str(sink))
+    items = _frames(4)
+    out = list(timed_iterator("unit_stage", iter(items)))
+    assert len(out) == 4
+    np.testing.assert_array_equal(out[2], items[2])
+    records = [json.loads(line) for line in sink.read_text().splitlines()]
+    record = next(r for r in records if r["stage"] == "unit_stage")
+    assert record["count"] == 4
+    assert record["busy_sec"] >= 0
+    assert record["busy_rate_per_sec"] > 0
+
+
 def test_image_roundtrip(tmp_path):
     img = _frames(1, size=16)[0]
     path = tmp_path / "img.png"
