@@ -71,13 +71,24 @@ def main() -> None:
     print(f"bench device: {device}", file=sys.stderr)
     params = jax.device_put(params, device)
 
+    # BENCH_EPILOGUE=fused runs the serving path's phase-domain uint8 epilogue
+    # (uint8_output=True, bit-identical by construction + tests); "fine"
+    # interleaves in bf16 and quantizes after (the pre-r4 program).
+    fused_epilogue = os.environ.get("BENCH_EPILOGUE", "fused") == "fused"
+
     @jax.jit
     def forward_acc(p, z, acc):
-        images = images_to_uint8(
-            generator_apply(
-                p, z, config, truncation_psi=1.2, compute_dtype=compute_dtype
+        if fused_epilogue:
+            images = generator_apply(
+                p, z, config, truncation_psi=1.2, compute_dtype=compute_dtype,
+                uint8_output=True,
             )
-        )
+        else:
+            images = images_to_uint8(
+                generator_apply(
+                    p, z, config, truncation_psi=1.2, compute_dtype=compute_dtype
+                )
+            )
         return acc + jnp.sum(images.astype(jnp.uint32))
 
     zs = [

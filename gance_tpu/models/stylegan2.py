@@ -444,10 +444,12 @@ def synthesis_apply(
     compute_dtype: jnp.dtype = jnp.float32,
     phase_top_block_mode: Optional[bool] = None,
     remat: bool = False,
+    uint8_output: bool = False,
 ) -> jax.Array:
     """
     G_synthesis (skip architecture): w+ (B, num_style_rows, 512) -> image
-    (B, resolution, resolution, 3) float in approx [-1, 1].
+    (B, resolution, resolution, 3) float in approx [-1, 1], or uint8 when
+    `uint8_output`.
 
     :param noise_mode: 'const' (buffers from params — the reference's
         randomize_noise=False), 'random' (needs `rng`), or 'none'.
@@ -460,6 +462,13 @@ def synthesis_apply(
         instead of storing them — the standard TPU trade of FLOPs for HBM
         that makes high-resolution training fit (training OOMed at 256px
         batch 8 on 16GB without it). No effect on forward-only use.
+    :param uint8_output: emit the serving uint8 NHWC image directly. On the
+        polyphase top-block path (forward-only) this fuses the skip add /
+        bias / quantize into phase space and interleaves only uint8 bytes
+        (ops/phase_block.py `phase_top_block_uint8` — bit-identical to
+        `images_to_uint8` of the float output, pinned by tests); every other
+        path falls back to `images_to_uint8(float output)` inside the same
+        program.
     """
     if noise_mode not in ("const", "random", "none"):
         raise ValueError(f"bad noise_mode {noise_mode!r}")
@@ -505,7 +514,7 @@ def synthesis_apply(
             dlatents[:, res * 2 - 3],
         )
         if res == top and use_phase:
-            from gance_tpu.ops.phase_block import phase_top_block
+            from gance_tpu.ops.phase_block import phase_top_block, phase_top_block_uint8
 
             size = 2**res
 
@@ -515,6 +524,16 @@ def synthesis_apply(
                     # same key/shape/dtype as the standard path -> same values
                     return jax.random.normal(nrn, (batch, size, size, 1), compute_dtype)
                 return ncn
+
+            if uint8_output and not remat:
+                # fused serving epilogue: skip add + bias + quantize per
+                # phase, interleave uint8 only (forward-only: remat implies
+                # autodiff, which keeps the float path)
+                return phase_top_block_uint8(
+                    x, block, dl_rows,
+                    fine_noise(res * 2 - 5), fine_noise(res * 2 - 4), y,
+                    config.resample_kernel, compute_dtype,
+                )
 
             def phase_fn(x, blk, dls, n0, n1, y):
                 return phase_top_block(
@@ -551,7 +570,8 @@ def synthesis_apply(
         x, y = block_fn(x, y, block, dl_rows, noises)
 
     # one NCHW -> NHWC relayout of the final image only
-    return jnp.transpose(y, (0, 2, 3, 1)).astype(jnp.float32)
+    image = jnp.transpose(y, (0, 2, 3, 1)).astype(jnp.float32)
+    return images_to_uint8(image) if uint8_output else image
 
 
 def generator_apply(
@@ -563,6 +583,7 @@ def generator_apply(
     rng: Optional[jax.Array] = None,
     compute_dtype: jnp.dtype = jnp.float32,
     phase_top_block_mode: Optional[bool] = None,
+    uint8_output: bool = False,
 ) -> jax.Array:
     """Full G: z -> mapping -> broadcast -> truncation -> synthesis."""
     w = mapping_apply(params, z, config)
@@ -572,6 +593,7 @@ def generator_apply(
     return synthesis_apply(
         params, dlatents, config, noise_mode=noise_mode, rng=rng,
         compute_dtype=compute_dtype, phase_top_block_mode=phase_top_block_mode,
+        uint8_output=uint8_output,
     )
 
 

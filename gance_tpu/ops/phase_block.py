@@ -250,28 +250,20 @@ def _add_phase_noise(
     return x5.reshape(b, hh, hw, c4)
 
 
-def phase_top_block(
+def _phase_rgb_planes(
     x: Array,
     block: dict,
     dlatent_rows: Tuple[Array, Array, Array],
     noise_up_fine: Optional[Array],
     noise_c1_fine: Optional[Array],
-    y_up_nchw: Optional[Array],
     resample_kernel: Tuple[int, ...],
     compute_dtype: jnp.dtype,
 ) -> Array:
     """
-    The full top synthesis block (Conv0_up -> Conv1 -> ToRGB + skip add) in
-    phase space. Numerically equivalent to the standard `_synthesis_layer` /
-    `_torgb` chain (up to fp reassociation); see module docstring for why.
-
-    :param x: previous block output, NHWC (B, H/2, W/2, cin).
-    :param block: params dict with "Conv0_up", "Conv1", "ToRGB".
-    :param dlatent_rows: the three per-layer dlatent rows (B, w_dim).
-    :param noise_up_fine / noise_c1_fine: fine-grid noise maps (B or 1, H, W, 1)
-        for the two conv layers (const buffers or freshly sampled), or None.
-    :param y_up_nchw: the upsampled RGB accumulator (B, 3, H, W) NCHW, or None.
-    :return: new RGB accumulator (B, 3, H, W) NCHW.
+    The shared body of the phase top block: Conv0_up+blur (folded), Conv1, and
+    the phase-diagonal ToRGB — everything up to (but not including) the bias,
+    skip add, and interleave. Returns the RGB phase planes
+    (B, H/2+1, W/2+1, 12), channel = ph*3 + k, ph = sigma_h*2 + sigma_w.
     """
     from gance_tpu.ops.modulated_conv import (
         demod_vector,
@@ -282,8 +274,6 @@ def phase_top_block(
     up, c1, torgb = block["Conv0_up"], block["Conv1"], block["ToRGB"]
     dl_up, dl_c1, dl_rgb = dlatent_rows
     kh, kw, cin, cout = up["weight"].shape
-    b = x.shape[0]
-    h, w = x.shape[1] * 2, x.shape[2] * 2
 
     # --- Conv0_up + FIR blur as one folded phase conv ---
     w_up = up["weight"].astype(jnp.float32) * runtime_weight_coef(kh * kw * cin)
@@ -339,10 +329,111 @@ def phase_top_block(
         wr_ph = wr_ph.at[
             0, 0, ph * cout : (ph + 1) * cout, ph * n_rgb : (ph + 1) * n_rgb
         ].set(wr[0, 0])
-    t_ph = phase_conv(z, wr_ph, ((0, 0), (0, 0)), compute_dtype)
+    return phase_conv(z, wr_ph, ((0, 0), (0, 0)), compute_dtype)
+
+
+def phase_top_block(
+    x: Array,
+    block: dict,
+    dlatent_rows: Tuple[Array, Array, Array],
+    noise_up_fine: Optional[Array],
+    noise_c1_fine: Optional[Array],
+    y_up_nchw: Optional[Array],
+    resample_kernel: Tuple[int, ...],
+    compute_dtype: jnp.dtype,
+) -> Array:
+    """
+    The full top synthesis block (Conv0_up -> Conv1 -> ToRGB + skip add) in
+    phase space. Numerically equivalent to the standard `_synthesis_layer` /
+    `_torgb` chain (up to fp reassociation); see module docstring for why.
+
+    :param x: previous block output, NHWC (B, H/2, W/2, cin).
+    :param block: params dict with "Conv0_up", "Conv1", "ToRGB".
+    :param dlatent_rows: the three per-layer dlatent rows (B, w_dim).
+    :param noise_up_fine / noise_c1_fine: fine-grid noise maps (B or 1, H, W, 1)
+        for the two conv layers (const buffers or freshly sampled), or None.
+    :param y_up_nchw: the upsampled RGB accumulator (B, 3, H, W) NCHW, or None.
+    :return: new RGB accumulator (B, 3, H, W) NCHW.
+    """
+    h, w = x.shape[1] * 2, x.shape[2] * 2
+    t_ph = _phase_rgb_planes(
+        x, block, dlatent_rows, noise_up_fine, noise_c1_fine,
+        resample_kernel, compute_dtype,
+    )
     t = interleave_phases_nchw(t_ph, h, w)
-    t = t + torgb["bias"].astype(t.dtype)[None, :, None, None]
+    t = t + block["ToRGB"]["bias"].astype(t.dtype)[None, :, None, None]
     return t if y_up_nchw is None else y_up_nchw + t
+
+
+def phase_top_block_uint8(
+    x: Array,
+    block: dict,
+    dlatent_rows: Tuple[Array, Array, Array],
+    noise_up_fine: Optional[Array],
+    noise_c1_fine: Optional[Array],
+    y_nchw: Optional[Array],
+    resample_kernel: Tuple[int, ...],
+    compute_dtype: jnp.dtype,
+    drange: Tuple[float, float] = (-1.0, 1.0),
+) -> Array:
+    """
+    The phase top block with a FUSED uint8 output epilogue: the RGB skip
+    upsample stays in polyphase form (no 1024px float intermediate), the skip
+    add / ToRGB bias / uint8 quantization all run per-phase on dense
+    12-channel tensors, and only uint8 bytes are interleaved to the final
+    NHWC image — replacing the bf16 interleave -> NCHW skip add -> NHWC
+    transpose -> quantize chain, whose relayout copies the r3/r4 roofline
+    accounting measured at ~10x their HBM floor (tools/roofline.py).
+
+    Value-identical to `images_to_uint8(transpose(phase_top_block(...)))`:
+    per-pixel adds happen in the same order on the same operands (the
+    polyphase skip upsample is tap-for-tap the accumulation the interleaving
+    form runs — `upsample2x_phases_nchw`), so the uint8 output matches
+    bit-for-bit (pinned by tests).
+
+    :param y_nchw: the PRE-upsample RGB accumulator (B, 3, H/2, W/2) NCHW
+        (note: `phase_top_block` takes the upsampled one), or None.
+    :return: uint8 NHWC image (B, H, W, 3).
+    """
+    from gance_tpu.ops.upfirdn2d import upsample2x_phases_nchw
+
+    b = x.shape[0]
+    hh, hw = x.shape[1], x.shape[2]
+    t_ph = _phase_rgb_planes(
+        x, block, dlatent_rows, noise_up_fine, noise_c1_fine,
+        resample_kernel, compute_dtype,
+    )
+    bias = block["ToRGB"]["bias"].astype(t_ph.dtype)
+
+    y_phases: Optional[Tuple[Array, ...]] = None
+    if y_nchw is not None:
+        k = setup_filter_kernel(resample_kernel, 4.0)
+        y_phases = upsample2x_phases_nchw(y_nchw, _separable_root(k))
+
+    lo, hi = drange
+    scale = 255.0 / (hi - lo)
+    offset = 0.5 - lo * scale
+
+    quantized = []
+    for ph in range(4):
+        sig_h, sig_w = ph // 2, ph % 2
+        t = t_ph[:, sig_h : hh + sig_h, sig_w : hw + sig_w, ph * 3 : (ph + 1) * 3]
+        t = t + bias
+        if y_phases is not None:
+            # same operand order as the fine-grid `y + t`
+            t = jnp.transpose(y_phases[ph], (0, 2, 3, 1)).astype(t.dtype) + t
+        # images_to_uint8 semantics, applied per phase (per-pixel op, so it
+        # commutes with the interleave)
+        v = t.astype(jnp.float32) * scale + offset
+        quantized.append(jnp.clip(jnp.floor(v), 0.0, 255.0).astype(jnp.uint8))
+
+    # interleave uint8 phases -> (B, H, W, 3): columns first, then rows
+    rows = []
+    for sig_h in range(2):
+        cols = jnp.stack([quantized[sig_h * 2], quantized[sig_h * 2 + 1]], axis=3)
+        rows.append(cols.reshape(b, hh, 2 * hw, 3))
+    out = jnp.stack(rows, axis=2)
+    return out.reshape(b, 2 * hh, 2 * hw, 3)
 
 
 def interleave_phases_nhwc(x_ph: Array, h: int, w: int) -> Array:

@@ -162,6 +162,39 @@ def upsample2x_polyphase_nchw(xc: jax.Array, k1d: KernelLike) -> jax.Array:
     return jnp.stack([v_even, v_odd], axis=3).reshape(b, c, 2 * h, 2 * w)
 
 
+def upsample2x_phases_nchw(xc: jax.Array, k1d: KernelLike) -> Tuple[jax.Array, ...]:
+    """
+    The polyphase 2x upsample WITHOUT the final interleave: returns the four
+    phase planes ((i, j) = (row parity, col parity), each (B, C, H, W)) such
+    that `upsample2x_polyphase_nchw(xc)[..., 2m+i, 2n+j] == phases[i*2+j][..., m, n]`
+    bit-exactly (same taps, same accumulation order — only the stack/reshape
+    interleaves are skipped).
+
+    This feeds the fused uint8 phase epilogue (ops/phase_block.py
+    `phase_top_block_uint8`): the skip add / bias / quantize run per-phase and
+    only uint8 bytes are interleaved, cutting the final relayout traffic 4x.
+    Do NOT use it to "simplify" upsample2x_polyphase_nchw — the two-stage
+    interleave there is load-bearing for XLA fusion (measured r2b).
+    """
+    lo0, hi0, hi1, lo1 = (float(v) for v in np.asarray(k1d))
+    b, c, h, w = xc.shape
+    xp = jnp.pad(xc, ((0, 0), (0, 0), (1, 1), (1, 1)))
+
+    # horizontal phases (rows still padded), same expressions as the
+    # interleaving form so values match bit-for-bit
+    left, mid, right = xp[..., :-2], xp[..., 1:-1], xp[..., 2:]
+    h_even = lo0 * left + hi1 * mid
+    h_odd = hi0 * mid + lo1 * right
+
+    def vertical(hs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        up, vmid, down = hs[:, :, :-2], hs[:, :, 1:-1], hs[:, :, 2:]
+        return lo0 * up + hi1 * vmid, hi0 * vmid + lo1 * down
+
+    v_even_j0, v_odd_j0 = vertical(h_even)
+    v_even_j1, v_odd_j1 = vertical(h_odd)
+    return v_even_j0, v_even_j1, v_odd_j0, v_odd_j1
+
+
 def upsample_2d_nchw(
     xc: jax.Array,
     kernel: KernelLike = DEFAULT_RESAMPLE_KERNEL,

@@ -172,18 +172,24 @@ class NetworkParallelSynthesis:
         def body(stacked: Params, grouped: jax.Array) -> jax.Array:
             local = jax.tree.map(lambda leaf: leaf[0], stacked)
             frames = grouped[0]
+            # fused uint8 epilogue only when no resize follows (resize needs
+            # the float image); bit-identical either way
+            fused = side is None or side == config.resolution
             if matrix:
                 images = synthesis_apply(
                     local, frames, config, noise_mode="const",
                     compute_dtype=dtype, phase_top_block_mode=phase_mode,
+                    uint8_output=fused,
                 )
             else:
                 images = generator_apply(
                     local, frames, config, truncation_psi=psi, noise_mode="const",
                     compute_dtype=dtype, phase_top_block_mode=phase_mode,
+                    uint8_output=fused,
                 )
-            if side is not None and side != config.resolution:
-                images = resize_images(images, side)
+            if fused:
+                return images[None]
+            images = resize_images(images, side)
             return images_to_uint8(images)[None]
 
         io_spec = P("network", "data")

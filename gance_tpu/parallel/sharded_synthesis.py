@@ -43,6 +43,10 @@ def make_sharded_synthesis(
     @jax.jit
     def synthesize(z: jax.Array) -> jax.Array:
         z = jax.lax.with_sharding_constraint(z, batch_sharding)
+        # uint8_output fuses the serving epilogue (skip add / bias / quantize
+        # in phase space, uint8-only interleave) — elementwise per shard, so
+        # it composes with GSPMD exactly like the float epilogue did
+        # (bit-identical; covered by the dryrun equality check).
         images = generator_apply(
             sharded_params,
             z,
@@ -50,9 +54,9 @@ def make_sharded_synthesis(
             truncation_psi=truncation_psi,
             noise_mode="const",
             compute_dtype=compute_dtype,
+            uint8_output=True,
         )
-        images = jax.lax.with_sharding_constraint(images, batch_sharding)
-        return images_to_uint8(images)
+        return jax.lax.with_sharding_constraint(images, batch_sharding)
 
     return synthesize
 
@@ -73,9 +77,8 @@ def make_sharded_matrix_synthesis(
         dlatents = jax.lax.with_sharding_constraint(dlatents, batch_sharding)
         images = synthesis_apply(
             sharded_params, dlatents, config, noise_mode="const",
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, uint8_output=True,
         )
-        images = jax.lax.with_sharding_constraint(images, batch_sharding)
-        return images_to_uint8(images)
+        return jax.lax.with_sharding_constraint(images, batch_sharding)
 
     return synthesize

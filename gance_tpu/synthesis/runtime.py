@@ -82,13 +82,18 @@ def _jit_images_from_z(
     output_side_length: Optional[int] = None,
     phase_top_block_mode: Optional[bool] = None,
 ) -> jax.Array:
+    needs_resize = (
+        output_side_length is not None and output_side_length != config.resolution
+    )
     images = generator_apply(
         params, z, config, truncation_psi=truncation_psi, noise_mode="const",
         compute_dtype=compute_dtype, phase_top_block_mode=phase_top_block_mode,
+        uint8_output=not needs_resize,  # fused epilogue (resize needs float)
     )
-    if output_side_length is not None and output_side_length != config.resolution:
+    if needs_resize:
         images = resize_images(images, output_side_length)
-    return images_to_uint8(images)
+        return images_to_uint8(images)
+    return images
 
 
 @functools.partial(
@@ -105,13 +110,18 @@ def _jit_images_from_dlatents(
     output_side_length: Optional[int] = None,
     phase_top_block_mode: Optional[bool] = None,
 ) -> jax.Array:
+    needs_resize = (
+        output_side_length is not None and output_side_length != config.resolution
+    )
     images = synthesis_apply(
         params, dlatents, config, noise_mode="const", compute_dtype=compute_dtype,
         phase_top_block_mode=phase_top_block_mode,
+        uint8_output=not needs_resize,  # fused epilogue (resize needs float)
     )
-    if output_side_length is not None and output_side_length != config.resolution:
+    if needs_resize:
         images = resize_images(images, output_side_length)
-    return images_to_uint8(images)
+        return images_to_uint8(images)
+    return images
 
 
 def _pad_batch(data: np.ndarray, batch_size: int) -> Tuple[np.ndarray, int]:

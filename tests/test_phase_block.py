@@ -349,12 +349,19 @@ class TestPhaseEnvJitKeying:
 
         phase_traces = []
         real_phase_top_block = phase_block_mod.phase_top_block
+        real_phase_top_block_uint8 = phase_block_mod.phase_top_block_uint8
 
         def spy(*args, **kwargs):
             phase_traces.append(True)
             return real_phase_top_block(*args, **kwargs)
 
+        def spy_uint8(*args, **kwargs):
+            # the serving path uses the fused uint8 epilogue variant
+            phase_traces.append(True)
+            return real_phase_top_block_uint8(*args, **kwargs)
+
         monkeypatch.setattr(phase_block_mod, "phase_top_block", spy)
+        monkeypatch.setattr(phase_block_mod, "phase_top_block_uint8", spy_uint8)
 
         monkeypatch.setenv("GANCE_TPU_PHASE1024", "off")
         images_off = net.images_from_vectors(z)
@@ -405,3 +412,89 @@ def test_auto_mode_includes_non_highest_precision(monkeypatch):
     )
     assert not _phase_top_block_enabled(64, jnp.float32)
     assert _phase_top_block_enabled(64, jnp.bfloat16)
+
+
+class TestUint8Epilogue:
+    """The fused uint8 serving epilogue (phase_top_block_uint8) must be
+    BIT-identical to images_to_uint8 of the float output: same adds on the
+    same operands in the same order, only the interleave moves to uint8."""
+
+    def _setup(self):
+        from gance_tpu.models.stylegan2 import (
+            GeneratorConfig,
+            broadcast_dlatents,
+            init_generator_params,
+            mapping_apply,
+        )
+
+        config = GeneratorConfig(resolution=64, fmap_base=1024)
+        assert config.nf(config.resolution_log2 - 1) < 128  # phase-eligible
+        params = init_generator_params(jax.random.PRNGKey(0), config)
+        z = _rand(11, (2, config.latent_size))
+        dl = broadcast_dlatents(mapping_apply(params, z, config), config)
+        return config, params, dl
+
+    @pytest.mark.parametrize("compute_dtype", [jnp.float32, jnp.bfloat16])
+    @pytest.mark.parametrize("noise_mode", ["const", "none"])
+    def test_bit_identical_on_phase_path(self, compute_dtype, noise_mode):
+        from gance_tpu.models.stylegan2 import images_to_uint8, synthesis_apply
+
+        config, params, dl = self._setup()
+        ref = images_to_uint8(
+            synthesis_apply(
+                params, dl, config, noise_mode=noise_mode,
+                compute_dtype=compute_dtype, phase_top_block_mode=True,
+            )
+        )
+        got = synthesis_apply(
+            params, dl, config, noise_mode=noise_mode,
+            compute_dtype=compute_dtype, phase_top_block_mode=True,
+            uint8_output=True,
+        )
+        assert got.dtype == jnp.uint8 and got.shape == (2, 64, 64, 3)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_bit_identical_random_noise(self):
+        from gance_tpu.models.stylegan2 import images_to_uint8, synthesis_apply
+
+        config, params, dl = self._setup()
+        rng = jax.random.PRNGKey(3)
+        ref = images_to_uint8(
+            synthesis_apply(
+                params, dl, config, noise_mode="random", rng=rng,
+                phase_top_block_mode=True,
+            )
+        )
+        got = synthesis_apply(
+            params, dl, config, noise_mode="random", rng=rng,
+            phase_top_block_mode=True, uint8_output=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_standard_path_fallback(self):
+        """uint8_output on the non-phase path = images_to_uint8 in-program."""
+        from gance_tpu.models.stylegan2 import images_to_uint8, synthesis_apply
+
+        config, params, dl = self._setup()
+        ref = images_to_uint8(
+            synthesis_apply(params, dl, config, phase_top_block_mode=False)
+        )
+        got = synthesis_apply(
+            params, dl, config, phase_top_block_mode=False, uint8_output=True
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_phases_upsample_matches_interleaved(self):
+        from gance_tpu.ops.upfirdn2d import (
+            upsample2x_phases_nchw,
+            upsample2x_polyphase_nchw,
+        )
+
+        x = _rand(7, (2, 3, 9, 13))
+        root = resample_root(RK)
+        fine = upsample2x_polyphase_nchw(x, root)
+        phases = upsample2x_phases_nchw(x, root)
+        for index, (i, j) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            np.testing.assert_array_equal(
+                np.asarray(phases[index]), np.asarray(fine[:, :, i::2, j::2])
+            )
