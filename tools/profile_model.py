@@ -62,6 +62,9 @@ def run_trace(trace_dir: str, iters: int = 3, batch: int = 24) -> None:
 
 
 def summarize(trace_dir: str, iters: int, top_k: int = 30) -> None:
+    import json
+    import os
+
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
@@ -72,11 +75,13 @@ def summarize(trace_dir: str, iters: int, top_k: int = 30) -> None:
         space.ParseFromString(f.read())
 
     totals: dict = collections.Counter()
+    details: dict = {}
     total_device = 0
     for plane in space.planes:
         # device planes carry an "XLA Ops" line with per-op events
         if "TPU" not in plane.name:
             continue
+        stat_names = {sid: sm.name for sid, sm in plane.stat_metadata.items()}
         for line in plane.lines:
             if line.name != "XLA Ops":
                 continue
@@ -85,11 +90,40 @@ def summarize(trace_dir: str, iters: int, top_k: int = 30) -> None:
                 dur = event.duration_ps / 1e9  # -> ms
                 totals[meta.name] += dur
                 total_device += dur
+                if meta.name not in details:
+                    # keep the op's HLO expression / category stats for the
+                    # fusion-name -> model-block mapping (tools/roofline.py)
+                    stats = {}
+                    for stat in list(event.stats) + list(meta.stats):
+                        key = stat_names.get(stat.metadata_id, str(stat.metadata_id))
+                        value = (
+                            stat.str_value
+                            or stat.bytes_value
+                            or stat.int64_value
+                            or stat.uint64_value
+                            or stat.double_value
+                        )
+                        if key in ("hlo_op", "expression", "long_name",
+                                   "hlo_category", "tf_op", "equation"):
+                            stats[key] = str(value)[:400]
+                    details[meta.name] = stats
 
     print(f"\ntotal device op time: {total_device / iters:.2f} ms/iter over {iters} iters")
     print(f"{'op':78s} {'ms/iter':>9s} {'%':>6s}")
     for name, ms in totals.most_common(top_k):
         print(f"{name[:78]:78s} {ms / iters:9.3f} {100 * ms / total_device:5.1f}%")
+
+    json_out = os.environ.get("PROFILE_JSON", "")
+    if json_out:
+        records = [
+            {"op": name, "ms_per_iter": round(ms / iters, 4),
+             "pct": round(100 * ms / total_device, 2), **details.get(name, {})}
+            for name, ms in totals.most_common()
+        ]
+        with open(json_out, "w") as f:
+            json.dump({"total_ms_per_iter": round(total_device / iters, 3),
+                       "iters": iters, "ops": records}, f, indent=1)
+        print(f"wrote {json_out}", file=sys.stderr)
 
 
 def run_trace_projection(trace_dir: str, iters: int, batch: int) -> None:
