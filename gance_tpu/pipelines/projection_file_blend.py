@@ -194,12 +194,21 @@ def _resumable_blend(  # pylint: disable=too-many-locals
             skip_mask = [False] * num_output_frames
 
         if done < total:
-            # synthesized frames feed detection AND compose: disk-tee them
+            # synthesized frames feed detection AND compose: disk-tee them.
+            # Targets likewise: detection fully materializes before compose
+            # starts (the track filter needs every decision), so compose's
+            # replay copy is always on the tee disk by the time it's pulled —
+            # one HDF5 read + gzip decompress + scale per frame instead of two
+            # (measured 0.24 s/frame at 1024px on one core, the bulk of the
+            # compose stage's busy time in the r4 e2e bench).
             background_iterators = iterator_on_disk(
                 iterator=background_scaled, copies=1, serializer=NPY_SERIALIZER
             )
+            target_iterators = iterator_on_disk(
+                iterator=scaled_targets(), copies=1, serializer=NPY_SERIALIZER
+            )
             overlay_results = compute_eye_tracking_overlay(
-                foreground_images=islice(scaled_targets(), done, None),
+                foreground_images=islice(target_iterators[0], done, None),
                 background_images=islice(
                     background_iterators[0], done - synth_from, None
                 ),
@@ -220,9 +229,11 @@ def _resumable_blend(  # pylint: disable=too-many-locals
             background_for_compose = islice(
                 background_iterators[1], start - synth_from, None
             )
+            foreground_for_compose = islice(target_iterators[1], start, None)
         else:
             all_boxes = cached
             background_for_compose = background_scaled  # starts at start already
+            foreground_for_compose = islice(scaled_targets(), start, None)
 
         long_tracks_mask = vector_reduction.track_length_filter(
             bool_tracks=np.asarray(
@@ -237,7 +248,7 @@ def _resumable_blend(  # pylint: disable=too-many-locals
         def compose() -> "Iterator[np.ndarray]":
             for boxes, foreground, background, in_long_track in zip(
                 all_boxes[start:],
-                islice(scaled_targets(), start, None),
+                foreground_for_compose,
                 background_for_compose,
                 list(long_tracks_mask)[start:],
             ):

@@ -64,7 +64,7 @@ def fabricate_wav(path: Path, seconds: float, sample_rate: int = 44100) -> None:
             signal[start : start + length] += 0.5 * burst
     data = np.clip(signal, -1.0, 1.0).astype(np.float32)
     write_wav_file(
-        WavFileProperties(wav_data=data, sample_rate=sample_rate, name=path.stem), path
+        path, WavFileProperties(wav_data=data, sample_rate=sample_rate, name=path.stem)
     )
 
 
@@ -170,19 +170,28 @@ def stage_table(stages: list, chain: list) -> list:
     return table
 
 
-def run_noise(assets: dict, frames: int, side: int, dtype: str, stats: Path) -> dict:
+def run_noise(assets: dict, frames: int, side: int, dtype: str, stats: Path,
+              warmup: bool = True) -> dict:
     from gance_tpu.pipelines.noise_blend import noise_blend_api
 
+    def once(n: int, path: Path) -> None:
+        path.unlink(missing_ok=True)
+        noise_blend_api(
+            wav=[assets["wav"]], output_path=path, network_paths=[assets["network"]],
+            frames_to_visualize=n, output_fps=30.0, output_side_length=side,
+            debug_path=None, debug_window=None, debug_side_length=None,
+            alpha=0.5, fft_roll_enabled=True, fft_amplitude_range=(-1.0, 1.0),
+            compute_dtype=dtype,
+        )
+
     out = assets["wav"].parent / "noise_blend_bench.mp4"
-    out.unlink(missing_ok=True)
+    if warmup:
+        # compile the batch-shaped programs so the timed pass is steady-state
+        print("noise_blend warmup ...", file=sys.stderr)
+        once(16, assets["wav"].parent / "noise_warmup.mp4")
+        stats.unlink(missing_ok=True)
     t0 = time.monotonic()
-    noise_blend_api(
-        wav=[assets["wav"]], output_path=out, network_paths=[assets["network"]],
-        frames_to_visualize=frames, output_fps=30.0, output_side_length=side,
-        debug_path=None, debug_window=None, debug_side_length=None,
-        alpha=0.5, fft_roll_enabled=True, fft_amplitude_range=(-1.0, 1.0),
-        compute_dtype=dtype,
-    )
+    once(frames, out)
     wall = time.monotonic() - t0
     stages = read_stages(stats)
     return {
@@ -198,26 +207,34 @@ def run_noise(assets: dict, frames: int, side: int, dtype: str, stats: Path) -> 
 
 
 def run_blend(assets: dict, frames: int, side: int, dtype: str, stats: Path,
-              overlay: bool, detection_side) -> dict:
+              overlay: bool, detection_side, warmup: bool = True) -> dict:
     from gance_tpu.pipelines.projection_file_blend import projection_file_blend_api
 
-    out = assets["wav"].parent / "projection_blend_bench.mp4"
-    out.unlink(missing_ok=True)
     overlay_kwargs = (
         dict(phash_distance=30, bbox_distance=50.0, track_length=5,
              overlay_detection_side=detection_side)
         if overlay
         else {}
     )
+
+    def once(n: int, path: Path) -> None:
+        path.unlink(missing_ok=True)
+        projection_file_blend_api(
+            wav=[assets["wav"]], output_path=path, network_paths=[assets["network"]],
+            frames_to_visualize=n, output_fps=30.0, output_side_length=side,
+            debug_path=None, debug_window=None, debug_side_length=None,
+            alpha=0.25, fft_roll_enabled=True, fft_amplitude_range=(-1.0, 1.0),
+            projection_file_path=assets["projection"], blend_depth=10,
+            compute_dtype=dtype, **overlay_kwargs,
+        )
+
+    out = assets["wav"].parent / "projection_blend_bench.mp4"
+    if warmup:
+        print("projection_file_blend warmup ...", file=sys.stderr)
+        once(16, assets["wav"].parent / "blend_warmup.mp4")
+        stats.unlink(missing_ok=True)
     t0 = time.monotonic()
-    projection_file_blend_api(
-        wav=[assets["wav"]], output_path=out, network_paths=[assets["network"]],
-        frames_to_visualize=frames, output_fps=30.0, output_side_length=side,
-        debug_path=None, debug_window=None, debug_side_length=None,
-        alpha=0.25, fft_roll_enabled=True, fft_amplitude_range=(-1.0, 1.0),
-        projection_file_path=assets["projection"], blend_depth=10,
-        compute_dtype=dtype, **overlay_kwargs,
-    )
+    once(frames, out)
     wall = time.monotonic() - t0
     stages = read_stages(stats)
     chain = [
@@ -257,16 +274,17 @@ def main() -> None:
     results = {"device": jax.devices()[0].platform, "host_cores": os.cpu_count()}
 
     stats = bench_dir / "stage_stats.jsonl"
+    warmup = os.environ.get("BENCH_WARMUP", "1") == "1"
     if which in ("noise", "both"):
         stats.unlink(missing_ok=True)
         os.environ["GANCE_TPU_STAGE_STATS"] = str(stats)
-        results["noise_blend"] = run_noise(assets, frames, side, dtype, stats)
+        results["noise_blend"] = run_noise(assets, frames, side, dtype, stats, warmup)
         print(json.dumps(results["noise_blend"]), file=sys.stderr)
     if which in ("blend", "both"):
         stats.unlink(missing_ok=True)
         os.environ["GANCE_TPU_STAGE_STATS"] = str(stats)
         results["projection_file_blend"] = run_blend(
-            assets, frames, side, dtype, stats, overlay, detection_side
+            assets, frames, side, dtype, stats, overlay, detection_side, warmup
         )
         print(json.dumps(results["projection_file_blend"]), file=sys.stderr)
 
