@@ -15,6 +15,7 @@ Env:   PROFILE_BATCH=24   batch size
 
 import collections
 import glob
+import os
 import sys
 import time
 
@@ -41,11 +42,24 @@ def run_trace(trace_dir: str, iters: int = 3, batch: int = 24) -> None:
         np.random.RandomState(0).randn(batch, config.latent_size).astype(np.float32)
     )
 
+    # PROFILE_EPILOGUE=fused (default) traces the production serving program
+    # (phase-domain uint8 quantization, the path bench.py times); "fine" keeps
+    # the pre-r4 interleave-in-bf16-then-quantize form.
+    fused = os.environ.get("PROFILE_EPILOGUE", "fused") == "fused"
+
     @jax.jit
     def fwd(p, z, acc):
-        images = images_to_uint8(
-            generator_apply(p, z, config, truncation_psi=1.2, compute_dtype=jnp.bfloat16)
-        )
+        if fused:
+            images = generator_apply(
+                p, z, config, truncation_psi=1.2, compute_dtype=jnp.bfloat16,
+                uint8_output=True,
+            )
+        else:
+            images = images_to_uint8(
+                generator_apply(
+                    p, z, config, truncation_psi=1.2, compute_dtype=jnp.bfloat16
+                )
+            )
         return acc + jnp.sum(images.astype(jnp.uint32))
 
     acc = jnp.zeros((), jnp.uint32)
