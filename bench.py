@@ -72,8 +72,10 @@ def main() -> None:
     params = jax.device_put(params, device)
 
     # BENCH_EPILOGUE=fused runs the serving path's phase-domain uint8 epilogue
-    # (uint8_output=True, bit-identical by construction + tests); "fine"
-    # interleaves in bf16 and quantizes after (the pre-r4 program).
+    # (uint8_output=True; bit-identical on CPU by construction + tests, and
+    # within TPU fusion-boundary rounding — mean 0.078 uint8 steps, max 5 —
+    # of "fine", which interleaves in bf16 and quantizes after (the pre-r4
+    # program)).
     fused_epilogue = os.environ.get("BENCH_EPILOGUE", "fused") == "fused"
 
     @jax.jit

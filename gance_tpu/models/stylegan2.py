@@ -466,9 +466,11 @@ def synthesis_apply(
         polyphase top-block path (forward-only) this fuses the skip add /
         bias / quantize into phase space and interleaves only uint8 bytes
         (ops/phase_block.py `phase_top_block_uint8` — bit-identical to
-        `images_to_uint8` of the float output, pinned by tests); every other
-        path falls back to `images_to_uint8(float output)` inside the same
-        program.
+        `images_to_uint8` of the float output on CPU, pinned by tests; on
+        TPU within fusion-boundary bf16 rounding, measured mean 0.078 /
+        max 5 uint8 steps — see the phase_top_block_uint8 docstring); every
+        other path falls back to `images_to_uint8(float output)` inside the
+        same program.
     """
     if noise_mode not in ("const", "random", "none"):
         raise ValueError(f"bad noise_mode {noise_mode!r}")

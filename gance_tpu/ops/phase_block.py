@@ -50,6 +50,7 @@ Phase/channel layout: channel index = ph * C + c with ph = dh*2 + dw (row
 phase major). sigma planes of Conv1 use the same layout.
 """
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -250,7 +251,7 @@ def _add_phase_noise(
     return x5.reshape(b, hh, hw, c4)
 
 
-def _phase_rgb_planes(
+def _phase_pre_rgb(
     x: Array,
     block: dict,
     dlatent_rows: Tuple[Array, Array, Array],
@@ -258,12 +259,15 @@ def _phase_rgb_planes(
     noise_c1_fine: Optional[Array],
     resample_kernel: Tuple[int, ...],
     compute_dtype: jnp.dtype,
-) -> Array:
+) -> Tuple[Array, Array]:
     """
-    The shared body of the phase top block: Conv0_up+blur (folded), Conv1, and
-    the phase-diagonal ToRGB — everything up to (but not including) the bias,
-    skip add, and interleave. Returns the RGB phase planes
-    (B, H/2+1, W/2+1, 12), channel = ph*3 + k, ph = sigma_h*2 + sigma_w.
+    The shared body of the phase top block through Conv1's lrelu, with the
+    ToRGB style multiply already applied: Conv0_up+blur (folded), Conv1.
+    Returns (z_styled, wr): z_styled (B, H/2+1, W/2+1, 4*cout) ready for the
+    ToRGB contraction, wr the runtime-coef'd fp32 (1, 1, cout, 3) base ToRGB
+    weight (per-phase — the block-diagonal or per-phase-conv form is the
+    caller's choice; both contract the same 64 nonzero products in the same
+    channel order, so they are bit-identical on MXU and XLA:CPU alike).
     """
     from gance_tpu.ops.modulated_conv import (
         demod_vector,
@@ -317,12 +321,34 @@ def _phase_rgb_planes(
     z = _add_phase_noise(z, noise_c1_ph, c1["noise_strength"])
     z = bias_act(z, _tile4(c1["bias"]), act="lrelu")
 
-    # --- ToRGB (phase-diagonal 1x1) + interleave + skip add ---
+    # --- ToRGB style multiply (the contraction itself is the caller's) ---
     wr = torgb["weight"].astype(jnp.float32) * runtime_weight_coef(
         torgb["weight"].shape[2]
     )
     s_rgb = style_vector(dl_rgb, torgb["mod_weight"], torgb["mod_bias"])  # (B, cout)
     z = z * _tile4(s_rgb).astype(z.dtype)[:, None, None, :]
+    return z, wr
+
+
+def _phase_rgb_planes(
+    x: Array,
+    block: dict,
+    dlatent_rows: Tuple[Array, Array, Array],
+    noise_up_fine: Optional[Array],
+    noise_c1_fine: Optional[Array],
+    resample_kernel: Tuple[int, ...],
+    compute_dtype: jnp.dtype,
+) -> Array:
+    """
+    `_phase_pre_rgb` plus the phase-diagonal ToRGB contraction. Returns the
+    RGB phase planes (B, H/2+1, W/2+1, 12), channel = ph*3 + k,
+    ph = sigma_h*2 + sigma_w.
+    """
+    z, wr = _phase_pre_rgb(
+        x, block, dlatent_rows, noise_up_fine, noise_c1_fine,
+        resample_kernel, compute_dtype,
+    )
+    cout = wr.shape[2]
     n_rgb = wr.shape[-1]
     wr_ph = jnp.zeros((1, 1, 4 * cout, 4 * n_rgb), jnp.float32)
     for ph in range(4):
@@ -385,11 +411,16 @@ def phase_top_block_uint8(
     transpose -> quantize chain, whose relayout copies the r3/r4 roofline
     accounting measured at ~10x their HBM floor (tools/roofline.py).
 
-    Value-identical to `images_to_uint8(transpose(phase_top_block(...)))`:
-    per-pixel adds happen in the same order on the same operands (the
-    polyphase skip upsample is tap-for-tap the accumulation the interleaving
-    form runs — `upsample2x_phases_nchw`), so the uint8 output matches
-    bit-for-bit (pinned by tests).
+    Value-identical to `images_to_uint8(transpose(phase_top_block(...)))` at
+    the HLO level: per-pixel adds happen in the same order on the same
+    operands (the polyphase skip upsample is tap-for-tap the accumulation the
+    interleaving form runs — `upsample2x_phases_nchw`), and the uint8 output
+    matches bit-for-bit on XLA:CPU (pinned by tests). On TPU the two program
+    FORMS are not bit-equal: XLA:TPU keeps bf16 math in fp32 INSIDE a fusion
+    and rounds at fusion boundaries, so restructuring the epilogue moves the
+    rounding points — measured at 1024px bf16: mean |diff| 0.078 uint8 steps,
+    7.7% of pixels nonzero, max 5 steps vs the fine program (r4 probe), well
+    inside the bf16-vs-fp32 envelope itself (r3 cert: mean ~1.0 step).
 
     :param y_nchw: the PRE-upsample RGB accumulator (B, 3, H/2, W/2) NCHW
         (note: `phase_top_block` takes the upsampled one), or None.
@@ -399,11 +430,23 @@ def phase_top_block_uint8(
 
     b = x.shape[0]
     hh, hw = x.shape[1], x.shape[2]
-    t_ph = _phase_rgb_planes(
-        x, block, dlatent_rows, noise_up_fine, noise_c1_fine,
-        resample_kernel, compute_dtype,
-    )
-    bias = block["ToRGB"]["bias"].astype(t_ph.dtype)
+    # GANCE_TPU_UINT8_RGB selects the ToRGB contraction form (trace-time read,
+    # like GANCE_TPU_BLUR — set before the first jitted call):
+    #   'blockdiag' (default): one (1,1,4*cout,12) block-diagonal conv over
+    #     the full grid.
+    #   'split': four per-phase 1x1 convs with the sigma spatial slice folded
+    #     into the conv INPUT, so each phase's bias/skip/quantize fuses into
+    #     its own conv epilogue and the (B, H/2+1, W/2+1, 12) intermediate
+    #     never exists — built to dodge that tensor's 2.34 ms XLA relayout
+    #     copy (tools/roofline.py), but MEASURED SLOWER on the v5e at 1024px
+    #     bf16 (204.2 vs 209.5 f/s at batch 24; 48.9 vs 46.1 ms at batch 8):
+    #     four 3-channel-out convs pay more in MXU setup than the copy costs.
+    #     Kept as the measured A/B arm. Both forms contract the same 64
+    #     nonzero products in the same channel order (CPU-bit-identical,
+    #     pinned by tests; TPU differs within fusion-boundary rounding).
+    split_rgb = os.environ.get("GANCE_TPU_UINT8_RGB", "blockdiag") == "split"
+
+    bias = block["ToRGB"]["bias"]
 
     y_phases: Optional[Tuple[Array, ...]] = None
     if y_nchw is not None:
@@ -414,11 +457,29 @@ def phase_top_block_uint8(
     scale = 255.0 / (hi - lo)
     offset = 0.5 - lo * scale
 
+    if split_rgb:
+        z, wr = _phase_pre_rgb(
+            x, block, dlatent_rows, noise_up_fine, noise_c1_fine,
+            resample_kernel, compute_dtype,
+        )
+        cout = wr.shape[2]
+    else:
+        t_ph = _phase_rgb_planes(
+            x, block, dlatent_rows, noise_up_fine, noise_c1_fine,
+            resample_kernel, compute_dtype,
+        )
+
     quantized = []
     for ph in range(4):
         sig_h, sig_w = ph // 2, ph % 2
-        t = t_ph[:, sig_h : hh + sig_h, sig_w : hw + sig_w, ph * 3 : (ph + 1) * 3]
-        t = t + bias
+        if split_rgb:
+            zs = z[:, sig_h : hh + sig_h, sig_w : hw + sig_w,
+                   ph * cout : (ph + 1) * cout]
+            t = phase_conv(zs, wr, ((0, 0), (0, 0)), compute_dtype)
+        else:
+            t = t_ph[:, sig_h : hh + sig_h, sig_w : hw + sig_w,
+                     ph * 3 : (ph + 1) * 3]
+        t = t + bias.astype(t.dtype)
         if y_phases is not None:
             # same operand order as the fine-grid `y + t`
             t = jnp.transpose(y_phases[ph], (0, 2, 3, 1)).astype(t.dtype) + t

@@ -436,9 +436,13 @@ class TestUint8Epilogue:
 
     @pytest.mark.parametrize("compute_dtype", [jnp.float32, jnp.bfloat16])
     @pytest.mark.parametrize("noise_mode", ["const", "none"])
-    def test_bit_identical_on_phase_path(self, compute_dtype, noise_mode):
+    @pytest.mark.parametrize("rgb_form", ["split", "blockdiag"])
+    def test_bit_identical_on_phase_path(
+        self, compute_dtype, noise_mode, rgb_form, monkeypatch
+    ):
         from gance_tpu.models.stylegan2 import images_to_uint8, synthesis_apply
 
+        monkeypatch.setenv("GANCE_TPU_UINT8_RGB", rgb_form)
         config, params, dl = self._setup()
         ref = images_to_uint8(
             synthesis_apply(
