@@ -17,9 +17,25 @@ The manifest carries a caller-supplied fingerprint of every output-affecting
 parameter; resuming with different parameters is refused (the parts would not
 belong to the requested render).
 
-Parts are written with the plain cv2 writer (each part must be a complete,
-standalone-readable file — the raw-spill AVI path patches headers at finalize
-and the ffmpeg path buffers, neither survives kill -9 mid-file). The final
+Two part formats (an in-flight part from a crash is DISCARDED on resume —
+only parts whose `finish()` ran and whose manifest entry landed count — so a
+part format only needs to be standalone-readable once complete):
+
+  * `mp4v` — plain cv2 writer. Compressed parts, but the finalize re-encode
+    compounds the loss (resumable output equals resumable output, not an
+    uninterrupted non-resumable run).
+  * `raw-avi` — the native muxer's uncompressed BI_RGB O_DIRECT path, one
+    complete AVI per part (chunks are byte-capped below the 4 GiB RIFF limit
+    so a part never segments). Durable frames are BIT-EXACT, so the finalize
+    performs the render's single, only encode: the deliverable is identical
+    to an uninterrupted non-resumable run's (pinned by tests). Also the fast
+    path on one-core hosts (raw 2160px writes measured 78 f/s vs 17 mp4v).
+
+The default follows the egress mode: `GANCE_TPU_EGRESS=raw-spill` selects
+`raw-avi` parts (previously that combination wrote LOSSY mp4v parts and then
+"raw-spilled" the re-encode — a lossy roundtrip into a raw deliverable). The
+format is recorded in the manifest; a resume keeps the recorded format
+regardless of the current env so one render's parts stay uniform. The final
 deliverable goes through the standard writer stack with `high_quality=True`,
 exactly like a non-resumable render.
 """
@@ -33,6 +49,7 @@ from typing import Any, Dict, Iterator, List, Optional
 import numpy as np
 
 from gance_tpu.media.video import (
+    create_raw_spill_writer,
     create_video_writer,
     frames_in_video,
     write_source_to_disk_forward,
@@ -41,6 +58,20 @@ from gance_tpu.types import image_resolution
 from gance_tpu.utils.logging import LOGGER
 
 DEFAULT_CHUNK_FRAMES = 300
+
+# Raw parts must stay single-file (no .partNNN segmentation inside a part):
+# cap a chunk's pixel bytes safely below RawAviWriter's own 3.5 GiB roll
+# threshold (SEGMENT_BYTES_DEFAULT), leaving headroom for AVI chunk/index
+# overhead (~24 bytes/frame).
+RAW_PART_BYTE_BUDGET = int(3.2 * 1024**3)
+
+PART_FORMATS = ("mp4v", "raw-avi")
+
+
+def default_parts_format() -> str:
+    """raw-avi iff the egress mode is raw-spill (see module docstring)."""
+    egress = os.environ.get("GANCE_TPU_EGRESS", "auto").strip().lower()
+    return "raw-avi" if egress == "raw-spill" else "mp4v"
 
 
 def manifest_path(output_path: Path) -> Path:
@@ -98,19 +129,37 @@ def write_source_resumable(
     audio_paths: Optional[List[Path]] = None,
     chunk_frames: int = DEFAULT_CHUNK_FRAMES,
     high_quality: bool = True,
+    parts_format: Optional[str] = None,
 ) -> int:
     """
     Consume `source` — the frames AFTER the durable prefix (the caller slices
     its inputs at `durable_frames(...)`) — into finished part files, then
     concatenate every part (+ audio mux) into `output_path`.
 
-    Returns the total frame count of the finished render.
+    :param parts_format: 'mp4v' or 'raw-avi' (see module docstring). None =
+        `default_parts_format()`. A resumed render keeps the format recorded
+        in its manifest regardless of this argument.
+    :return: the total frame count of the finished render.
     """
     output_path = Path(output_path)
+    requested_format = parts_format or default_parts_format()
+    if requested_format not in PART_FORMATS:
+        raise ValueError(
+            f"parts_format {requested_format!r}: expected one of {PART_FORMATS}"
+        )
     manifest = load_manifest(output_path, fingerprint) or {
         "fingerprint": fingerprint,
         "chunks": [],
+        "parts_format": requested_format,
     }
+    # older manifests predate the field and hold mp4v parts
+    fmt = manifest.setdefault("parts_format", "mp4v")
+    if fmt != requested_format:
+        LOGGER.info(
+            "Resuming with parts_format=%s from the manifest "
+            "(requested %s; one render's parts stay uniform)",
+            fmt, requested_format,
+        )
     parts_dir = parts_directory(output_path)
     parts_dir.mkdir(parents=True, exist_ok=True)
     # an in-flight chunk from a crashed run is not in the manifest: discard
@@ -123,17 +172,36 @@ def write_source_resumable(
     start = int(sum(chunk["frames"] for chunk in manifest["chunks"]))
     index = len(manifest["chunks"])
     written = start
+    effective_chunk = chunk_frames
     while True:
-        chunk = list(itertools.islice(source, chunk_frames))
+        chunk = list(itertools.islice(source, effective_chunk))
         if not chunk:
             break
-        name = f"part_{index:05d}.mp4"
-        part_path = parts_dir / name
-        writer = create_video_writer(
-            part_path, video_fps, image_resolution(chunk[0]),
-            high_quality=False,  # parts must be standalone cv2-readable files
-            allow_spill=False,
-        )
+        resolution = image_resolution(chunk[0])
+        if fmt == "raw-avi":
+            # byte-cap raw chunks below the RIFF limit (a part must not
+            # segment); re-slice the first chunk if the cap is smaller
+            frame_bytes = int(np.prod(chunk[0].shape))
+            cap = max(1, RAW_PART_BYTE_BUDGET // frame_bytes)
+            if cap < effective_chunk:
+                LOGGER.info(
+                    "Raw parts: chunk capped at %d frames (%d requested) to "
+                    "stay below the 4 GiB AVI segment limit", cap, chunk_frames,
+                )
+                effective_chunk = cap
+                source = itertools.chain(chunk[cap:], source)
+                chunk = chunk[:cap]
+            name = f"part_{index:05d}.avi"
+            writer = create_raw_spill_writer(
+                parts_dir / name, video_fps, resolution
+            )
+        else:
+            name = f"part_{index:05d}.mp4"
+            writer = create_video_writer(
+                parts_dir / name, video_fps, resolution,
+                high_quality=False,  # parts must be standalone cv2-readable
+                allow_spill=False,
+            )
         for frame in chunk:
             writer.write(frame)
         writer.finish()

@@ -219,6 +219,129 @@ def test_flagship_kill9_resume_matches_uninterrupted(assets, tmp_path):
         np.testing.assert_array_equal(got, want, err_msg=f"frame {index}")
 
 
+def _crashy(frames: list, crash_after: int):
+    """A source that dies (like the process would) after yielding N frames."""
+    for index, frame in enumerate(frames):
+        if index == crash_after:
+            raise RuntimeError("simulated crash")
+        yield frame
+
+
+@pytest.mark.parametrize("parts_format", ["raw-avi", "mp4v"])
+def test_raw_parts_crash_resume(parts_format, tmp_path):
+    """Crash mid-render, resume, and compare against an uninterrupted
+    non-resumable encode of the same frames. raw-avi parts are bit-exact, so
+    the finalized deliverable must EQUAL the non-resumable run frame-for-frame
+    (the mp4v arm only pins resumable==resumable, its documented contract)."""
+    import more_itertools
+
+    from gance_tpu.media.resume import durable_frames, write_source_resumable
+    from gance_tpu.media.video import write_source_to_disk_forward
+
+    rng = np.random.RandomState(7)
+    frames = [(rng.rand(32, 32, 3) * 255).astype(np.uint8) for _ in range(10)]
+    fingerprint = {"test": "raw-parts", "frames": 10}
+
+    out = tmp_path / "render.mp4"
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        write_source_resumable(
+            _crashy(frames, crash_after=6), out, 30.0, fingerprint,
+            chunk_frames=4, parts_format=parts_format,
+        )
+    durable = durable_frames(out, fingerprint)
+    assert durable == 4  # one finished chunk; the in-flight one is lost
+    assert not out.exists()
+
+    total = write_source_resumable(
+        iter(frames[durable:]), out, 30.0, fingerprint,
+        chunk_frames=4, parts_format=parts_format,
+    )
+    assert total == 10
+    assert not (tmp_path / "render.mp4.resume.json").exists()
+    resumed = _read_frames(out)
+    assert len(resumed) == 10
+
+    if parts_format == "raw-avi":
+        # bit-exact parts -> the single finalize encode sees the original
+        # frames -> output identical to a non-resumable render
+        direct = tmp_path / "direct.mp4"
+        more_itertools.consume(
+            write_source_to_disk_forward(
+                source=iter(frames), video_path=direct, video_fps=30.0,
+                high_quality=True,
+            )
+        )
+        want = _read_frames(direct)
+        for index, (got, ref) in enumerate(zip(resumed, want)):
+            np.testing.assert_array_equal(got, ref, err_msg=f"frame {index}")
+
+
+def _direct_encode(frames: list, path: Path) -> list:
+    """A non-resumable high_quality encode of `frames`, decoded back."""
+    import more_itertools
+
+    from gance_tpu.media.video import write_source_to_disk_forward
+
+    more_itertools.consume(
+        write_source_to_disk_forward(
+            source=iter(frames), video_path=path, video_fps=30.0,
+            high_quality=True,
+        )
+    )
+    return _read_frames(path)
+
+
+def test_raw_parts_byte_cap(tmp_path, monkeypatch):
+    """Chunks re-slice under the raw byte budget so a part never hits the
+    muxer's segment roll (which would break the one-file-per-part manifest)."""
+    from gance_tpu.media import resume as resume_mod
+
+    monkeypatch.setattr(resume_mod, "RAW_PART_BYTE_BUDGET", 32 * 32 * 3 * 2)
+    rng = np.random.RandomState(8)
+    frames = [(rng.rand(32, 32, 3) * 255).astype(np.uint8) for _ in range(5)]
+    out = tmp_path / "capped.mp4"
+    total = resume_mod.write_source_resumable(
+        iter(frames), out, 30.0, {"t": 1}, chunk_frames=4,
+        parts_format="raw-avi",
+    )
+    assert total == 5
+    np.testing.assert_array_equal(
+        np.stack(_read_frames(out)),
+        np.stack(_direct_encode(frames, tmp_path / "direct.mp4")),
+    )
+
+
+def test_resume_keeps_manifest_parts_format(tmp_path):
+    """A resume keeps the format recorded in the manifest even when the
+    current default/argument differs (one render's parts stay uniform)."""
+    from gance_tpu.media.resume import (
+        load_manifest,
+        write_source_resumable,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = [(rng.rand(32, 32, 3) * 255).astype(np.uint8) for _ in range(8)]
+    out = tmp_path / "mixed.mp4"
+    fingerprint = {"t": 2}
+    with pytest.raises(RuntimeError):
+        write_source_resumable(
+            _crashy(frames, 5), out, 30.0, fingerprint,
+            chunk_frames=4, parts_format="raw-avi",
+        )
+    manifest = load_manifest(out, fingerprint)
+    assert manifest["parts_format"] == "raw-avi"
+    write_source_resumable(  # resume asking for mp4v: manifest wins
+        iter(frames[4:]), out, 30.0, fingerprint,
+        chunk_frames=4, parts_format="mp4v",
+    )
+    # all parts stayed raw-avi -> bit-exact finalize input -> output equals
+    # the non-resumable encode
+    np.testing.assert_array_equal(
+        np.stack(_read_frames(out)),
+        np.stack(_direct_encode(frames, tmp_path / "direct.mp4")),
+    )
+
+
 def test_resume_fingerprint_mismatch_refuses(assets, tmp_path):
     _, pkl, wav, _ = assets
     out = tmp_path / "out.mp4"
