@@ -27,9 +27,9 @@ Methodology (honest numbers — read before quoting):
     time includes its upstream pulls); `stage_self` subtracts the upstream
     wrapper where the chain is linear. Detection pulls BOTH teed streams, so
     its self time nets out both input stages.
-  * Wall f/s includes one-time costs (network load, compile when the
-    persistent cache is cold, audio mux); `steady_fps` excludes the first
-    batch by using the encode stage's elapsed window.
+  * A warmup pass first compiles the batch-shaped programs, so the timed
+    pass is steady-state; wall f/s still includes per-run one-time costs
+    (network load, audio mux).
 
 Usage: python tools/bench_pipeline.py [noise|blend|both]
 Env:   BENCH_FRAMES=96  BENCH_SIDE=1024  BENCH_DTYPE=bfloat16
