@@ -135,6 +135,17 @@ def noise_blend_api(
     audio_paths = [Path(p) for p in wav]
     if resumable and create_debug_visualization:
         raise ValueError("--resumable does not support the debug visualization video")
+    if resumable:
+        import jax
+
+        if jax.process_count() > 1:
+            # The multi-host writer gating lives in write_source_to_disk_forward;
+            # write_source_resumable has no coordinator story — every process
+            # would race the same manifest on a shared filesystem.
+            raise ValueError(
+                "--resumable is single-process only; combine it with "
+                "single-host rendering or drop --dist-*"
+            )
 
     import contextlib
 

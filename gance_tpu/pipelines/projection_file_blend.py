@@ -323,6 +323,17 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
     audio_paths = [Path(p) for p in wav]
     if resumable and create_debug_visualization:
         raise ValueError("--resumable does not support the debug visualization video")
+    if resumable:
+        import jax
+
+        if jax.process_count() > 1:
+            # The multi-host writer gating lives in write_source_to_disk_forward;
+            # write_source_resumable has no coordinator story — every process
+            # would race the same manifest on a shared filesystem.
+            raise ValueError(
+                "--resumable is single-process only; combine it with "
+                "single-host rendering or drop --dist-*"
+            )
 
     overlay_enabled = all(
         p is not None for p in (phash_distance, bbox_distance, track_length)

@@ -361,6 +361,25 @@ def test_resume_fingerprint_mismatch_refuses(assets, tmp_path):
     assert "different parameters" in str(result.exception)
 
 
+def test_resumable_rejects_multiprocess(assets, tmp_path, monkeypatch):
+    """--resumable has no multi-host coordinator story: every process would
+    race the same manifest. Refuse loudly instead of corrupting."""
+    import jax
+
+    from gance_tpu.pipelines.noise_blend import noise_blend_api
+
+    _, pkl, wav, _ = assets
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="single-process only"):
+        noise_blend_api(
+            wav=[wav], output_path=tmp_path / "o.mp4", network_paths=[pkl],
+            frames_to_visualize=8, output_fps=30.0, output_side_length=32,
+            debug_path=None, debug_window=None, debug_side_length=None,
+            alpha=0.5, fft_roll_enabled=False, fft_amplitude_range=(-1.0, 1.0),
+            resumable=True,
+        )
+
+
 def test_resumable_rejects_debug_video(assets, tmp_path):
     _, pkl, wav, _ = assets
     args = _noise_blend_args(pkl, wav, tmp_path / "out.mp4") + [
