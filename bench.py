@@ -48,13 +48,15 @@ def main() -> None:
         init_generator_params,
     )
 
-    # 24 is the sweet spot. The "cliff" past it is sublane padding: these
-    # layouts put batch on the 8-wide sublane axis (T(8,128) tiles), so any
-    # batch not a multiple of 8 pads to the next one — b28 computes as 32
-    # (+14% per frame, matching the measured 13% via xplane diff, r3); b32
-    # is pad-free but exceeds the VMEM-friendly working set. Use multiples
-    # of 8.
-    batch = int(os.environ.get("BENCH_BATCH", "24"))
+    # Batch 48 is the r4 sweet spot (fused uint8 epilogue): 24 -> 209.5,
+    # 32 -> 215.9, 48 -> 221.3, 56 -> 219.7 f/s; 64+ fails remote compile
+    # (persistent tpu_compile_helper exit 1 across 6 retries). The old
+    # b24 ceiling was the pre-fusion epilogue's HBM working set; with only
+    # uint8 bytes interleaved, larger batches amortize the fixed per-dispatch
+    # costs instead. Keep batch a multiple of 8: these layouts put batch on
+    # the 8-wide sublane axis (T(8,128) tiles), so off-multiples pad up —
+    # b28 computes as 32 (+14%/frame, measured via xplane diff, r3).
+    batch = int(os.environ.get("BENCH_BATCH", "48"))
     iters = int(os.environ.get("BENCH_ITERS", "12"))
     resolution = int(os.environ.get("BENCH_RESOLUTION", "1024"))
     # BENCH_DTYPE=float32 measures the exact path; combine with

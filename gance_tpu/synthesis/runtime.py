@@ -44,7 +44,8 @@ from gance_tpu.utils.logging import LOGGER
 Params = Dict[str, Any]
 
 # Streaming default balances latency vs throughput; raw synthesis throughput on
-# v5e peaks near batch 24 (bench.py), so raise GANCE_TPU_BATCH_SIZE for offline runs.
+# v5e peaks near batch 48 with the fused uint8 epilogue (bench.py, r4), so
+# raise GANCE_TPU_BATCH_SIZE for offline runs.
 DEFAULT_BATCH_SIZE = int(os.environ.get("GANCE_TPU_BATCH_SIZE", "8"))
 
 # How many batches of frames synthesize_stream groups at once: with rapidly
