@@ -29,20 +29,9 @@ import numpy as np  # noqa: E402
 def fabricate_wav(path: Path, seconds: float = 2.0, sample_rate: int = 44100) -> Path:
     """A percussive synthetic track (decaying noise bursts over a chirp) so the
     demo is self-contained — no reference checkout, no external assets."""
-    from gance_tpu.audio.io import WavFileProperties, write_wav_file
+    from gance_tpu.audio.io import fabricate_percussive_wav
 
-    rng = np.random.RandomState(42)
-    t = np.arange(int(seconds * sample_rate)) / sample_rate
-    chirp = 0.3 * np.sin(2 * np.pi * (110 + 220 * t) * t)
-    signal = chirp.copy()
-    for onset in np.arange(0.0, seconds, 0.25):  # 4 "claps" per second
-        start = int(onset * sample_rate)
-        length = min(int(0.05 * sample_rate), signal.size - start)
-        envelope = np.exp(-np.arange(length) / (0.01 * sample_rate))
-        signal[start : start + length] += 0.7 * envelope * rng.randn(length)
-    pcm = (np.clip(signal, -1.0, 1.0) * 32767).astype(np.int16)
-    write_wav_file(path, WavFileProperties(wav_data=pcm, sample_rate=sample_rate, name=path.stem))
-    return path
+    return fabricate_percussive_wav(path, seconds, sample_rate, dtype="int16")
 
 
 def main() -> None:

@@ -156,3 +156,36 @@ def read_wavs_scale_for_video(
 def write_wav_file(path: Path, wav: WavFileProperties) -> None:
     """Write float32 PCM wav (utility for tests + audio mux)."""
     wavfile.write(str(path), wav.sample_rate, wav.wav_data)
+
+
+def fabricate_percussive_wav(
+    path: Path,
+    seconds: float = 2.0,
+    sample_rate: int = 44100,
+    dtype: str = "int16",
+) -> Path:
+    """
+    A deterministic percussive synthetic track (decaying noise bursts — 4
+    "claps" per second — over a rising chirp) for self-contained demos, tests,
+    and benches on hosts with no real audio assets. `dtype` picks the PCM
+    encoding: "int16" (demo deliverables) or "float32" (DSP benches).
+    """
+    rng = np.random.RandomState(42)
+    t = np.arange(int(seconds * sample_rate)) / sample_rate
+    signal = 0.3 * np.sin(2 * np.pi * (110 + 220 * t) * t)
+    for onset in np.arange(0.0, seconds, 0.25):
+        start = int(onset * sample_rate)
+        length = min(int(0.05 * sample_rate), signal.size - start)
+        if length > 0:
+            envelope = np.exp(-np.arange(length) / (0.01 * sample_rate))
+            signal[start : start + length] += 0.7 * envelope * rng.randn(length)
+    clipped = np.clip(signal, -1.0, 1.0)
+    data = (
+        (clipped * 32767).astype(np.int16)
+        if dtype == "int16"
+        else clipped.astype(np.float32)
+    )
+    write_wav_file(
+        path, WavFileProperties(wav_data=data, sample_rate=sample_rate, name=path.stem)
+    )
+    return path

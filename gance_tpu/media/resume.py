@@ -74,6 +74,20 @@ def default_parts_format() -> str:
     return "raw-avi" if egress == "raw-spill" else "mp4v"
 
 
+def file_identity(path: Path) -> list:
+    """
+    Content identity of an input file for render fingerprints:
+    ``[path, size_bytes, mtime_ns]``. A path string alone would let parts
+    rendered from an overwritten file (e.g. a retrained network pkl at the
+    same path) silently concatenate with frames from the new content; size +
+    mtime catches every overwrite without paying an md5 pass over
+    multi-hundred-MB network pickles at the start of every resumable run.
+    Returned as a JSON-native list so the manifest round-trip compares equal.
+    """
+    stat = Path(path).stat()
+    return [str(path), stat.st_size, stat.st_mtime_ns]
+
+
 def manifest_path(output_path: Path) -> Path:
     return output_path.with_name(output_path.name + ".resume.json")
 

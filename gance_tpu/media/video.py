@@ -189,6 +189,12 @@ def create_video_writer(
         state = {"proc": None, "input_resolution": None}
 
         def ffmpeg_args(input_resolution: ImageResolution) -> list:
+            # -use_editlist / -movflags are mov/mp4-muxer PRIVATE options; on
+            # any other container (mkv, avi) ffmpeg aborts at startup with
+            # "Option not found" — emit them only where they exist. The
+            # reference only ever wrote .mp4, so the mp4 argv is its exact
+            # profile and other containers simply omit the muxer knobs.
+            mp4_like = Path(video_path).suffix.lower() in (".mp4", ".mov", ".m4v")
             return [
                 _ffmpeg_binary(),
                 "-y",
@@ -201,8 +207,11 @@ def create_video_writer(
                 "-vcodec", "libx264",
                 "-crf", "18",
                 "-bf", "2",
-                "-use_editlist", "0",
-                "-movflags", "+faststart",
+                *(
+                    ["-use_editlist", "0", "-movflags", "+faststart"]
+                    if mp4_like
+                    else []
+                ),
                 "-pix_fmt", "yuv422p",
                 str(video_path),
             ]

@@ -186,7 +186,11 @@ def noise_blend_api(
         )
 
         if resumable:
-            from gance_tpu.media.resume import durable_frames, write_source_resumable
+            from gance_tpu.media.resume import (
+                durable_frames,
+                file_identity,
+                write_source_resumable,
+            )
             from gance_tpu.synthesis.inputs import slice_visualization_input
 
             total_frames = len(np.asarray(viz_input.network_indices.result.data))
@@ -194,8 +198,8 @@ def noise_blend_api(
                 total_frames = min(total_frames, frames_to_visualize)
             fingerprint = {
                 "pipeline": "noise_blend",
-                "wavs": [str(p) for p in audio_paths],
-                "networks": [str(p) for p in network_paths],
+                "wavs": [file_identity(p) for p in audio_paths],
+                "networks": [file_identity(p) for p in network_paths],
                 "alpha": alpha,
                 "fft_roll_enabled": bool(fft_roll_enabled),
                 "fft_amplitude_range": list(fft_amplitude_range),

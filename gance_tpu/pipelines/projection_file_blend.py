@@ -10,6 +10,7 @@ mask, muxed with the audio track; optional many-tile debug video.
 """
 
 import logging
+import os
 from itertools import tee
 from pathlib import Path
 from typing import Iterator, List, Optional, Tuple
@@ -27,6 +28,7 @@ from gance_tpu.media.video import (
     write_source_to_disk_consume,
     write_source_to_disk_forward,
 )
+from gance_tpu.media.resume import file_identity as resume_file_identity
 from gance_tpu.overlay.common import BoundingBox, write_boxes_onto_image
 from gance_tpu.overlay.eye_tracking import compute_eye_tracking_overlay
 from gance_tpu.projection import file_reader as projection_file_reader
@@ -57,7 +59,13 @@ def _load_overlay_decisions(path: Path, fingerprint: dict) -> List[Optional[List
     lines = path.read_text().splitlines()
     if not lines:
         return []
-    header = json.loads(lines[0])
+    try:
+        header = json.loads(lines[0])
+    except json.JSONDecodeError:
+        # Killed while writing the header itself: nothing usable.
+        LOGGER.warning("%s has a torn header; recomputing overlay decisions.", path)
+        path.unlink()
+        return []
     if header.get("fingerprint") != fingerprint:
         LOGGER.warning(
             "%s was written by a render with different parameters; "
@@ -66,8 +74,33 @@ def _load_overlay_decisions(path: Path, fingerprint: dict) -> List[Optional[List
         path.unlink()
         return []
     decisions: List[Optional[List[BoundingBox]]] = []
-    for line in lines[1:]:
-        record = json.loads(line)
+    for index, line in enumerate(lines[1:]):
+        try:
+            record = json.loads(line)
+        except json.JSONDecodeError:
+            if index == len(lines) - 2:
+                # A kill -9 mid-flush leaves a torn FINAL line; every earlier
+                # line was followed by a flushed newline, so the prefix is
+                # intact — drop the tail record and recompute it. Truncate it
+                # out of the file too: it has no trailing newline, so a later
+                # append would otherwise weld onto the torn bytes.
+                LOGGER.warning(
+                    "%s ends in a torn line (crash mid-write); dropping the "
+                    "final record and resuming from %d cached decisions.",
+                    path, len(decisions),
+                )
+                tmp = path.with_name(path.name + ".tmp")
+                tmp.write_text("\n".join(lines[:-1]) + "\n", encoding="utf-8")
+                os.replace(tmp, path)
+                break
+            # Torn line in the MIDDLE means the file is corrupt beyond the
+            # crash model (disk error, concurrent writer): recompute all.
+            LOGGER.warning(
+                "%s is corrupt at record %d; recomputing overlay decisions.",
+                path, index,
+            )
+            path.unlink()
+            return []
         boxes = record["boxes"]
         decisions.append(
             None if boxes is None else [BoundingBox(*box) for box in boxes]
@@ -80,12 +113,19 @@ def _checkpoint_decisions(
 ) -> Iterator:
     """Append each newly computed decision to the jsonl as it streams through."""
     import json
+    import time
+
+    # Test seam (like GANCE_TPU_RESUME_CHUNK_DELAY): widen the per-decision
+    # window so a kill -9 lands mid-DETECTION deterministically in tests.
+    delay = float(os.environ.get("GANCE_TPU_RESUME_DECISION_DELAY", "0") or 0)
 
     if start_index == 0 or not path.exists():
         header = json.dumps({"fingerprint": fingerprint})
         path.write_text(header + "\n")
     with path.open("a", encoding="utf-8") as handle:
         for boxes in decisions:
+            if delay:
+                time.sleep(delay)
             handle.write(
                 json.dumps(
                     {"boxes": None if boxes is None else [list(b) for b in boxes]}
@@ -154,11 +194,20 @@ def _resumable_blend(  # pylint: disable=too-many-locals
             "decisions cached)", start, total, done,
         )
 
+    # Temporal smoothing needs a `warm`-frame detection replay before frame
+    # `done` to rebuild its trailing box history (see the comment at the
+    # compute_eye_tracking_overlay call below).
+    warm = (
+        min(done, overlay_smoothing)
+        if overlay_smoothing and overlay_smoothing > 1
+        else 0
+    )
+    detect_from = done - warm
     # Compose needs synthesized frames [start, total); detection needs
-    # [done, total). Chunks are only written after ALL decisions are durable,
-    # so start > 0 implies done == total; min() is belt-and-braces.
+    # [detect_from, total). Chunks are only written after ALL decisions are
+    # durable, so start > 0 implies done == total; min() is belt-and-braces.
     synth_from = (
-        start if (not overlay_enabled or done >= total) else min(start, done)
+        start if (not overlay_enabled or done >= total) else min(start, detect_from)
     )
     synthesis_output = vector_synthesis(
         networks=multi_networks,
@@ -194,6 +243,16 @@ def _resumable_blend(  # pylint: disable=too-many-locals
             skip_mask = [False] * num_output_frames
 
         if done < total:
+            # Temporal smoothing carries a trailing `overlay_smoothing`-frame
+            # deque of raw eye boxes across frames; resuming detection at
+            # frame `done` with an empty deque would gate frames done..done+N
+            # on unsmoothed geometry and break the "output equals an
+            # uninterrupted run" contract. The deque's state at frame `done`
+            # is a pure function of the last `overlay_smoothing` frames' raw
+            # detections (maxlen window + resets that only look one frame
+            # back), so replaying detection over exactly those frames — and
+            # discarding the re-emitted decisions, which are already durable
+            # in the sidecar — rebuilds it bit-exactly.
             # synthesized frames feed detection AND compose: disk-tee them.
             # Targets likewise: detection fully materializes before compose
             # starts (the track filter needs every decision), so compose's
@@ -208,21 +267,24 @@ def _resumable_blend(  # pylint: disable=too-many-locals
                 iterator=scaled_targets(), copies=1, serializer=NPY_SERIALIZER
             )
             overlay_results = compute_eye_tracking_overlay(
-                foreground_images=islice(target_iterators[0], done, None),
+                foreground_images=islice(target_iterators[0], detect_from, None),
                 background_images=islice(
-                    background_iterators[0], done - synth_from, None
+                    background_iterators[0], detect_from - synth_from, None
                 ),
                 min_phash_distance=phash_distance,
                 min_bbox_distance=bbox_distance,
-                skip_mask=skip_mask[done:],
+                skip_mask=skip_mask[detect_from:],
                 detection_side=overlay_detection_side,
                 temporal_smoothing=overlay_smoothing,
             )
+            boxes_stream = overlay_results.bbox_lists
+            for _ in range(warm):
+                next(boxes_stream)  # warm-up frames: already in the sidecar
             # materialize (the track filter needs every decision), streaming
             # each new decision into the sidecar as it is computed
             new_boxes = list(
                 _checkpoint_decisions(
-                    decisions_path, fingerprint, done, overlay_results.bbox_lists
+                    decisions_path, fingerprint, done, boxes_stream
                 )
             )
             all_boxes = cached + new_boxes
@@ -438,8 +500,8 @@ def projection_file_blend_api(  # pylint: disable=too-many-locals,too-many-branc
                 resume_chunk_frames=resume_chunk_frames,
                 fingerprint={
                     "pipeline": "projection_file_blend",
-                    "wavs": [str(p) for p in audio_paths],
-                    "networks": [str(p) for p in network_paths],
+                    "wavs": [resume_file_identity(p) for p in audio_paths],
+                    "networks": [resume_file_identity(p) for p in network_paths],
                     "projection_file": str(projection_file_path),
                     "projection_file_md5": reader.projection_attributes.target_md5_hash,
                     "alpha": alpha,

@@ -23,6 +23,7 @@ streaming happens through a host callback per step (the HDF5 writer), which also
 preserves the per-frame durability contract.
 """
 
+import collections
 import time
 from dataclasses import dataclass, replace
 from pathlib import Path
@@ -654,17 +655,42 @@ class TPUProjector:
         # collective under a multi-host mesh, and every process sees the same
         # trace, so the stop decision is identical everywhere by construction.
         converge = settings.convergence_stop is not None
-        distance_trace: List[np.ndarray] = []
+        # The detector only ever reads the last 2*window rows, and nothing can
+        # stop before max(min_steps, 2*window): keep a BOUNDED deque of recent
+        # rows and skip the per-step device fetch entirely until the trace is
+        # close enough to the gate to matter (a fetch is a tunnel round-trip /
+        # multi-host collective per step — the dominant cost of arming the
+        # stop on a long non-scan run).
+        trace_window = 2 * settings.convergence_window
+        trace_gate = max(settings.resolved_convergence_min_steps(), trace_window)
+        distance_trace: "collections.deque" = collections.deque()
+        trace_rows = 0
         steps_completed = 0
 
+        def _record_distances(rows: np.ndarray) -> None:
+            nonlocal trace_rows
+            distance_trace.append(rows)
+            trace_rows += rows.shape[0]
+            while distance_trace and (
+                trace_rows - distance_trace[0].shape[0] >= trace_window
+            ):
+                trace_rows -= distance_trace.popleft().shape[0]
+
+        def _wants_trace() -> bool:
+            # True once the rows produced so far could be inside the window of
+            # a future check — i.e. the trailing 2*window rows before the gate.
+            return converge and steps_completed > trace_gate - trace_window
+
         def _converged() -> bool:
-            if not converge or not distance_trace:
+            if not converge or steps_completed < trace_gate or not distance_trace:
                 return False
+            # min_steps already enforced via steps_completed (the deque is
+            # bounded, so the trace length no longer measures total steps).
             return convergence_should_stop(
                 np.concatenate(distance_trace, axis=0),
                 window=settings.convergence_window,
                 epsilon=float(settings.convergence_stop),
-                min_steps=settings.resolved_convergence_min_steps(),
+                min_steps=0,
             )
 
         if use_scan:
@@ -725,8 +751,8 @@ class TPUProjector:
                         )
                 step_number += segment
                 steps_completed = step_number
-                if converge:
-                    distance_trace.append(self._fetch(dists)[:, :batch])
+                if _wants_trace():
+                    _record_distances(self._fetch(dists)[:, :batch])
                     if _converged():
                         LOGGER.info(
                             "Convergence stop at step %d/%d (windowed relative "
@@ -777,8 +803,8 @@ class TPUProjector:
                         "step 0 uses a compile-aware budget)."
                     )
                 steps_completed = step_number + 1
-                if converge:
-                    distance_trace.append(self._fetch(dist).reshape(1, -1)[:, :batch])
+                if _wants_trace():
+                    _record_distances(self._fetch(dist).reshape(1, -1)[:, :batch])
                     if _converged():
                         LOGGER.info(
                             "Convergence stop at step %d/%d (windowed relative "
@@ -848,6 +874,8 @@ class TPUProjector:
             )
         target_proc = downsample_to(target, self.settings.perceptual_size)
         noise_list = [jnp.asarray(np.asarray(n), jnp.float32) for n in noises]
+        # _fetch, not bare np.asarray: under a process-spanning mesh the jitted
+        # output is not fully addressable and must be allgathered first.
         return np.asarray(
-            fn(self._perceptual_on_device(), w, noise_list, target_proc)
+            self._fetch(fn(self._perceptual_on_device(), w, noise_list, target_proc))
         )

@@ -562,6 +562,29 @@ def test_high_quality_writer_x264_argv_golden(tmp_path, monkeypatch):
     ]
 
 
+def test_high_quality_writer_non_mp4_omits_mov_private_options(tmp_path, monkeypatch):
+    """-use_editlist / -movflags are mov/mp4-muxer PRIVATE options; on any
+    other container ffmpeg aborts at startup with 'Option not found', so the
+    writer must omit them for e.g. .mkv output (the x264 settings stay)."""
+    from gance_tpu.media.video import create_video_writer
+    from gance_tpu.types import ImageResolution
+
+    record = _install_fake_ffmpeg(tmp_path, monkeypatch)
+    out = tmp_path / "out.mkv"
+    handle = create_video_writer(
+        out, 30.0, ImageResolution(width=16, height=16), high_quality=True
+    )
+    handle.write(np.zeros((16, 16, 3), np.uint8))
+    handle.finish()
+
+    argv = record.read_text().splitlines()
+    assert "-use_editlist" not in argv
+    assert "-movflags" not in argv
+    assert argv[argv.index("-vcodec") + 1] == "libx264"
+    assert argv[argv.index("-crf") + 1] == "18"
+    assert argv[-1] == str(out)
+
+
 def test_high_quality_writer_scales_mismatched_source(tmp_path, monkeypatch):
     """Reference semantics: a source that doesn't match the declared output
     resolution is SCALED by the filter chain (WriteGear takes the input size

@@ -424,3 +424,172 @@ def test_slice_visualization_input_indexing():
         sliced.network_indices.layers[0].data, indices[2:] * 2.0
     )
     assert slice_visualization_input(original, 0) is original
+
+
+def test_torn_overlay_sidecar_tail_dropped(tmp_path):
+    """A kill -9 mid-flush leaves a torn final jsonl line; the loader must drop
+    (and truncate) it so the resume proceeds from the intact prefix instead of
+    crashing — and a later append must not weld onto the torn bytes."""
+    from gance_tpu.pipelines.projection_file_blend import (
+        _checkpoint_decisions,
+        _load_overlay_decisions,
+    )
+    from gance_tpu.types import BoundingBox
+
+    fingerprint = {"pipeline": "test"}
+    path = tmp_path / "out.mp4.overlay.jsonl"
+    path.write_text(
+        json.dumps({"fingerprint": fingerprint}) + "\n"
+        + json.dumps({"boxes": [[1, 2, 3, 4]]}) + "\n"
+        + json.dumps({"boxes": None}) + "\n"
+        + '{"boxes": [[5, 6,'  # torn mid-write, no trailing newline
+    )
+    decisions = _load_overlay_decisions(path, fingerprint)
+    assert decisions == [[BoundingBox(1, 2, 3, 4)], None]
+    # torn bytes were truncated out of the file itself
+    assert path.read_text().endswith('{"boxes": null}\n')
+
+    # appending resumes cleanly after the intact prefix
+    list(_checkpoint_decisions(path, fingerprint, 2, iter([[BoundingBox(9, 9, 2, 2)]])))
+    assert _load_overlay_decisions(path, fingerprint) == [
+        [BoundingBox(1, 2, 3, 4)], None, [BoundingBox(9, 9, 2, 2)],
+    ]
+
+    # a torn HEADER (killed during the very first write) means no usable cache
+    torn_header = tmp_path / "torn_header.overlay.jsonl"
+    torn_header.write_text('{"fingerprint":')
+    assert _load_overlay_decisions(torn_header, fingerprint) == []
+    assert not torn_header.exists()
+
+    # corruption in the MIDDLE is outside the crash model: recompute all
+    corrupt = tmp_path / "corrupt.overlay.jsonl"
+    corrupt.write_text(
+        json.dumps({"fingerprint": fingerprint}) + "\n"
+        + "garbage\n"
+        + json.dumps({"boxes": None}) + "\n"
+    )
+    assert _load_overlay_decisions(corrupt, fingerprint) == []
+    assert not corrupt.exists()
+
+
+def test_overwritten_input_refuses_resume(assets, tmp_path):
+    """Fingerprints carry file identity (size + mtime), not just the path: a
+    network/wav overwritten between the crash and the resume must refuse
+    rather than silently stitching frames from two different models."""
+    import shutil
+
+    _, pkl, wav, _ = assets
+    # private copies: this test mutates them
+    pkl2 = tmp_path / "net.pkl"
+    wav2 = tmp_path / "sound.wav"
+    shutil.copy2(pkl, pkl2)
+    shutil.copy2(wav, wav2)
+
+    out = tmp_path / "out.mp4"
+    manifest = out.with_name(out.name + ".resume.json")
+    proc = _spawn_cli(_noise_blend_args(pkl2, wav2, out))
+    _kill_after_first_chunk(proc, manifest)
+
+    # "retrain": same path, different bytes/mtime
+    payload = pkl2.read_bytes()
+    pkl2.write_bytes(payload + b"x")
+
+    from click.testing import CliRunner
+
+    from gance_tpu.cli.music_into_networks import cli
+
+    result = CliRunner().invoke(cli, _noise_blend_args(pkl2, wav2, out))
+    assert result.exit_code != 0
+    assert isinstance(result.exception, ValueError)
+    assert "different parameters" in str(result.exception)
+
+
+def test_smoothed_decisions_replay_invariant():
+    """The resume warm-up's correctness claim: _smoothed_decisions' state at
+    frame k is a pure function of the last `window` frames' records, so a
+    replay starting `window` frames early yields identical decisions from
+    frame k onward — including across resets (skips, center jumps)."""
+    from gance_tpu.overlay.common import DistanceBoxes
+    from gance_tpu.overlay.eye_tracking import _DetectionRecord, _smoothed_decisions
+    from gance_tpu.types import BoundingBox
+
+    def rec(x, phash=1):
+        a = BoundingBox(x, 10, 8, 8)
+        b = BoundingBox(x + 2, 12, 8, 8)
+        return _DetectionRecord(
+            skip=False,
+            foreground_boxes=[a],
+            distance_boxes=DistanceBoxes(distance=3.0, a_box=a, b_box=b),
+            bbox_phash_distance=phash,
+        )
+
+    window = 3
+    records = (
+        [rec(10), rec(11), rec(13), rec(12)]
+        + [_DetectionRecord(skip=True)]          # reset via skip
+        + [rec(14), rec(15), rec(16)]
+        + [rec(60)]                               # center jump > 2x box size: reset
+        + [rec(61), rec(62), rec(63)]
+    )
+
+    full = list(_smoothed_decisions(records, window, 8, 50.0))
+    for k in range(window, len(records)):
+        replay = list(_smoothed_decisions(records[k - window :], window, 8, 50.0))
+        assert replay[window:] == full[k:], f"divergence replaying from frame {k}"
+
+
+def test_flagship_smoothing_kill9_mid_detection_resume(assets, tmp_path):
+    """Kill -9 DURING detection (decisions partially checkpointed, no chunk
+    durable yet) with temporal smoothing on: the resume must warm the smoothing
+    history and produce output equal to an uninterrupted run's."""
+    _, pkl, wav, projection = assets
+    smooth_args = lambda out: _flagship_args(pkl, wav, projection, out) + [
+        "--overlay-smoothing", "3",
+    ]
+
+    reference_out = tmp_path / "uninterrupted.mp4"
+    _run_cli(smooth_args(reference_out))
+    reference_frames = _read_frames(reference_out)
+    assert len(reference_frames) == 8
+
+    killed_out = tmp_path / "killed.mp4"
+    decisions = killed_out.with_name(killed_out.name + ".overlay.jsonl")
+    manifest = killed_out.with_name(killed_out.name + ".resume.json")
+
+    shim = (
+        "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from gance_tpu.cli.music_into_networks import cli; cli(args=sys.argv[1:])"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GANCE_TPU_RESUME_DECISION_DELAY"] = "0.4"
+    proc = subprocess.Popen(
+        [sys.executable, "-c", shim, *smooth_args(killed_out)],
+        cwd=REPO_ROOT, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    # kill once >=4 decisions are durable (> the 3-frame smoothing window, so
+    # the resume actually exercises the warm-up replay) but before any chunk
+    deadline = time.monotonic() + 600.0
+    while time.monotonic() < deadline:
+        if proc.poll() is not None:
+            out = proc.stdout.read().decode(errors="replace")
+            raise AssertionError(f"render finished before the kill:\n{out}")
+        if decisions.exists() and len(decisions.read_text().splitlines()) >= 5:
+            os.kill(proc.pid, signal.SIGKILL)
+            proc.wait()
+            break
+        time.sleep(0.05)
+    else:
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait()
+        raise AssertionError("decisions never reached the kill threshold")
+    assert not manifest.exists() and not killed_out.exists()
+
+    _run_cli(smooth_args(killed_out))  # resume
+    assert not decisions.exists()
+
+    resumed_frames = _read_frames(killed_out)
+    assert len(resumed_frames) == len(reference_frames)
+    for index, (got, want) in enumerate(zip(resumed_frames, reference_frames)):
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {index}")

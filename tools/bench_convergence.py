@@ -125,7 +125,13 @@ def main() -> None:
         records.append(run(budget, convergence=False))
     stop_record = run(args.nominal, convergence=True)
 
-    full = next(r for r in records if r["nominal_steps"] == args.nominal)
+    # The stop arm compares against the full-budget arm; if --nominal isn't in
+    # --budgets, fall back to the longest budget run rather than dying with a
+    # StopIteration AFTER hours of projection runs completed.
+    full = next(
+        (r for r in records if r["nominal_steps"] == args.nominal),
+        max(records, key=lambda r: r["nominal_steps"]),
+    )
     print(
         json.dumps(
             {

@@ -51,21 +51,9 @@ DEVON = Path("/root/reference/test/assets/devon_face_sample_short.mp4")
 
 
 def fabricate_wav(path: Path, seconds: float, sample_rate: int = 44100) -> None:
-    from gance_tpu.audio.io import WavFileProperties, write_wav_file
+    from gance_tpu.audio.io import fabricate_percussive_wav
 
-    rng = np.random.RandomState(42)
-    t = np.arange(int(seconds * sample_rate)) / sample_rate
-    signal = 0.3 * np.sin(2 * np.pi * (110 + 220 * t) * t)
-    for onset in np.arange(0.0, seconds, 0.25):
-        start = int(onset * sample_rate)
-        length = min(int(0.05 * sample_rate), signal.size - start)
-        if length > 0:
-            burst = rng.randn(length) * np.exp(-np.arange(length) / (0.01 * sample_rate))
-            signal[start : start + length] += 0.5 * burst
-    data = np.clip(signal, -1.0, 1.0).astype(np.float32)
-    write_wav_file(
-        path, WavFileProperties(wav_data=data, sample_rate=sample_rate, name=path.stem)
-    )
+    fabricate_percussive_wav(path, seconds, sample_rate, dtype="float32")
 
 
 def fabricate_network(path: Path, side: int) -> None:
