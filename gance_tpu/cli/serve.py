@@ -1,0 +1,120 @@
+"""
+CLI: run the online synthesis HTTP daemon (gance_tpu/serving/).
+
+Net-new vs the reference (which only ships offline render CLIs): load one
+generator pickle, bind an HTTP port, and serve /synthesize with dynamic
+request batching onto the TPU's fixed-shape compiled programs. See
+gance_tpu/serving/daemon.py for the endpoint contract.
+"""
+
+from pathlib import Path
+from typing import Optional
+
+import click
+
+from gance_tpu.utils.logging import LOGGER, add_log_file
+
+
+@click.command()
+@click.option(
+    "--network-path", type=click.Path(exists=True, dir_okay=False), required=True,
+    help="Generator .pkl to serve.",
+)
+@click.option("--host", default="127.0.0.1", show_default=True)
+@click.option(
+    "--port", type=click.IntRange(min=0), default=8799, show_default=True,
+    help="0 binds an ephemeral port (printed at startup).",
+)
+@click.option(
+    "--max-batch", type=click.IntRange(min=1), default=None,
+    help="Device batch ceiling (default: GANCE_TPU_SERVE_BATCH or 48, the "
+    "measured 1024px v5e sweet spot; keep it a multiple of 8).",
+)
+@click.option(
+    "--max-delay-ms", type=click.FloatRange(min=0), default=5.0, show_default=True,
+    help="Coalescing linger: how long a request waits for company before the "
+    "batch dispatches (latency traded for occupancy).",
+)
+@click.option(
+    "--output-side-length", type=click.IntRange(min=1), default=None,
+    help="Scale frames to this side on-device before egress (native "
+    "resolution when unset).",
+)
+@click.option(
+    "--truncation-psi", type=float, default=None,
+    help="Override the serving default truncation psi.",
+)
+@click.option(
+    "--compute-dtype", type=click.Choice(["bfloat16", "float32"]), default=None,
+    help="Override the serving compute dtype (default bfloat16).",
+)
+@click.option("--log", "log_path", type=click.Path(dir_okay=False), default=None)
+@click.option(
+    "--warmup/--no-warmup", default=True, show_default=True,
+    help="Compile + run one full batch before binding the port, so the first "
+    "request does not absorb the (minutes-long on a cold TPU) XLA compile.",
+)
+def cli(  # pylint: disable=too-many-arguments
+    network_path: str,
+    host: str,
+    port: int,
+    max_batch: Optional[int],
+    max_delay_ms: float,
+    output_side_length: Optional[int],
+    truncation_psi: Optional[float],
+    compute_dtype: Optional[str],
+    log_path: Optional[str],
+    warmup: bool,
+) -> None:
+    """Serve a generator over HTTP with dynamic request batching."""
+    import numpy as np
+
+    from gance_tpu.serving import SynthesisDaemon, default_max_batch
+    from gance_tpu.synthesis.runtime import SynthesisNetwork
+
+    if log_path:
+        add_log_file(Path(log_path))
+
+    kwargs = {}
+    if truncation_psi is not None:
+        kwargs["truncation_psi"] = truncation_psi
+    if compute_dtype is not None:
+        import jax.numpy as jnp
+
+        kwargs["compute_dtype"] = {
+            "bfloat16": jnp.bfloat16, "float32": jnp.float32,
+        }[compute_dtype]
+    network = SynthesisNetwork.from_pkl(
+        Path(network_path), output_side_length=output_side_length, **kwargs
+    )
+    resolved_batch = max_batch if max_batch is not None else default_max_batch()
+
+    if warmup:
+        LOGGER.info(
+            "Warming the batch-%d program (first TPU compile can take "
+            "minutes)...", resolved_batch,
+        )
+        warm = np.zeros(
+            (resolved_batch, network.expected_vector_length), np.float32
+        )
+        network.images_from_vectors(warm)
+        LOGGER.info("Warmup complete.")
+
+    with SynthesisDaemon(
+        network, host=host, port=port,
+        max_batch=resolved_batch, max_delay_ms=max_delay_ms,
+    ) as daemon:
+        click.echo(
+            f"serving {network_path} on http://{host}:{daemon.port} "
+            f"(max_batch={resolved_batch}, linger={max_delay_ms}ms)"
+        )
+        import threading
+
+        try:
+            threading.Event().wait()  # serve until interrupted
+        except KeyboardInterrupt:
+            LOGGER.info("shutting down synthesis daemon")
+
+
+if __name__ == "__main__":
+    cli()

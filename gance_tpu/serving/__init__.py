@@ -1,0 +1,16 @@
+"""
+Online synthesis serving: dynamic request batching onto fixed-shape compiled
+programs (batcher.py) + a stdlib HTTP daemon (daemon.py). Net-new vs the
+reference (esologic/GANce is offline CLIs only) — the production-serving leg
+of SURVEY.md §6's north star.
+"""
+
+from gance_tpu.serving.batcher import DynamicBatcher, bucket_rows, default_max_batch
+from gance_tpu.serving.daemon import SynthesisDaemon
+
+__all__ = [
+    "DynamicBatcher",
+    "SynthesisDaemon",
+    "bucket_rows",
+    "default_max_batch",
+]

@@ -1,0 +1,306 @@
+"""
+Dynamic request batching for online synthesis serving.
+
+The TPU serves one COMPILED program per batch shape, and the measured
+throughput curve is steeply batch-dependent (bench.py: batch 1 latency-bound,
+batch 48 = 221 f/s at 1024px bf16). An online server therefore must not
+synthesize per request: this module coalesces concurrent requests into device
+batches, pads them to a small fixed set of bucket shapes (multiples of 8 —
+batch rides the 8-wide sublane axis, so off-multiples pad up in hardware
+anyway; log2 buckets bound wasted FLOPs at <2x while keeping the compile-cache
+small, the same rule as runtime._bucket_size), and overlaps device compute
+with host egress through a bounded fetch queue (dispatch thread issues async
+device calls; fetch thread pulls results — the disk-tee/encoder pattern from
+media/video.py applied to serving).
+
+No reference counterpart: esologic/GANce has no online serving story (its
+CLIs are offline renders). This is net-new capability in the spirit of
+SURVEY.md §6's production-serving north star.
+"""
+
+import collections
+import os
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from gance_tpu.utils.logging import LOGGER
+
+# Lane keys: z vectors (rank 2 input) vs w+ matrices (rank 3). The two kinds
+# run different compiled programs (matrices skip mapping + truncation), so a
+# device batch never mixes them.
+LANE_VECTORS = "z"
+LANE_MATRICES = "w+"
+
+
+class _Request:
+    """One submitted batch: rows are consumed (possibly across several device
+    batches), parts accumulate in row order, the future resolves when all
+    rows are done."""
+
+    __slots__ = ("rows", "lane", "future", "parts", "remaining", "arrived")
+
+    def __init__(self, rows: np.ndarray, lane: str) -> None:
+        self.rows = rows
+        self.lane = lane
+        self.future: "Future[np.ndarray]" = Future()
+        self.parts: List[np.ndarray] = []
+        self.remaining = rows.shape[0]
+        self.arrived = time.monotonic()
+
+
+def bucket_rows(real: int, max_batch: int, multiple: int = 8) -> int:
+    """Smallest multiple*2^k >= real, capped at max_batch (runtime._bucket_size
+    semantics; `multiple` defaults to the TPU sublane width)."""
+    size = multiple
+    while size < real and size < max_batch:
+        size *= 2
+    return min(size, max_batch)
+
+
+class DynamicBatcher:
+    """
+    Coalesce concurrent synthesis requests into fixed-shape device batches.
+
+    `network` is anything with the SynthesisNetwork serving surface
+    (`device_images_from_vectors` / `device_images_from_matrices` or the
+    generic `device_images_generic`, plus `expected_vector_length`).
+
+    :param max_batch: device batch ceiling (48 = the measured v5e sweet spot
+        at 1024px; smaller networks tolerate more).
+    :param max_delay_ms: linger — how long the dispatcher waits for more rows
+        once it has at least one (the latency the first request donates to
+        throughput). 0 dispatches immediately.
+    :param queue_depth: bound on device batches in flight between dispatch
+        and fetch (backpressure; 2 suffices to overlap compute with egress).
+    :param pad_multiple: bucket granularity (8 = TPU sublane width).
+    """
+
+    def __init__(
+        self,
+        network: Any,
+        max_batch: int = 48,
+        max_delay_ms: float = 5.0,
+        queue_depth: int = 2,
+        pad_multiple: int = 8,
+    ) -> None:
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.network = network
+        self.max_batch = int(max_batch)
+        self.max_delay = max(0.0, float(max_delay_ms)) / 1000.0
+        self.pad_multiple = max(1, int(pad_multiple))
+        self._pending: "collections.deque[_Request]" = collections.deque()
+        self._lock = threading.Condition()
+        self._closed = False
+        self._fetch_queue: "queue.Queue" = queue.Queue(maxsize=max(1, queue_depth))
+        # stats (under _stats_lock; read by /stats)
+        self._stats_lock = threading.Lock()
+        self._stat = {
+            "requests": 0,
+            "frames": 0,
+            "batches": 0,
+            "dispatched_rows": 0,  # includes bucket padding
+            "errors": 0,
+        }
+        self._latencies: "collections.deque[float]" = collections.deque(maxlen=512)
+        self._dispatch_thread = threading.Thread(
+            target=self._dispatch_loop, name="batcher-dispatch", daemon=True
+        )
+        self._fetch_thread = threading.Thread(
+            target=self._fetch_loop, name="batcher-fetch", daemon=True
+        )
+        self._dispatch_thread.start()
+        self._fetch_thread.start()
+
+    # ---- public surface ----
+
+    def submit(self, batch: np.ndarray) -> "Future[np.ndarray]":
+        """
+        Enqueue a (B, V) z batch or (B, R, V) w+ batch; the future resolves to
+        the (B, H, W, 3) uint8 images in row order. Raises ValueError on shape
+        problems immediately (fail fast at the edge, not on the device).
+        """
+        rows = np.asarray(batch, np.float32)
+        if rows.ndim == 2:
+            lane = LANE_VECTORS
+        elif rows.ndim == 3:
+            lane = LANE_MATRICES
+        else:
+            raise ValueError(
+                f"batch must be (B, V) vectors or (B, R, V) matrices, got "
+                f"shape {rows.shape}"
+            )
+        expected = getattr(self.network, "expected_vector_length", None)
+        if expected is not None and rows.shape[-1] != expected:
+            raise ValueError(
+                f"latent length {rows.shape[-1]} != network's {expected}"
+            )
+        if rows.shape[0] == 0:
+            raise ValueError("empty batch")
+        request = _Request(rows, lane)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._pending.append(request)
+            self._lock.notify_all()
+        with self._stats_lock:
+            self._stat["requests"] += 1
+        return request.future
+
+    def stats(self) -> Dict[str, Any]:
+        with self._stats_lock:
+            out = dict(self._stat)
+            latencies = sorted(self._latencies)
+        out["max_batch"] = self.max_batch
+        out["occupancy"] = (
+            out["frames"] / out["dispatched_rows"] if out["dispatched_rows"] else None
+        )
+        if latencies:
+            out["latency_p50_ms"] = round(latencies[len(latencies) // 2] * 1e3, 2)
+            out["latency_p99_ms"] = round(
+                latencies[min(len(latencies) - 1, int(len(latencies) * 0.99))] * 1e3, 2
+            )
+        return out
+
+    def close(self) -> None:
+        """Drain-free shutdown: pending/in-flight requests fail loudly."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._lock.notify_all()
+        self._dispatch_thread.join(timeout=30)
+        self._fetch_queue.put(None)  # sentinel after dispatch stops producing
+        self._fetch_thread.join(timeout=30)
+        with self._lock:
+            while self._pending:
+                request = self._pending.popleft()
+                if not request.future.done():
+                    request.future.set_exception(RuntimeError("batcher closed"))
+
+    def __enter__(self) -> "DynamicBatcher":
+        return self
+
+    def __exit__(self, *_exc) -> None:
+        self.close()
+
+    # ---- internals ----
+
+    def _take_batch(self) -> Optional[List[Tuple[_Request, int, np.ndarray]]]:
+        """Under the lock: wait for work, apply the linger, then consume up to
+        max_batch rows of ONE lane from the queue front. Returns
+        [(request, rows_consumed, row_slice)] or None on close."""
+        with self._lock:
+            while not self._pending and not self._closed:
+                self._lock.wait()
+            if self._closed:
+                return None
+            if self.max_delay:
+                # Linger: give concurrent callers max_delay to coalesce, but
+                # stop early once a full batch is queued.
+                deadline = time.monotonic() + self.max_delay
+                while time.monotonic() < deadline and not self._closed:
+                    lane = self._pending[0].lane
+                    queued = sum(
+                        r.rows.shape[0] for r in self._pending if r.lane == lane
+                    )
+                    if queued >= self.max_batch:
+                        break
+                    self._lock.wait(timeout=deadline - time.monotonic())
+                if self._closed:
+                    return None
+            lane = self._pending[0].lane
+            consumed: List[Tuple[_Request, int, np.ndarray]] = []
+            total = 0
+            while self._pending and total < self.max_batch:
+                head = self._pending[0]
+                if head.lane != lane:
+                    break  # different program; next dispatch takes it
+                take = min(head.rows.shape[0], self.max_batch - total)
+                consumed.append((head, take, head.rows[:take]))
+                total += take
+                if take == head.rows.shape[0]:
+                    self._pending.popleft()
+                else:
+                    # Partial consume: the tail stays queued for the next
+                    # dispatch; `remaining` (rows not yet fetched) is
+                    # decremented by the fetch thread.
+                    head.rows = head.rows[take:]
+                    break
+            return consumed
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            consumed = self._take_batch()
+            if consumed is None:
+                return
+            lane = consumed[0][0].lane
+            rows = np.concatenate([slice_ for _req, _take, slice_ in consumed])
+            real = rows.shape[0]
+            bucket = bucket_rows(real, self.max_batch, self.pad_multiple)
+            if bucket > real:
+                pad = np.zeros((bucket - real,) + rows.shape[1:], rows.dtype)
+                rows = np.concatenate([rows, pad])
+            try:
+                if lane == LANE_VECTORS:
+                    device_images = self.network.device_images_from_vectors(rows)
+                else:
+                    device_images = self.network.device_images_from_matrices(rows)
+            except Exception as error:  # pylint: disable=broad-except
+                LOGGER.exception("serving dispatch failed")
+                with self._stats_lock:
+                    self._stat["errors"] += 1
+                for request, _take, _slice in consumed:
+                    if not request.future.done():
+                        request.future.set_exception(error)
+                continue
+            with self._stats_lock:
+                self._stat["batches"] += 1
+                self._stat["frames"] += real
+                self._stat["dispatched_rows"] += bucket
+            # blocks when queue_depth batches are already awaiting fetch
+            meta = [(request, take) for request, take, _slice in consumed]
+            self._fetch_queue.put((device_images, meta, real))
+
+    def _fetch_loop(self) -> None:
+        from gance_tpu.parallel.mesh import fetch_to_host
+
+        while True:
+            item = self._fetch_queue.get()
+            if item is None:
+                return
+            device_images, consumed, real = item
+            try:
+                host = fetch_to_host(device_images)[:real]
+            except Exception as error:  # pylint: disable=broad-except
+                LOGGER.exception("serving fetch failed")
+                with self._stats_lock:
+                    self._stat["errors"] += 1
+                for request, _take in consumed:
+                    if not request.future.done():
+                        request.future.set_exception(error)
+                continue
+            offset = 0
+            for request, take in consumed:
+                request.parts.append(host[offset : offset + take])
+                offset += take
+                request.remaining -= take
+                if request.remaining == 0 and not request.future.done():
+                    result = (
+                        request.parts[0]
+                        if len(request.parts) == 1
+                        else np.concatenate(request.parts)
+                    )
+                    with self._stats_lock:
+                        self._latencies.append(time.monotonic() - request.arrived)
+                    request.future.set_result(result)
+
+
+def default_max_batch() -> int:
+    """GANCE_TPU_SERVE_BATCH or the measured 1024px v5e sweet spot (48)."""
+    return int(os.environ.get("GANCE_TPU_SERVE_BATCH", "48"))

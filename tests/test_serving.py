@@ -1,0 +1,304 @@
+"""
+Online serving (gance_tpu/serving/): dynamic batcher coalescing/splitting/
+correctness, HTTP daemon endpoint contract, and the CLI. Net-new vs the
+reference (offline CLIs only) — tested like the media boundary: correctness
+first, concurrency edge cases explicitly.
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gance_tpu.serving import DynamicBatcher, SynthesisDaemon, bucket_rows
+from gance_tpu.synthesis.runtime import FakeSynthesisNetwork
+
+
+class _CountingFake(FakeSynthesisNetwork):
+    """Fake that records every device batch shape it is asked to render."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.device_batches = []
+        self._lock = threading.Lock()
+
+    def device_images_from_vectors(self, z_batch):
+        with self._lock:
+            self.device_batches.append(("z", np.asarray(z_batch).shape))
+        return self._render(np.asarray(z_batch))
+
+    def device_images_from_matrices(self, dlatent_batch):
+        with self._lock:
+            self.device_batches.append(("w+", np.asarray(dlatent_batch).shape))
+        # rows-identical invariant: render from row 0
+        return self._render(np.asarray(dlatent_batch)[:, 0, :])
+
+
+def test_bucket_rows():
+    assert bucket_rows(1, 48) == 8
+    assert bucket_rows(8, 48) == 8
+    assert bucket_rows(9, 48) == 16
+    assert bucket_rows(17, 48) == 32
+    assert bucket_rows(33, 48) == 48
+    assert bucket_rows(100, 48) == 48
+    assert bucket_rows(3, 48, multiple=1) == 4
+
+
+def test_batcher_matches_direct_synthesis():
+    fake = _CountingFake(resolution=16, expected_vector_length=32)
+    rows = np.random.RandomState(0).randn(5, 32).astype(np.float32)
+    with DynamicBatcher(fake, max_batch=8, max_delay_ms=0) as batcher:
+        got = batcher.submit(rows).result(timeout=30)
+    np.testing.assert_array_equal(got, fake.images_from_vectors(rows))
+    # padded to the bucket (8), sliced back to 5
+    assert got.shape[0] == 5
+    assert fake.device_batches[0] == ("z", (8, 32))
+
+
+def test_batcher_coalesces_concurrent_requests():
+    fake = _CountingFake(resolution=16, expected_vector_length=32)
+    rng = np.random.RandomState(1)
+    batches = [rng.randn(2, 32).astype(np.float32) for _ in range(3)]
+    # generous linger so all three submissions land in one device batch
+    with DynamicBatcher(fake, max_batch=16, max_delay_ms=250) as batcher:
+        futures = [batcher.submit(b) for b in batches]
+        results = [f.result(timeout=30) for f in futures]
+    for batch, result in zip(batches, results):
+        np.testing.assert_array_equal(result, fake.images_from_vectors(batch))
+    stats_batches = [s for s in fake.device_batches if s[0] == "z"]
+    assert len(stats_batches) == 1, fake.device_batches
+    assert stats_batches[0][1] == (8, 32)  # 6 rows -> bucket 8
+
+
+def test_batcher_splits_oversized_request():
+    fake = _CountingFake(resolution=16, expected_vector_length=32)
+    rows = np.random.RandomState(2).randn(20, 32).astype(np.float32)
+    with DynamicBatcher(fake, max_batch=8, max_delay_ms=0) as batcher:
+        got = batcher.submit(rows).result(timeout=30)
+    np.testing.assert_array_equal(got, fake.images_from_vectors(rows))
+    assert [shape[0] for _kind, shape in fake.device_batches] == [8, 8, 8]
+
+
+def test_batcher_separates_vector_and_matrix_lanes():
+    fake = _CountingFake(resolution=16, expected_vector_length=32)
+    z = np.random.RandomState(3).randn(2, 32).astype(np.float32)
+    w = np.tile(
+        np.random.RandomState(4).randn(2, 1, 32).astype(np.float32), (1, 5, 1)
+    )
+    with DynamicBatcher(fake, max_batch=8, max_delay_ms=100) as batcher:
+        fz = batcher.submit(z)
+        fw = batcher.submit(w)
+        np.testing.assert_array_equal(
+            fz.result(timeout=30), fake.images_from_vectors(z)
+        )
+        np.testing.assert_array_equal(
+            fw.result(timeout=30), fake.images_from_matrices(w)
+        )
+    kinds = [kind for kind, _shape in fake.device_batches]
+    assert sorted(kinds) == ["w+", "z"]  # two dispatches, never mixed
+
+
+def test_batcher_rejects_bad_shapes_immediately():
+    fake = FakeSynthesisNetwork(resolution=16, expected_vector_length=32)
+    with DynamicBatcher(fake, max_batch=8, max_delay_ms=0) as batcher:
+        with pytest.raises(ValueError, match="latent length"):
+            batcher.submit(np.zeros((2, 31), np.float32))
+        with pytest.raises(ValueError, match="vectors or"):
+            batcher.submit(np.zeros((2, 2, 2, 2), np.float32))
+        with pytest.raises(ValueError, match="empty"):
+            batcher.submit(np.zeros((0, 32), np.float32))
+
+
+def test_batcher_propagates_device_errors():
+    class _Broken(FakeSynthesisNetwork):
+        def device_images_from_vectors(self, z_batch):
+            raise RuntimeError("device on fire")
+
+    with DynamicBatcher(
+        _Broken(resolution=16, expected_vector_length=32),
+        max_batch=8, max_delay_ms=0,
+    ) as batcher:
+        future = batcher.submit(np.zeros((2, 32), np.float32))
+        with pytest.raises(RuntimeError, match="device on fire"):
+            future.result(timeout=30)
+        assert batcher.stats()["errors"] == 1
+
+
+def test_batcher_stats_and_close():
+    fake = _CountingFake(resolution=16, expected_vector_length=32)
+    batcher = DynamicBatcher(fake, max_batch=8, max_delay_ms=0)
+    batcher.submit(np.zeros((3, 32), np.float32)).result(timeout=30)
+    stats = batcher.stats()
+    assert stats["requests"] == 1
+    assert stats["frames"] == 3
+    assert stats["batches"] == 1
+    assert stats["dispatched_rows"] == 8
+    assert stats["occupancy"] == pytest.approx(3 / 8)
+    assert stats["latency_p50_ms"] >= 0
+    batcher.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.submit(np.zeros((1, 32), np.float32))
+
+
+def _post(url: str, payload: dict) -> tuple:
+    request = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(request, timeout=60) as response:
+        return response.status, response.read(), dict(response.headers)
+
+
+def _get_json(url: str) -> dict:
+    with urllib.request.urlopen(url, timeout=60) as response:
+        return json.loads(response.read())
+
+
+@pytest.fixture(scope="module")
+def real_daemon():
+    """A daemon over a REAL (tiny) jitted SynthesisNetwork on an ephemeral port."""
+    import jax
+
+    from gance_tpu.models.stylegan2 import GeneratorConfig, init_generator_params
+    from gance_tpu.synthesis.runtime import SynthesisNetwork
+
+    config = GeneratorConfig(
+        resolution=16, fmap_base=256, fmap_max=32, latent_size=64,
+        dlatent_size=64, mapping_layers=2, mapping_fmaps=64,
+    )
+    params = init_generator_params(jax.random.PRNGKey(0), config)
+    network = SynthesisNetwork(params=params, config=config)
+    with SynthesisDaemon(network, port=0, max_batch=8, max_delay_ms=2) as daemon:
+        yield daemon, network
+
+
+def test_daemon_healthz_and_stats(real_daemon):
+    daemon, network = real_daemon
+    health = _get_json(f"http://127.0.0.1:{daemon.port}/healthz")
+    assert health["ok"] is True
+    assert health["vector_length"] == network.expected_vector_length
+    assert health["resolution"] == 16
+    stats = _get_json(f"http://127.0.0.1:{daemon.port}/stats")
+    assert stats["max_batch"] == 8
+
+
+def test_daemon_synthesize_latents_npy(real_daemon):
+    daemon, network = real_daemon
+    latents = np.random.RandomState(0).randn(
+        3, network.expected_vector_length
+    ).astype(np.float32)
+    status, body, headers = _post(
+        f"http://127.0.0.1:{daemon.port}/synthesize",
+        {"latents": latents.tolist()},
+    )
+    assert status == 200
+    images = np.load(io.BytesIO(body))
+    assert headers["X-Gance-Shape"] == "x".join(map(str, images.shape))
+    np.testing.assert_array_equal(images, network.images_from_vectors(latents))
+
+
+def test_daemon_synthesize_seeds_and_png(real_daemon):
+    daemon, network = real_daemon
+    status, body, _ = _post(
+        f"http://127.0.0.1:{daemon.port}/synthesize",
+        {"seeds": [7], "format": "png"},
+    )
+    assert status == 200
+    import cv2
+
+    decoded = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+    expected = network.images_from_vectors(
+        np.random.RandomState(7).randn(1, network.expected_vector_length)
+        .astype(np.float32)
+    )[0]
+    np.testing.assert_array_equal(
+        cv2.cvtColor(decoded, cv2.COLOR_BGR2RGB), expected
+    )
+
+
+def test_daemon_synthesize_dlatents(real_daemon):
+    daemon, network = real_daemon
+    matrix = np.tile(
+        np.random.RandomState(1)
+        .randn(1, 1, network.expected_vector_length)
+        .astype(np.float32),
+        (2, network.config.num_style_rows, 1),
+    )
+    status, body, _ = _post(
+        f"http://127.0.0.1:{daemon.port}/synthesize", {"dlatents": matrix.tolist()}
+    )
+    assert status == 200
+    np.testing.assert_array_equal(
+        np.load(io.BytesIO(body)), network.images_from_matrices(matrix)
+    )
+
+
+def test_daemon_concurrent_requests_coalesce_and_match(real_daemon):
+    daemon, network = real_daemon
+    rng = np.random.RandomState(9)
+    payloads = [
+        rng.randn(2, network.expected_vector_length).astype(np.float32)
+        for _ in range(4)
+    ]
+    results = [None] * len(payloads)
+
+    def worker(index: int) -> None:
+        _status, body, _ = _post(
+            f"http://127.0.0.1:{daemon.port}/synthesize",
+            {"latents": payloads[index].tolist()},
+        )
+        results[index] = np.load(io.BytesIO(body))
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(len(payloads))
+    ]
+    for thread in threads:
+        thread.start()
+    for thread in threads:
+        thread.join(timeout=120)
+    for payload, result in zip(payloads, results):
+        np.testing.assert_array_equal(
+            result, network.images_from_vectors(payload)
+        )
+
+
+def test_daemon_error_contract(real_daemon):
+    daemon, network = real_daemon
+    url = f"http://127.0.0.1:{daemon.port}/synthesize"
+    # wrong latent length -> 400 with a JSON error
+    with pytest.raises(urllib.error.HTTPError) as info:
+        _post(url, {"latents": [[0.0] * (network.expected_vector_length + 1)]})
+    assert info.value.code == 400
+    assert "latents" in json.loads(info.value.read())["error"]
+    # ambiguous body -> 400
+    with pytest.raises(urllib.error.HTTPError) as info:
+        _post(url, {"latents": [[0.0]], "seeds": [1]})
+    assert info.value.code == 400
+    # png with more than one image -> 400
+    with pytest.raises(urllib.error.HTTPError) as info:
+        _post(url, {"seeds": [1, 2], "format": "png"})
+    assert info.value.code == 400
+    # unknown route -> 404
+    with pytest.raises(urllib.error.HTTPError) as info:
+        _post(f"http://127.0.0.1:{daemon.port}/nope", {})
+    assert info.value.code == 404
+
+
+def test_serve_cli_help_and_wrapper():
+    from click.testing import CliRunner
+
+    from gance_tpu.cli.serve import cli
+
+    result = CliRunner().invoke(cli, ["--help"])
+    assert result.exit_code == 0
+    assert "--max-batch" in result.output
+    assert "--max-delay-ms" in result.output
+    # root wrapper preserves the invocation shape
+    assert "from gance_tpu.cli.serve import cli" in Path(
+        Path(__file__).resolve().parents[1] / "serve_network.py"
+    ).read_text()
