@@ -50,9 +50,13 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
 )
 @click.option("--log", "log_path", type=click.Path(dir_okay=False), default=None)
 @click.option(
-    "--warmup/--no-warmup", default=True, show_default=True,
-    help="Compile + run one full batch before binding the port, so the first "
-    "request does not absorb the (minutes-long on a cold TPU) XLA compile.",
+    "--warmup", type=click.Choice(["all", "max", "none"]), default="all",
+    show_default=True,
+    help="Programs to compile before binding the port, so requests never "
+    "absorb the (minutes-long on a cold TPU) XLA compile. 'all' = every "
+    "bucket shape the batcher can dispatch, both the z and w+ lanes; 'max' = "
+    "only the full-batch z program (fastest startup; other shapes compile on "
+    "first use); 'none' = bind immediately.",
 )
 def cli(  # pylint: disable=too-many-arguments
     network_path: str,
@@ -64,12 +68,13 @@ def cli(  # pylint: disable=too-many-arguments
     truncation_psi: Optional[float],
     compute_dtype: Optional[str],
     log_path: Optional[str],
-    warmup: bool,
+    warmup: str,
 ) -> None:
     """Serve a generator over HTTP with dynamic request batching."""
     import numpy as np
 
     from gance_tpu.serving import SynthesisDaemon, default_max_batch
+    from gance_tpu.serving.batcher import warmup_batch_sizes
     from gance_tpu.synthesis.runtime import SynthesisNetwork
 
     if log_path:
@@ -89,15 +94,30 @@ def cli(  # pylint: disable=too-many-arguments
     )
     resolved_batch = max_batch if max_batch is not None else default_max_batch()
 
-    if warmup:
+    if warmup != "none":
+        # The batcher dispatches log2 BUCKET shapes, not just max_batch — a
+        # single-seed request runs the batch-8 program. "all" compiles every
+        # shape either lane can hit so no request ever waits on a cold jit.
+        sizes = (
+            warmup_batch_sizes(resolved_batch)
+            if warmup == "all"
+            else [resolved_batch]
+        )
+        vector_length = network.expected_vector_length
+        style_rows = int(network.config.num_style_rows)
         LOGGER.info(
-            "Warming the batch-%d program (first TPU compile can take "
-            "minutes)...", resolved_batch,
+            "Warming %d program(s) (batch sizes %s; first TPU compile can "
+            "take minutes)...", len(sizes) * (2 if warmup == "all" else 1),
+            sizes,
         )
-        warm = np.zeros(
-            (resolved_batch, network.expected_vector_length), np.float32
-        )
-        network.images_from_vectors(warm)
+        for size in sizes:
+            network.images_from_vectors(
+                np.zeros((size, vector_length), np.float32)
+            )
+            if warmup == "all":
+                network.images_from_matrices(
+                    np.zeros((size, style_rows, vector_length), np.float32)
+                )
         LOGGER.info("Warmup complete.")
 
     with SynthesisDaemon(

@@ -30,9 +30,11 @@ import numpy as np
 
 from gance_tpu.utils.logging import LOGGER
 
-# Lane keys: z vectors (rank 2 input) vs w+ matrices (rank 3). The two kinds
-# run different compiled programs (matrices skip mapping + truncation), so a
-# device batch never mixes them.
+# Lane kinds: z vectors (rank 2 input) vs w+ matrices (rank 3). The two kinds
+# run different compiled programs (matrices skip mapping + truncation). A
+# request's LANE is its kind plus its full per-row shape — a device batch
+# never mixes kinds OR row shapes (concatenating mixed w+ row counts would
+# blow up mid-dispatch, and each shape is its own compiled program anyway).
 LANE_VECTORS = "z"
 LANE_MATRICES = "w+"
 
@@ -44,7 +46,7 @@ class _Request:
 
     __slots__ = ("rows", "lane", "future", "parts", "remaining", "arrived")
 
-    def __init__(self, rows: np.ndarray, lane: str) -> None:
+    def __init__(self, rows: np.ndarray, lane: Tuple) -> None:
         self.rows = rows
         self.lane = lane
         self.future: "Future[np.ndarray]" = Future()
@@ -54,12 +56,25 @@ class _Request:
 
 
 def bucket_rows(real: int, max_batch: int, multiple: int = 8) -> int:
-    """Smallest multiple*2^k >= real, capped at max_batch (runtime._bucket_size
-    semantics; `multiple` defaults to the TPU sublane width)."""
+    """Smallest multiple*2^k >= real, capped at max_batch. Delegates to the
+    runtime's bucketing rule (ONE policy for serving and synthesis — the
+    compile-cache shapes must agree); `multiple` defaults to the TPU sublane
+    width."""
+    from gance_tpu.synthesis.runtime import _bucket_size
+
+    return _bucket_size(real, max_batch, multiple=multiple)
+
+
+def warmup_batch_sizes(max_batch: int, multiple: int = 8) -> List[int]:
+    """Every bucket shape `bucket_rows` can produce for this ceiling — the
+    set a server must compile so no request shape ever hits a cold jit."""
+    sizes: List[int] = []
     size = multiple
-    while size < real and size < max_batch:
+    while size < max_batch:
+        sizes.append(size)
         size *= 2
-    return min(size, max_batch)
+    sizes.append(max_batch)
+    return sizes
 
 
 class DynamicBatcher:
@@ -97,6 +112,9 @@ class DynamicBatcher:
         self._pending: "collections.deque[_Request]" = collections.deque()
         self._lock = threading.Condition()
         self._closed = False
+        # Every request whose future has not resolved yet (pending OR
+        # in-flight) — close() fails these so no caller blocks forever.
+        self._live: "set[_Request]" = set()
         self._fetch_queue: "queue.Queue" = queue.Queue(maxsize=max(1, queue_depth))
         # stats (under _stats_lock; read by /stats)
         self._stats_lock = threading.Lock()
@@ -127,9 +145,9 @@ class DynamicBatcher:
         """
         rows = np.asarray(batch, np.float32)
         if rows.ndim == 2:
-            lane = LANE_VECTORS
+            lane = (LANE_VECTORS,) + rows.shape[1:]
         elif rows.ndim == 3:
-            lane = LANE_MATRICES
+            lane = (LANE_MATRICES,) + rows.shape[1:]
         else:
             raise ValueError(
                 f"batch must be (B, V) vectors or (B, R, V) matrices, got "
@@ -147,6 +165,7 @@ class DynamicBatcher:
             if self._closed:
                 raise RuntimeError("batcher is closed")
             self._pending.append(request)
+            self._live.add(request)
             self._lock.notify_all()
         with self._stats_lock:
             self._stat["requests"] += 1
@@ -168,20 +187,52 @@ class DynamicBatcher:
         return out
 
     def close(self) -> None:
-        """Drain-free shutdown: pending/in-flight requests fail loudly."""
+        """Drain-free shutdown: pending/in-flight requests fail loudly.
+
+        If a thread is wedged inside a device call past the join timeout, the
+        LIVE set still fails every unresolved future so no caller blocks
+        forever on `.result()` (the daemon additionally bounds waits with a
+        request timeout); the wedged thread's late completion is a no-op
+        (`_finish` tolerates already-resolved futures)."""
         with self._lock:
             if self._closed:
                 return
             self._closed = True
             self._lock.notify_all()
         self._dispatch_thread.join(timeout=30)
-        self._fetch_queue.put(None)  # sentinel after dispatch stops producing
+        try:
+            # Sentinel after dispatch stops producing. If the queue is full
+            # (fetch thread wedged in a device fetch), skip it — the timed
+            # join below and the live-set sweep still guarantee shutdown.
+            self._fetch_queue.put_nowait(None)
+        except queue.Full:
+            pass
         self._fetch_thread.join(timeout=30)
         with self._lock:
-            while self._pending:
-                request = self._pending.popleft()
-                if not request.future.done():
-                    request.future.set_exception(RuntimeError("batcher closed"))
+            self._pending.clear()
+            live = list(self._live)
+        for request in live:
+            self._finish(request, error=RuntimeError("batcher closed"))
+
+    def _finish(
+        self,
+        request: _Request,
+        result: Optional[np.ndarray] = None,
+        error: Optional[BaseException] = None,
+    ) -> None:
+        """Resolve a request's future exactly once and drop it from the live
+        set; tolerates races with close() (already-resolved futures)."""
+        with self._lock:
+            self._live.discard(request)
+        if request.future.done():
+            return
+        try:
+            if error is not None:
+                request.future.set_exception(error)
+            else:
+                request.future.set_result(result)
+        except Exception:  # pylint: disable=broad-except
+            pass  # lost the race to close(); the future already resolved
 
     def __enter__(self) -> "DynamicBatcher":
         return self
@@ -196,7 +247,15 @@ class DynamicBatcher:
         max_batch rows of ONE lane from the queue front. Returns
         [(request, rows_consumed, row_slice)] or None on close."""
         with self._lock:
-            while not self._pending and not self._closed:
+            while not self._closed:
+                # Drop requests whose future already resolved (a dispatch
+                # failure on an earlier slice of a split request, or a caller
+                # cancel): their remaining rows must not burn device batches.
+                while self._pending and self._pending[0].future.done():
+                    dead = self._pending.popleft()
+                    self._live.discard(dead)
+                if self._pending:
+                    break
                 self._lock.wait()
             if self._closed:
                 return None
@@ -214,12 +273,18 @@ class DynamicBatcher:
                     self._lock.wait(timeout=deadline - time.monotonic())
                 if self._closed:
                     return None
-            lane = self._pending[0].lane
+            lane: Optional[Tuple] = None  # set by the first LIVE request
             consumed: List[Tuple[_Request, int, np.ndarray]] = []
             total = 0
             while self._pending and total < self.max_batch:
                 head = self._pending[0]
-                if head.lane != lane:
+                if head.future.done():  # failed/cancelled: skip its rows
+                    self._pending.popleft()
+                    self._live.discard(head)
+                    continue
+                if lane is None:
+                    lane = head.lane
+                elif head.lane != lane:
                     break  # different program; next dispatch takes it
                 take = min(head.rows.shape[0], self.max_batch - total)
                 consumed.append((head, take, head.rows[:take]))
@@ -234,12 +299,27 @@ class DynamicBatcher:
                     break
             return consumed
 
+    def _network_fn(self, kind: str):
+        """Resolve the device entry point for a lane kind; networks exposing
+        only the generic surface (rank-dispatching) work too."""
+        name = (
+            "device_images_from_vectors"
+            if kind == LANE_VECTORS
+            else "device_images_from_matrices"
+        )
+        fn = getattr(self.network, name, None)
+        if fn is None:
+            fn = self.network.device_images_generic
+        return fn
+
     def _dispatch_loop(self) -> None:
         while True:
             consumed = self._take_batch()
             if consumed is None:
                 return
-            lane = consumed[0][0].lane
+            if not consumed:  # only dead requests were queued
+                continue
+            kind = consumed[0][0].lane[0]
             rows = np.concatenate([slice_ for _req, _take, slice_ in consumed])
             real = rows.shape[0]
             bucket = bucket_rows(real, self.max_batch, self.pad_multiple)
@@ -247,25 +327,32 @@ class DynamicBatcher:
                 pad = np.zeros((bucket - real,) + rows.shape[1:], rows.dtype)
                 rows = np.concatenate([rows, pad])
             try:
-                if lane == LANE_VECTORS:
-                    device_images = self.network.device_images_from_vectors(rows)
-                else:
-                    device_images = self.network.device_images_from_matrices(rows)
+                device_images = self._network_fn(kind)(rows)
             except Exception as error:  # pylint: disable=broad-except
                 LOGGER.exception("serving dispatch failed")
                 with self._stats_lock:
                     self._stat["errors"] += 1
                 for request, _take, _slice in consumed:
-                    if not request.future.done():
-                        request.future.set_exception(error)
+                    self._finish(request, error=error)
                 continue
             with self._stats_lock:
                 self._stat["batches"] += 1
                 self._stat["frames"] += real
                 self._stat["dispatched_rows"] += bucket
-            # blocks when queue_depth batches are already awaiting fetch
             meta = [(request, take) for request, take, _slice in consumed]
-            self._fetch_queue.put((device_images, meta, real))
+            while True:
+                try:
+                    # Bounded put = backpressure, but never a permanent wedge:
+                    # re-check closed so a dead fetch thread can't strand us.
+                    self._fetch_queue.put((device_images, meta, real), timeout=1.0)
+                    break
+                except queue.Full:
+                    if self._closed:
+                        for request, _take in meta:
+                            self._finish(
+                                request, error=RuntimeError("batcher closed")
+                            )
+                        return
 
     def _fetch_loop(self) -> None:
         from gance_tpu.parallel.mesh import fetch_to_host
@@ -282,15 +369,17 @@ class DynamicBatcher:
                 with self._stats_lock:
                     self._stat["errors"] += 1
                 for request, _take in consumed:
-                    if not request.future.done():
-                        request.future.set_exception(error)
+                    self._finish(request, error=error)
                 continue
             offset = 0
             for request, take in consumed:
+                if request.future.done():  # earlier slice failed: drop rows
+                    offset += take
+                    continue
                 request.parts.append(host[offset : offset + take])
                 offset += take
                 request.remaining -= take
-                if request.remaining == 0 and not request.future.done():
+                if request.remaining == 0:
                     result = (
                         request.parts[0]
                         if len(request.parts) == 1
@@ -298,7 +387,7 @@ class DynamicBatcher:
                     )
                     with self._stats_lock:
                         self._latencies.append(time.monotonic() - request.arrived)
-                    request.future.set_result(result)
+                    self._finish(request, result=result)
 
 
 def default_max_batch() -> int:

@@ -28,7 +28,9 @@ serving capability.
 
 import io
 import json
+import os
 import threading
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional, Tuple
 
@@ -39,14 +41,40 @@ from gance_tpu.utils.logging import LOGGER
 
 MAX_BODY_BYTES = 256 * 1024 * 1024  # latents are small; refuse absurd bodies
 MAX_FRAMES_PER_REQUEST = 4096
+# Response-size cap: the frame cap alone ignores resolution (4096 frames of a
+# 1024px generator is ~13 GB before the npy/concat copies). Bounded by bytes
+# so one request can never OOM the host.
+MAX_RESPONSE_BYTES = int(
+    os.environ.get("GANCE_TPU_SERVE_MAX_RESPONSE_BYTES", str(1 << 30))
+)
+# How long a handler waits on its future before returning 503 — bounds every
+# client wait even if the device wedges (the tunnel's known failure mode).
+REQUEST_TIMEOUT_S = float(os.environ.get("GANCE_TPU_SERVE_TIMEOUT_S", "600"))
 
 
 class ServingError(ValueError):
     """Client-side request problem -> HTTP 400."""
 
 
-def _rows_from_request(payload: Dict[str, Any], vector_length: int) -> np.ndarray:
+def max_frames_for(resolution: int) -> int:
+    """Per-request frame cap honoring both the frame and response-byte caps."""
+    if resolution <= 0:  # unknown resolution: frame cap only
+        return MAX_FRAMES_PER_REQUEST
+    frame_bytes = resolution * resolution * 3
+    return max(1, min(MAX_FRAMES_PER_REQUEST, MAX_RESPONSE_BYTES // frame_bytes))
+
+
+def _rows_from_request(
+    payload: Dict[str, Any],
+    vector_length: int,
+    frame_cap: int,
+    style_rows: Optional[int] = None,
+) -> np.ndarray:
     """Resolve the request body to a float32 batch (validated shapes)."""
+    if not isinstance(payload, dict):
+        raise ServingError(
+            f"request body must be a JSON object, got {type(payload).__name__}"
+        )
     sources = [k for k in ("latents", "dlatents", "seeds", "count") if k in payload]
     if len(sources) != 1:
         raise ServingError(
@@ -70,6 +98,11 @@ def _rows_from_request(payload: Dict[str, Any], vector_length: int) -> np.ndarra
             raise ServingError(
                 f"'dlatents' must be (B, rows, {vector_length}), got {rows.shape}"
             )
+        if style_rows is not None and rows.shape[1] != style_rows:
+            raise ServingError(
+                f"'dlatents' must carry {style_rows} style rows for this "
+                f"network, got {rows.shape[1]}"
+            )
     elif key == "seeds":
         seeds = payload["seeds"]
         if not isinstance(seeds, list) or not seeds:
@@ -86,12 +119,20 @@ def _rows_from_request(payload: Dict[str, Any], vector_length: int) -> np.ndarra
             raise ServingError("'count' must be >= 1")
         rng = np.random.RandomState(int(payload.get("seed", 0)))
         rows = rng.randn(count, vector_length).astype(np.float32)
-    if rows.shape[0] > MAX_FRAMES_PER_REQUEST:
+    if rows.shape[0] > frame_cap:
         raise ServingError(
             f"request of {rows.shape[0]} frames exceeds the per-request cap "
-            f"of {MAX_FRAMES_PER_REQUEST}"
+            f"of {frame_cap} (bounded by frame count and response bytes)"
         )
     return rows
+
+
+def _validate_format(fmt: str, num_frames: int) -> None:
+    """Reject bad `format` BEFORE device work is spent on the request."""
+    if fmt not in ("npy", "png"):
+        raise ServingError(f"unknown format {fmt!r} (expected 'npy' or 'png')")
+    if fmt == "png" and num_frames != 1:
+        raise ServingError("'format': 'png' requires exactly one image")
 
 
 def _encode_images(images: np.ndarray, fmt: str) -> Tuple[bytes, str]:
@@ -101,7 +142,7 @@ def _encode_images(images: np.ndarray, fmt: str) -> Tuple[bytes, str]:
         np.save(buffer, images)
         return buffer.getvalue(), "application/octet-stream"
     if fmt == "png":
-        if images.shape[0] != 1:
+        if images.shape[0] != 1:  # unreachable: _validate_format ran pre-submit
             raise ServingError("'format': 'png' requires exactly one image")
         import cv2
 
@@ -128,6 +169,13 @@ class SynthesisDaemon:
         max_delay_ms: float = 5.0,
     ) -> None:
         self.network = network
+        self.frame_cap = max_frames_for(int(getattr(network, "resolution", 0)))
+        # Real networks accept exactly config.num_style_rows w+ rows; fakes
+        # (no config) accept any row count.
+        config = getattr(network, "config", None)
+        self.style_rows: Optional[int] = (
+            int(config.num_style_rows) if config is not None else None
+        )
         self.batcher = DynamicBatcher(
             network, max_batch=max_batch, max_delay_ms=max_delay_ms
         )
@@ -173,12 +221,25 @@ class SynthesisDaemon:
                         raise ServingError("missing or oversized request body")
                     payload = json.loads(self.rfile.read(length))
                     rows = _rows_from_request(
-                        payload, daemon.network.expected_vector_length
+                        payload,
+                        daemon.network.expected_vector_length,
+                        daemon.frame_cap,
+                        style_rows=daemon.style_rows,
                     )
-                    images = daemon.batcher.submit(rows).result()
-                    body, content_type = _encode_images(
-                        images, payload.get("format", "npy")
-                    )
+                    fmt = payload.get("format", "npy")
+                    _validate_format(fmt, rows.shape[0])
+                    future = daemon.batcher.submit(rows)
+                    try:
+                        images = future.result(timeout=REQUEST_TIMEOUT_S)
+                    except FuturesTimeout:
+                        future.cancel()  # drops any undispatched rows
+                        self._reply_json(
+                            503,
+                            {"error": f"synthesis timed out after "
+                             f"{REQUEST_TIMEOUT_S:g}s"},
+                        )
+                        return
+                    body, content_type = _encode_images(images, fmt)
                 except (ServingError, ValueError, json.JSONDecodeError) as error:
                     self._reply_json(400, {"error": str(error)})
                     return
@@ -205,6 +266,7 @@ class SynthesisDaemon:
             "version": gance_tpu.__version__,
             "vector_length": int(self.network.expected_vector_length),
             "resolution": int(getattr(self.network, "resolution", 0)),
+            "max_frames_per_request": self.frame_cap,
         }
 
     def start(self) -> "SynthesisDaemon":

@@ -47,6 +47,22 @@ def test_bucket_rows():
     assert bucket_rows(33, 48) == 48
     assert bucket_rows(100, 48) == 48
     assert bucket_rows(3, 48, multiple=1) == 4
+    # one policy: serving's buckets ARE the runtime's buckets
+    from gance_tpu.synthesis.runtime import _bucket_size
+
+    for real in range(1, 100):
+        assert bucket_rows(real, 48) == _bucket_size(real, 48, multiple=8)
+
+
+def test_warmup_batch_sizes_cover_every_bucket():
+    from gance_tpu.serving.batcher import warmup_batch_sizes
+
+    sizes = warmup_batch_sizes(48)
+    assert sizes == [8, 16, 32, 48]
+    # every reachable bucket is in the warm set
+    for real in range(1, 49):
+        assert bucket_rows(real, 48) in sizes
+    assert warmup_batch_sizes(8) == [8]
 
 
 def test_batcher_matches_direct_synthesis():
@@ -101,6 +117,56 @@ def test_batcher_separates_vector_and_matrix_lanes():
         )
     kinds = [kind for kind, _shape in fake.device_batches]
     assert sorted(kinds) == ["w+", "z"]  # two dispatches, never mixed
+
+
+def test_batcher_never_mixes_matrix_row_counts():
+    """w+ requests with different style-row counts are different programs —
+    coalescing them would crash the dispatch concatenate."""
+    fake = _CountingFake(resolution=16, expected_vector_length=32)
+    w5 = np.random.RandomState(5).randn(2, 5, 32).astype(np.float32)
+    w9 = np.random.RandomState(6).randn(2, 9, 32).astype(np.float32)
+    with DynamicBatcher(fake, max_batch=8, max_delay_ms=100) as batcher:
+        f5 = batcher.submit(w5)
+        f9 = batcher.submit(w9)
+        assert f5.result(timeout=30).shape[0] == 2
+        assert f9.result(timeout=30).shape[0] == 2
+    shapes = sorted(shape for kind, shape in fake.device_batches)
+    assert shapes == [(8, 5, 32), (8, 9, 32)]  # two dispatches, never mixed
+
+
+def test_batcher_works_with_generic_only_network():
+    """A network exposing only device_images_generic (the documented minimum
+    surface — FakeSynthesisNetwork itself) serves both lanes."""
+    fake = FakeSynthesisNetwork(resolution=16, expected_vector_length=32)
+    z = np.random.RandomState(7).randn(3, 32).astype(np.float32)
+    with DynamicBatcher(fake, max_batch=8, max_delay_ms=0) as batcher:
+        got = batcher.submit(z).result(timeout=30)
+    np.testing.assert_array_equal(got, fake.images_from_vectors(z))
+
+
+def test_batcher_drops_rows_of_cancelled_requests():
+    """A request whose future resolved early (cancel, or a failed earlier
+    slice) must not keep burning device batches on its queued rows."""
+    fake = _CountingFake(resolution=16, expected_vector_length=32)
+    doomed = np.zeros((4, 32), np.float32)
+    live = np.random.RandomState(8).randn(2, 32).astype(np.float32)
+    with DynamicBatcher(fake, max_batch=8, max_delay_ms=150) as batcher:
+        doomed_future = batcher.submit(doomed)
+        assert doomed_future.cancel()  # resolved before dispatch
+        live_future = batcher.submit(live)
+        got = live_future.result(timeout=30)
+    np.testing.assert_array_equal(got, fake.images_from_vectors(live))
+    # only the live rows were ever dispatched
+    assert batcher.stats()["frames"] == 2
+
+
+def test_batcher_close_fails_pending_futures():
+    fake = _CountingFake(resolution=16, expected_vector_length=32)
+    batcher = DynamicBatcher(fake, max_batch=8, max_delay_ms=10_000)
+    future = batcher.submit(np.zeros((2, 32), np.float32))
+    batcher.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        future.result(timeout=5)
 
 
 def test_batcher_rejects_bad_shapes_immediately():
@@ -279,14 +345,46 @@ def test_daemon_error_contract(real_daemon):
     with pytest.raises(urllib.error.HTTPError) as info:
         _post(url, {"latents": [[0.0]], "seeds": [1]})
     assert info.value.code == 400
-    # png with more than one image -> 400
+    # png with more than one image -> 400, rejected BEFORE synthesis
+    frames_before = _get_json(f"http://127.0.0.1:{daemon.port}/stats")["frames"]
     with pytest.raises(urllib.error.HTTPError) as info:
         _post(url, {"seeds": [1, 2], "format": "png"})
     assert info.value.code == 400
+    # unknown format -> 400, also pre-synthesis
+    with pytest.raises(urllib.error.HTTPError) as info:
+        _post(url, {"seeds": [1], "format": "jpeg"})
+    assert info.value.code == 400
+    frames_after = _get_json(f"http://127.0.0.1:{daemon.port}/stats")["frames"]
+    assert frames_after == frames_before  # no device work was burned
+    # non-object JSON body -> 400, not 500
+    with pytest.raises(urllib.error.HTTPError) as info:
+        _post(url, 5)
+    assert info.value.code == 400
+    # wrong w+ style-row count -> 400 at the edge, not a trace-time 500
+    with pytest.raises(urllib.error.HTTPError) as info:
+        _post(url, {"dlatents": np.zeros(
+            (1, 3, network.expected_vector_length)).tolist()})
+    assert info.value.code == 400
+    assert "style rows" in json.loads(info.value.read())["error"]
+    # over the per-request frame cap -> 400
+    with pytest.raises(urllib.error.HTTPError) as info:
+        _post(url, {"count": daemon.frame_cap + 1})
+    assert info.value.code == 400
+    assert "cap" in json.loads(info.value.read())["error"]
     # unknown route -> 404
     with pytest.raises(urllib.error.HTTPError) as info:
         _post(f"http://127.0.0.1:{daemon.port}/nope", {})
     assert info.value.code == 404
+
+
+def test_daemon_frame_cap_honors_response_bytes():
+    from gance_tpu.serving.daemon import MAX_FRAMES_PER_REQUEST, max_frames_for
+
+    assert max_frames_for(0) == MAX_FRAMES_PER_REQUEST
+    assert max_frames_for(16) == MAX_FRAMES_PER_REQUEST  # tiny frames: count cap
+    # 1024px frames are 3 MiB each: the byte cap binds far below 4096 frames
+    assert max_frames_for(1024) == (1 << 30) // (1024 * 1024 * 3)
+    assert max_frames_for(1024) < MAX_FRAMES_PER_REQUEST
 
 
 def test_serve_cli_help_and_wrapper():
