@@ -16,6 +16,7 @@ geometric-prior fabrication survives as the opt-in `fabricate_missing_eyes` flag
 for low-texture/synthetic faces.
 """
 
+import os
 from functools import lru_cache
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -24,6 +25,7 @@ import cv2
 import numpy as np
 
 from gance_tpu.overlay import haar
+from gance_tpu.overlay.eye_refine import refine_eye_box
 from gance_tpu.types import BoundingBox, LabeledCoordinates
 
 _CASCADE_DIRS = [Path("/usr/share/opencv4/haarcascades")]
@@ -82,11 +84,23 @@ class FaceFinderProxy:
     (mirroring the reference's just-in-time import rationale, faces.py:12-35).
     """
 
-    def __init__(self, fabricate_missing_eyes: bool = False) -> None:
+    def __init__(
+        self,
+        fabricate_missing_eyes: bool = False,
+        refine_eye_centers: Optional[bool] = None,
+    ) -> None:
         self._loaded = False
         self._face: Optional[haar.HaarCascade] = None
         self._eye: Optional[haar.HaarCascade] = None
         self.fabricate_missing_eyes = fabricate_missing_eyes
+        # Landmark-grade precision: re-center each eye box on the
+        # gradient-localized eye center (overlay/eye_refine.py). Defaults ON;
+        # GANCE_TPU_EYE_REFINE=0 restores raw Haar geometry framework-wide.
+        self.refine_eye_centers = (
+            os.environ.get("GANCE_TPU_EYE_REFINE", "1") != "0"
+            if refine_eye_centers is None
+            else refine_eye_centers
+        )
 
     def _ensure_loaded(self) -> None:
         if not self._loaded:
@@ -170,6 +184,14 @@ class FaceFinderProxy:
                 right = BoundingBox(
                     fw - (left.x + left.width), left.y, left.width, left.height
                 )
+
+            if self.refine_eye_centers:
+                # Refinement reads the actual face pixels, so it runs on
+                # mirrored (and opt-in fabricated) boxes too: when real eye
+                # content sits near the placed box, the box locks onto it;
+                # otherwise the shift guard keeps the geometric placement.
+                left = refine_eye_box(roi, left)
+                right = refine_eye_box(roi, right)
 
             results.append(
                 {

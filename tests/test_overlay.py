@@ -411,3 +411,68 @@ class TestTemporalSmoothing:
         list(result.bbox_lists)
         # noise frames: no faces detected -> no pairs -> no phash either way
         assert calls == []
+
+
+class TestEyeRefinement:
+    """Gradient-based eye-center refinement (overlay/eye_refine.py): the
+    landmark-point precision layer over the Haar boxes, standing in for the
+    reference's dlib landmarks (gance/faces.py:12-68)."""
+
+    @staticmethod
+    def _synthetic_eye(center=(52, 33), shape=(60, 80)):
+        import cv2
+
+        img = np.full(shape, 220, np.uint8)
+        cv2.circle(img, center, 9, 40, -1)
+        return cv2.GaussianBlur(img, (5, 5), 0)
+
+    def test_locates_dark_disk_center(self):
+        from gance_tpu.overlay.eye_refine import locate_eye_center
+
+        center = locate_eye_center(self._synthetic_eye())
+        assert center is not None
+        assert abs(center[0] - 52) <= 2 and abs(center[1] - 33) <= 2
+
+    def test_recenter_offset_box(self):
+        """A box offset from the true eye re-centers onto it; size is kept."""
+        from gance_tpu.overlay.eye_refine import refine_eye_box
+        from gance_tpu.types import BoundingBox
+
+        img = self._synthetic_eye()
+        box = BoundingBox(x=52 - 15 - 8, y=33 - 10 - 6, width=30, height=20)
+        refined = refine_eye_box(img, box)
+        assert (refined.width, refined.height) == (30, 20)
+        assert abs(refined.x + 15 - 52) <= 2 and abs(refined.y + 10 - 33) <= 2
+
+    def test_abstains_on_flat_roi(self):
+        from gance_tpu.overlay.eye_refine import locate_eye_center, refine_eye_box
+        from gance_tpu.types import BoundingBox
+
+        flat = np.full((40, 40), 128, np.uint8)
+        assert locate_eye_center(flat) is None
+        box = BoundingBox(x=5, y=5, width=20, height=15)
+        assert refine_eye_box(flat, box) == box
+
+    def test_shift_guard_keeps_detector_geometry(self):
+        """When the only gradient evidence is implausibly far from the box,
+        the refinement must return the detector's box unchanged."""
+        import cv2
+
+        from gance_tpu.overlay.eye_refine import refine_eye_box
+        from gance_tpu.types import BoundingBox
+
+        img = np.full((80, 120), 220, np.uint8)
+        cv2.circle(img, (105, 70), 8, 30, -1)  # distractor far from the box
+        img = cv2.GaussianBlur(img, (5, 5), 0)
+        box = BoundingBox(x=10, y=10, width=24, height=16)
+        assert refine_eye_box(img, box) == box
+
+    def test_env_kill_switch(self, monkeypatch):
+        """GANCE_TPU_EYE_REFINE=0 restores raw Haar geometry; default is on."""
+        from gance_tpu.overlay.faces import FaceFinderProxy
+
+        monkeypatch.setenv("GANCE_TPU_EYE_REFINE", "0")
+        assert FaceFinderProxy().refine_eye_centers is False
+        monkeypatch.delenv("GANCE_TPU_EYE_REFINE")
+        assert FaceFinderProxy().refine_eye_centers is True
+        assert FaceFinderProxy(refine_eye_centers=False).refine_eye_centers is False

@@ -70,6 +70,73 @@ def measure(name, fg_frames, bg_frames, smoothing, phash, bbox):
     return record
 
 
+def measure_tracking_error(frames, shifts) -> dict:
+    """
+    Landmark-point precision against GROUND TRUTH: the jittered frames are one
+    photo under known integer translations, so the matched eye center must move
+    exactly with the shift. Reports the per-frame deviation
+    |(center_t - center_0) - (shift_t - shift_0)| in pixels for raw Haar boxes
+    vs gradient-refined boxes (overlay/eye_refine.py) — the number that
+    quantifies the dlib-landmark substitution (r3 VERDICT missing #1).
+    """
+    import numpy as np
+
+    from gance_tpu.overlay.common import landmarks_to_bounding_boxes
+    from gance_tpu.overlay.faces import FaceFinderProxy
+
+    out = {}
+    for label, refine in (("raw", False), ("refined", True)):
+        finder = FaceFinderProxy(refine_eye_centers=refine)
+        all_centers = []
+        box_widths = []
+        for frame in frames:
+            boxes = landmarks_to_bounding_boxes(finder.face_landmarks(frame))
+            box_widths.extend(b.width for b in boxes)
+            all_centers.append(
+                [(b.x + b.width / 2.0, b.y + b.height / 2.0) for b in boxes]
+            )
+        base = next((i for i, c in enumerate(all_centers) if c), None)
+        # A detection counts as the SAME eye only within half a box width of
+        # its ground-truth position; farther means the detector produced a
+        # different/false box (an identity miss — already covered by the
+        # flip/IoU metrics). Splitting the two isolates what this metric is
+        # for: sub-window localization precision of matched landmarks.
+        gate = (np.median(box_widths) / 2.0) if box_widths else 0.0
+        errors = []
+        expected = 0
+        if base is not None:
+            # For EACH eye detected in the base frame: its ground-truth position
+            # in frame t is base_center + (shift_t - shift_base). Match to the
+            # NEAREST detection in frame t and record the residual when the
+            # match passes the identity gate.
+            for base_center in all_centers[base]:
+                for i, centers in enumerate(all_centers):
+                    if i == base or not centers:
+                        continue
+                    expected += 1
+                    ex = base_center[0] + shifts[i][0] - shifts[base][0]
+                    ey = base_center[1] + shifts[i][1] - shifts[base][1]
+                    residual = min(
+                        float(np.hypot(cx - ex, cy - ey)) for cx, cy in centers
+                    )
+                    if residual <= gate:
+                        errors.append(residual)
+        out[label] = {
+            "frames_detected": sum(bool(c) for c in all_centers),
+            "eye_match_rate": round(len(errors) / expected, 3) if expected else None,
+            "identity_gate_px": round(float(gate), 1),
+            "matched_err_mean_px": (
+                round(float(np.mean(errors)), 2) if errors else None
+            ),
+            "matched_err_p90_px": (
+                round(float(np.percentile(errors, 90)), 2) if errors else None
+            ),
+            "matched_err_max_px": round(float(np.max(errors)), 2) if errors else None,
+        }
+    print(json.dumps({"metric": "eye-center tracking error vs ground truth", **out}))
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--phash-distance", type=int, default=30)
@@ -104,13 +171,16 @@ def main() -> None:
         base = cv2.resize(base, (side, side), interpolation=cv2.INTER_AREA)
         rng = np.random.RandomState(0)
         jittered = []
+        shifts = []
         for _ in range(args.jitter_frames):
             dx, dy = rng.randint(-args.jitter_px, args.jitter_px + 1, size=2)
             matrix = np.float32([[1, 0, dx], [0, 1, dy]])
+            shifts.append((int(dx), int(dy)))
             jittered.append(
                 cv2.warpAffine(base, matrix, (side, side), borderMode=cv2.BORDER_REFLECT)
             )
         sequences["jittered_face_image"] = (jittered, jittered)
+        measure_tracking_error(jittered, shifts)
 
     if not sequences:
         raise SystemExit("no assets found under " + str(ASSETS))
