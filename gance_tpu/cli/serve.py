@@ -17,8 +17,18 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
 
 @click.command()
 @click.option(
-    "--network-path", type=click.Path(exists=True, dir_okay=False), required=True,
-    help="Generator .pkl to serve.",
+    "--network-path", type=click.Path(exists=True, dir_okay=False), multiple=True,
+    help="Generator .pkl to serve (repeat to serve several resident networks; "
+    "requests pick one with the 'network' field, default index 0).",
+)
+@click.option(
+    "--networks-directory", type=click.Path(exists=True, file_okay=False),
+    default=None,
+    help="Serve every *.pkl in this directory (sorted), like the render CLIs.",
+)
+@click.option(
+    "--networks-json", type=click.Path(exists=True, dir_okay=False), default=None,
+    help='JSON file {"networks": [paths...]} of pickles to serve.',
 )
 @click.option("--host", default="127.0.0.1", show_default=True)
 @click.option(
@@ -59,7 +69,9 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
     "first use); 'none' = bind immediately.",
 )
 def cli(  # pylint: disable=too-many-arguments
-    network_path: str,
+    network_path: tuple,
+    networks_directory: Optional[str],
+    networks_json: Optional[str],
     host: str,
     port: int,
     max_batch: Optional[int],
@@ -70,9 +82,10 @@ def cli(  # pylint: disable=too-many-arguments
     log_path: Optional[str],
     warmup: str,
 ) -> None:
-    """Serve a generator over HTTP with dynamic request batching."""
+    """Serve one or more generators over HTTP with dynamic request batching."""
     import numpy as np
 
+    from gance_tpu.cli.common import resolve_networks
     from gance_tpu.serving import SynthesisDaemon, default_max_batch
     from gance_tpu.serving.batcher import warmup_batch_sizes
     from gance_tpu.synthesis.runtime import SynthesisNetwork
@@ -89,43 +102,53 @@ def cli(  # pylint: disable=too-many-arguments
         kwargs["compute_dtype"] = {
             "bfloat16": jnp.bfloat16, "float32": jnp.float32,
         }[compute_dtype]
-    network = SynthesisNetwork.from_pkl(
-        Path(network_path), output_side_length=output_side_length, **kwargs
-    )
+    paths = resolve_networks(networks_directory, network_path, networks_json)
+    networks = [
+        SynthesisNetwork.from_pkl(
+            p, output_side_length=output_side_length, **kwargs
+        )
+        for p in paths
+    ]
     resolved_batch = max_batch if max_batch is not None else default_max_batch()
 
     if warmup != "none":
         # The batcher dispatches log2 BUCKET shapes, not just max_batch — a
         # single-seed request runs the batch-8 program. "all" compiles every
         # shape either lane can hit so no request ever waits on a cold jit.
+        # Params are traced jit arguments, so same-config networks share one
+        # compiled program: warm each DISTINCT architecture once.
         sizes = (
             warmup_batch_sizes(resolved_batch)
             if warmup == "all"
             else [resolved_batch]
         )
-        vector_length = network.expected_vector_length
-        style_rows = int(network.config.num_style_rows)
+        distinct = list({n.config: n for n in networks}.values())
         LOGGER.info(
-            "Warming %d program(s) (batch sizes %s; first TPU compile can "
-            "take minutes)...", len(sizes) * (2 if warmup == "all" else 1),
-            sizes,
+            "Warming %d program(s) (%d distinct architecture(s), batch sizes "
+            "%s; first TPU compile can take minutes)...",
+            len(sizes) * len(distinct) * (2 if warmup == "all" else 1),
+            len(distinct), sizes,
         )
-        for size in sizes:
-            network.images_from_vectors(
-                np.zeros((size, vector_length), np.float32)
-            )
-            if warmup == "all":
-                network.images_from_matrices(
-                    np.zeros((size, style_rows, vector_length), np.float32)
+        for network in distinct:
+            vector_length = network.expected_vector_length
+            style_rows = int(network.config.num_style_rows)
+            for size in sizes:
+                network.images_from_vectors(
+                    np.zeros((size, vector_length), np.float32)
                 )
+                if warmup == "all":
+                    network.images_from_matrices(
+                        np.zeros((size, style_rows, vector_length), np.float32)
+                    )
         LOGGER.info("Warmup complete.")
 
     with SynthesisDaemon(
-        network, host=host, port=port,
+        networks, host=host, port=port,
         max_batch=resolved_batch, max_delay_ms=max_delay_ms,
     ) as daemon:
         click.echo(
-            f"serving {network_path} on http://{host}:{daemon.port} "
+            f"serving {', '.join(str(p) for p in paths)} on "
+            f"http://{host}:{daemon.port} "
             f"(max_batch={resolved_batch}, linger={max_delay_ms}ms)"
         )
         import threading

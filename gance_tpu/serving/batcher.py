@@ -105,7 +105,17 @@ class DynamicBatcher:
     ) -> None:
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
-        self.network = network
+        # One batcher can serve SEVERAL resident networks (a list/tuple): each
+        # request addresses one via submit(..., network_index=i) and the lane
+        # carries the index, so a device batch never mixes networks. Same-
+        # config networks share the module-level jit cache (params are traced
+        # arguments), so N networks cost zero extra compiles.
+        self.networks: List[Any] = (
+            list(network) if isinstance(network, (list, tuple)) else [network]
+        )
+        if not self.networks:
+            raise ValueError("at least one network required")
+        self.network = self.networks[0]  # single-network callers' surface
         self.max_batch = int(max_batch)
         self.max_delay = max(0.0, float(max_delay_ms)) / 1000.0
         self.pad_multiple = max(1, int(pad_multiple))
@@ -126,6 +136,7 @@ class DynamicBatcher:
             "errors": 0,
         }
         self._latencies: "collections.deque[float]" = collections.deque(maxlen=512)
+        self._net_frames = [0] * len(self.networks)
         self._dispatch_thread = threading.Thread(
             target=self._dispatch_loop, name="batcher-dispatch", daemon=True
         )
@@ -137,23 +148,33 @@ class DynamicBatcher:
 
     # ---- public surface ----
 
-    def submit(self, batch: np.ndarray) -> "Future[np.ndarray]":
+    def submit(
+        self, batch: np.ndarray, network_index: int = 0
+    ) -> "Future[np.ndarray]":
         """
-        Enqueue a (B, V) z batch or (B, R, V) w+ batch; the future resolves to
-        the (B, H, W, 3) uint8 images in row order. Raises ValueError on shape
-        problems immediately (fail fast at the edge, not on the device).
+        Enqueue a (B, V) z batch or (B, R, V) w+ batch for network
+        ``network_index``; the future resolves to the (B, H, W, 3) uint8
+        images in row order. Raises ValueError on shape problems immediately
+        (fail fast at the edge, not on the device).
         """
+        if not 0 <= network_index < len(self.networks):
+            raise ValueError(
+                f"network_index {network_index} out of range "
+                f"(serving {len(self.networks)} networks)"
+            )
         rows = np.asarray(batch, np.float32)
         if rows.ndim == 2:
-            lane = (LANE_VECTORS,) + rows.shape[1:]
+            lane = (int(network_index), LANE_VECTORS) + rows.shape[1:]
         elif rows.ndim == 3:
-            lane = (LANE_MATRICES,) + rows.shape[1:]
+            lane = (int(network_index), LANE_MATRICES) + rows.shape[1:]
         else:
             raise ValueError(
                 f"batch must be (B, V) vectors or (B, R, V) matrices, got "
                 f"shape {rows.shape}"
             )
-        expected = getattr(self.network, "expected_vector_length", None)
+        expected = getattr(
+            self.networks[network_index], "expected_vector_length", None
+        )
         if expected is not None and rows.shape[-1] != expected:
             raise ValueError(
                 f"latent length {rows.shape[-1]} != network's {expected}"
@@ -175,6 +196,8 @@ class DynamicBatcher:
         with self._stats_lock:
             out = dict(self._stat)
             latencies = sorted(self._latencies)
+            if len(self.networks) > 1:
+                out["frames_by_network"] = list(self._net_frames)
         out["max_batch"] = self.max_batch
         out["occupancy"] = (
             out["frames"] / out["dispatched_rows"] if out["dispatched_rows"] else None
@@ -299,17 +322,19 @@ class DynamicBatcher:
                     break
             return consumed
 
-    def _network_fn(self, kind: str):
-        """Resolve the device entry point for a lane kind; networks exposing
-        only the generic surface (rank-dispatching) work too."""
+    def _network_fn(self, lane: Tuple):
+        """Resolve the device entry point for a lane (network index + kind);
+        networks exposing only the generic surface (rank-dispatching) work
+        too."""
+        network = self.networks[lane[0]]
         name = (
             "device_images_from_vectors"
-            if kind == LANE_VECTORS
+            if lane[1] == LANE_VECTORS
             else "device_images_from_matrices"
         )
-        fn = getattr(self.network, name, None)
+        fn = getattr(network, name, None)
         if fn is None:
-            fn = self.network.device_images_generic
+            fn = network.device_images_generic
         return fn
 
     def _dispatch_loop(self) -> None:
@@ -319,7 +344,7 @@ class DynamicBatcher:
                 return
             if not consumed:  # only dead requests were queued
                 continue
-            kind = consumed[0][0].lane[0]
+            lane = consumed[0][0].lane
             rows = np.concatenate([slice_ for _req, _take, slice_ in consumed])
             real = rows.shape[0]
             bucket = bucket_rows(real, self.max_batch, self.pad_multiple)
@@ -327,7 +352,7 @@ class DynamicBatcher:
                 pad = np.zeros((bucket - real,) + rows.shape[1:], rows.dtype)
                 rows = np.concatenate([rows, pad])
             try:
-                device_images = self._network_fn(kind)(rows)
+                device_images = self._network_fn(lane)(rows)
             except Exception as error:  # pylint: disable=broad-except
                 LOGGER.exception("serving dispatch failed")
                 with self._stats_lock:
@@ -339,6 +364,7 @@ class DynamicBatcher:
                 self._stat["batches"] += 1
                 self._stat["frames"] += real
                 self._stat["dispatched_rows"] += bucket
+                self._net_frames[lane[0]] += real
             meta = [(request, take) for request, take, _slice in consumed]
             while True:
                 try:

@@ -14,7 +14,10 @@ exposes a loaded generator for production serving:
       {"seeds": [0, 1, ...]}                 server-side N(0,1) z per seed
       {"count": N, "seed": S}                N z rows from one RandomState
       optional "format": "npy" (default; one (B, H, W, 3) uint8 np.save blob,
-      shape echoed in X-Gance-Shape) or "png" (exactly one image).
+      shape echoed in X-Gance-Shape) or "png" (exactly one image);
+      optional "network": index or name when the daemon serves several
+      resident networks (the reference's MultiNetwork brought online;
+      /healthz lists them) — default 0.
 
 Concurrency model: ThreadingHTTPServer gives one thread per connection; every
 handler submits to the shared DynamicBatcher and blocks on its future, so
@@ -32,6 +35,7 @@ import os
 import threading
 from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -168,16 +172,41 @@ class SynthesisDaemon:
         max_batch: int = 48,
         max_delay_ms: float = 5.0,
     ) -> None:
-        self.network = network
-        self.frame_cap = max_frames_for(int(getattr(network, "resolution", 0)))
+        # `network` may be one network or a list of RESIDENT networks (the
+        # reference's MultiNetwork concept, network_functions.py:484-640,
+        # brought online): requests pick one with {"network": <index|name>},
+        # defaulting to 0. One batcher serves them all — its lanes keep
+        # device batches single-network while one dispatch thread serializes
+        # device work across every network.
+        self.networks: list = (
+            list(network) if isinstance(network, (list, tuple)) else [network]
+        )
+        self.network = self.networks[0]
+        self.frame_caps = [
+            max_frames_for(int(getattr(n, "resolution", 0))) for n in self.networks
+        ]
+        self.frame_cap = self.frame_caps[0]
         # Real networks accept exactly config.num_style_rows w+ rows; fakes
         # (no config) accept any row count.
-        config = getattr(network, "config", None)
-        self.style_rows: Optional[int] = (
-            int(config.num_style_rows) if config is not None else None
-        )
+        self.style_rows_by_network: list = [
+            int(n.config.num_style_rows) if getattr(n, "config", None) is not None
+            else None
+            for n in self.networks
+        ]
+        self.style_rows = self.style_rows_by_network[0]
+        # Name -> index: the pickle's file stem (unique stems only — ambiguous
+        # names stay index-addressable) plus the index's string form.
+        self.network_names: list = [
+            (Path(str(n.path)).stem if getattr(n, "path", None) else f"network_{i}")
+            for i, n in enumerate(self.networks)
+        ]
+        self._name_to_index = {
+            name: i
+            for i, name in enumerate(self.network_names)
+            if self.network_names.count(name) == 1
+        }
         self.batcher = DynamicBatcher(
-            network, max_batch=max_batch, max_delay_ms=max_delay_ms
+            self.networks, max_batch=max_batch, max_delay_ms=max_delay_ms
         )
         daemon = self
 
@@ -220,15 +249,16 @@ class SynthesisDaemon:
                     if length <= 0 or length > MAX_BODY_BYTES:
                         raise ServingError("missing or oversized request body")
                     payload = json.loads(self.rfile.read(length))
+                    index = daemon.resolve_network_index(payload)
                     rows = _rows_from_request(
                         payload,
-                        daemon.network.expected_vector_length,
-                        daemon.frame_cap,
-                        style_rows=daemon.style_rows,
+                        daemon.networks[index].expected_vector_length,
+                        daemon.frame_caps[index],
+                        style_rows=daemon.style_rows_by_network[index],
                     )
                     fmt = payload.get("format", "npy")
                     _validate_format(fmt, rows.shape[0])
-                    future = daemon.batcher.submit(rows)
+                    future = daemon.batcher.submit(rows, network_index=index)
                     try:
                         images = future.result(timeout=REQUEST_TIMEOUT_S)
                     except FuturesTimeout:
@@ -258,16 +288,50 @@ class SynthesisDaemon:
             target=self._server.serve_forever, name="serving-http", daemon=True
         )
 
+    def resolve_network_index(self, payload: Any) -> int:
+        """The network a request addresses: the optional "network" field is an
+        index or a served name; absent means network 0."""
+        selector = payload.get("network", 0) if isinstance(payload, dict) else 0
+        if isinstance(selector, bool):
+            raise ServingError('"network" must be an index or name')
+        if isinstance(selector, int):
+            if not 0 <= selector < len(self.networks):
+                raise ServingError(
+                    f'"network" index {selector} out of range '
+                    f"(serving {len(self.networks)} networks)"
+                )
+            return selector
+        if isinstance(selector, str):
+            if selector in self._name_to_index:
+                return self._name_to_index[selector]
+            raise ServingError(
+                f'unknown network "{selector}" (serving: '
+                f'{", ".join(self.network_names)})'
+            )
+        raise ServingError('"network" must be an index or name')
+
     def health(self) -> Dict[str, Any]:
         import gance_tpu
 
-        return {
+        payload = {
             "ok": True,
             "version": gance_tpu.__version__,
             "vector_length": int(self.network.expected_vector_length),
             "resolution": int(getattr(self.network, "resolution", 0)),
             "max_frames_per_request": self.frame_cap,
         }
+        if len(self.networks) > 1:
+            payload["networks"] = [
+                {
+                    "index": i,
+                    "name": self.network_names[i],
+                    "vector_length": int(n.expected_vector_length),
+                    "resolution": int(getattr(n, "resolution", 0)),
+                    "max_frames_per_request": self.frame_caps[i],
+                }
+                for i, n in enumerate(self.networks)
+            ]
+        return payload
 
     def start(self) -> "SynthesisDaemon":
         self._thread.start()

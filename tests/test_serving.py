@@ -400,3 +400,123 @@ def test_serve_cli_help_and_wrapper():
     assert "from gance_tpu.cli.serve import cli" in Path(
         Path(__file__).resolve().parents[1] / "serve_network.py"
     ).read_text()
+
+
+class TestMultiNetwork:
+    """Several resident networks behind ONE batcher/daemon (the reference's
+    MultiNetwork, network_functions.py:484-640, brought online): lanes carry
+    the network index so device batches never mix networks, and requests
+    address a network by index or pickle-stem name."""
+
+    def test_batcher_routes_by_network_index(self):
+        a = _CountingFake(resolution=16, expected_vector_length=32)
+        b = _CountingFake(resolution=8, expected_vector_length=32)
+        rows = np.random.RandomState(0).randn(3, 32).astype(np.float32)
+        with DynamicBatcher([a, b], max_batch=8, max_delay_ms=0) as batcher:
+            fa = batcher.submit(rows, network_index=0)
+            fb = batcher.submit(rows, network_index=1)
+            images_a = fa.result(timeout=30)
+            images_b = fb.result(timeout=30)
+        # each network rendered exactly its own request, nothing else
+        assert images_a.shape[1:] == (16, 16, 3)
+        assert images_b.shape[1:] == (8, 8, 3)
+        assert [s for _k, s in a.device_batches] == [(8, 32)]
+        assert [s for _k, s in b.device_batches] == [(8, 32)]
+        np.testing.assert_array_equal(images_a, a.images_from_vectors(rows))
+        np.testing.assert_array_equal(images_b, b.images_from_vectors(rows))
+
+    def test_batcher_coalesces_within_but_not_across_networks(self):
+        a = _CountingFake(resolution=16, expected_vector_length=32)
+        b = _CountingFake(resolution=16, expected_vector_length=32)
+        rng = np.random.RandomState(1)
+        with DynamicBatcher([a, b], max_batch=16, max_delay_ms=60) as batcher:
+            futures = [
+                batcher.submit(rng.randn(2, 32).astype(np.float32), network_index=i % 2)
+                for i in range(6)
+            ]
+            for future in futures:
+                future.result(timeout=30)
+            stats = batcher.stats()
+        # 3 requests x 2 rows per network coalesce into one batch each;
+        # the two networks never share a device batch
+        assert all(shape == (8, 32) for _k, shape in a.device_batches)
+        assert all(shape == (8, 32) for _k, shape in b.device_batches)
+        assert len(a.device_batches) + len(b.device_batches) == stats["batches"]
+        assert stats["frames_by_network"] == [6, 6]
+
+    def test_batcher_rejects_bad_network_index(self):
+        a = _CountingFake(resolution=16, expected_vector_length=32)
+        with DynamicBatcher([a], max_batch=8, max_delay_ms=0) as batcher:
+            with pytest.raises(ValueError, match="out of range"):
+                batcher.submit(np.zeros((1, 32), np.float32), network_index=1)
+            with pytest.raises(ValueError, match="out of range"):
+                batcher.submit(np.zeros((1, 32), np.float32), network_index=-1)
+
+    @pytest.fixture(scope="class")
+    def multi_daemon(self):
+        alpha = FakeSynthesisNetwork(resolution=16, expected_vector_length=32)
+        alpha.path = Path("/nets/alpha_net.pkl")
+        beta = FakeSynthesisNetwork(resolution=8, expected_vector_length=32)
+        beta.path = Path("/nets/beta_net.pkl")
+        with SynthesisDaemon(
+            [alpha, beta], port=0, max_batch=8, max_delay_ms=0
+        ) as daemon:
+            yield daemon, alpha, beta
+
+    def test_daemon_healthz_lists_networks(self, multi_daemon):
+        daemon, _alpha, _beta = multi_daemon
+        health = _get_json(f"http://127.0.0.1:{daemon.port}/healthz")
+        assert [n["name"] for n in health["networks"]] == ["alpha_net", "beta_net"]
+        assert [n["resolution"] for n in health["networks"]] == [16, 8]
+        assert health["resolution"] == 16  # top-level = network 0 (back-compat)
+
+    def test_daemon_routes_by_index_and_name(self, multi_daemon):
+        daemon, alpha, beta = multi_daemon
+        url = f"http://127.0.0.1:{daemon.port}/synthesize"
+        latents = np.random.RandomState(3).randn(2, 32).astype(np.float32)
+        # default -> network 0
+        _status, body, _ = _post(url, {"latents": latents.tolist()})
+        np.testing.assert_array_equal(
+            np.load(io.BytesIO(body)), alpha.images_from_vectors(latents)
+        )
+        # by index
+        _status, body, _ = _post(url, {"latents": latents.tolist(), "network": 1})
+        np.testing.assert_array_equal(
+            np.load(io.BytesIO(body)), beta.images_from_vectors(latents)
+        )
+        # by pickle-stem name
+        _status, body, _ = _post(
+            url, {"latents": latents.tolist(), "network": "beta_net"}
+        )
+        np.testing.assert_array_equal(
+            np.load(io.BytesIO(body)), beta.images_from_vectors(latents)
+        )
+        stats = _get_json(f"http://127.0.0.1:{daemon.port}/stats")
+        assert stats["frames_by_network"] == [2, 4]
+
+    def test_daemon_rejects_unknown_network(self, multi_daemon):
+        daemon, _alpha, _beta = multi_daemon
+        url = f"http://127.0.0.1:{daemon.port}/synthesize"
+        with pytest.raises(urllib.error.HTTPError) as info:
+            _post(url, {"seeds": [1], "network": 7})
+        assert info.value.code == 400
+        assert "out of range" in json.loads(info.value.read())["error"]
+        with pytest.raises(urllib.error.HTTPError) as info:
+            _post(url, {"seeds": [1], "network": "nope"})
+        assert info.value.code == 400
+        assert "beta_net" in json.loads(info.value.read())["error"]
+        with pytest.raises(urllib.error.HTTPError) as info:
+            _post(url, {"seeds": [1], "network": True})
+        assert info.value.code == 400
+
+    def test_serve_cli_accepts_multiple_network_sources(self):
+        from click.testing import CliRunner
+
+        from gance_tpu.cli.serve import cli
+
+        result = CliRunner().invoke(cli, ["--help"])
+        assert result.exit_code == 0
+        assert "--networks-directory" in result.output
+        assert "--networks-json" in result.output
+        params = {p.name: p for p in cli.params}
+        assert params["network_path"].multiple is True

@@ -1,0 +1,158 @@
+"""
+Bench the online serving daemon END-TO-END: concurrent HTTP clients against
+`gance_tpu.serving.SynthesisDaemon`, dynamic batching onto the device,
+sustained frames/sec + request latency percentiles + batch occupancy.
+
+This measures the full production serving stack — HTTP parse, request
+validation, DynamicBatcher coalescing/bucketing, device dispatch, device->host
+fetch, npy encode — not the bare jitted program (bench.py measures that:
+221.3 f/s at 1024px bf16 batch 48 on the v5e). On THIS dev host the wall
+number at 1024px is a tunnel artifact (~22 MB/s device->host link = ~7 f/s of
+uint8 1024px frames no matter the server); the occupancy + latency shape and
+the smaller-resolution rates are what transfer to a real TPU VM.
+
+Usage (CPU smoke):            JAX_PLATFORMS=cpu python tools/bench_serving_daemon.py \
+                                  --resolution 64 --seconds 5
+Real chip (wrap in retry):    bash tools/tpu_retry.sh /tmp/serve_bench.log \
+                                  python tools/bench_serving_daemon.py --seconds 30
+
+Prints ONE JSON line.
+"""
+
+import argparse
+import json
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--resolution", type=int, default=1024)
+    parser.add_argument("--clients", type=int, default=6, help="concurrent client threads")
+    parser.add_argument(
+        "--request-frames", type=int, default=8, help="frames per /synthesize request"
+    )
+    parser.add_argument("--seconds", type=float, default=30.0, help="timed window")
+    parser.add_argument("--max-batch", type=int, default=None)
+    parser.add_argument(
+        "--max-delay-ms", type=float, default=5.0, help="batcher coalescing linger"
+    )
+    args = parser.parse_args()
+
+    import gance_tpu  # noqa: F401  (platform/compile-cache plumbing)
+    import jax
+    import numpy as np
+
+    from gance_tpu.models.stylegan2 import GeneratorConfig, init_generator_params
+    from gance_tpu.serving import SynthesisDaemon, default_max_batch
+    from gance_tpu.serving.batcher import warmup_batch_sizes
+    from gance_tpu.synthesis.runtime import SynthesisNetwork
+
+    max_batch = args.max_batch if args.max_batch is not None else default_max_batch()
+
+    config = GeneratorConfig(resolution=args.resolution)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = init_generator_params(jax.random.PRNGKey(0), config)
+    params = jax.device_put(params, jax.devices()[0])  # one transfer, like prod
+    network = SynthesisNetwork(params=params, config=config)
+
+    # Warm every z-lane bucket the batcher can dispatch so the timed window
+    # never absorbs an XLA compile (minutes over the tunnel).
+    sizes = warmup_batch_sizes(max_batch)
+    for size in sizes:
+        print(f"warming z program batch={size} ...", file=sys.stderr, flush=True)
+        network.images_from_vectors(np.zeros((size, 512), np.float32))
+
+    stop = threading.Event()
+    lock = threading.Lock()
+    frames_done = [0]
+    requests_done = [0]
+    errors = [0]
+
+    def client(base_url: str, seed0: int) -> None:
+        i = 0
+        while not stop.is_set():
+            body = json.dumps(
+                {"count": args.request_frames, "seed": seed0 * 100003 + i}
+            ).encode()
+            req = urllib.request.Request(
+                base_url + "/synthesize",
+                data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=600) as resp:
+                    blob = resp.read()
+                    shape = resp.headers.get("X-Gance-Shape", "")
+                n = int(shape.split("x")[0]) if shape else args.request_frames
+                assert len(blob) > n * 100  # sanity: a real payload came back
+                with lock:
+                    frames_done[0] += n
+                    requests_done[0] += 1
+            except Exception:  # pylint: disable=broad-except
+                if not stop.is_set():
+                    with lock:
+                        errors[0] += 1
+            i += 1
+
+    with SynthesisDaemon(
+        network,
+        host="127.0.0.1",
+        port=0,
+        max_batch=max_batch,
+        max_delay_ms=args.max_delay_ms,
+    ) as daemon:
+        base_url = f"http://127.0.0.1:{daemon.port}"
+        threads = [
+            threading.Thread(target=client, args=(base_url, k), daemon=True)
+            for k in range(args.clients)
+        ]
+        # settle pass: first requests per client (connection setup, any stray
+        # shape warms) stay out of the timed window
+        for t in threads:
+            t.start()
+        time.sleep(min(5.0, args.seconds / 2.0))
+        with lock:
+            frames_done[0] = requests_done[0] = errors[0] = 0
+        stats_before = daemon.batcher.stats()
+        start = time.monotonic()
+        time.sleep(args.seconds)
+        with lock:
+            frames = frames_done[0]
+            requests = requests_done[0]
+            errs = errors[0]
+        elapsed = time.monotonic() - start
+        stats_after = daemon.batcher.stats()
+        stop.set()
+        # daemon context exit closes the batcher, failing in-flight futures;
+        # clients see errors after stop is set and ignore them
+
+    batches = stats_after["batches"] - stats_before["batches"]
+    dispatched = stats_after["dispatched_rows"] - stats_before["dispatched_rows"]
+    window_frames = stats_after["frames"] - stats_before["frames"]
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.resolution}px serving daemon sustained frames/sec "
+                f"({args.clients} clients x {args.request_frames} frames/req)",
+                "value": round(frames / elapsed, 2),
+                "unit": "frames/sec",
+                "requests_per_sec": round(requests / elapsed, 2),
+                "client_errors": errs,
+                "mean_dispatch_batch": round(window_frames / batches, 1) if batches else None,
+                "bucket_occupancy": round(window_frames / dispatched, 3) if dispatched else None,
+                "latency_p50_ms": stats_after.get("latency_p50_ms"),
+                "latency_p99_ms": stats_after.get("latency_p99_ms"),
+                "max_batch": max_batch,
+                "linger_ms": args.max_delay_ms,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
