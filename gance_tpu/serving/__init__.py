@@ -6,10 +6,13 @@ of SURVEY.md §6's north star.
 """
 
 from gance_tpu.serving.batcher import DynamicBatcher, bucket_rows, default_max_batch
+from gance_tpu.serving.client import ServingClient, ServingClientError
 from gance_tpu.serving.daemon import SynthesisDaemon
 
 __all__ = [
     "DynamicBatcher",
+    "ServingClient",
+    "ServingClientError",
     "SynthesisDaemon",
     "bucket_rows",
     "default_max_batch",

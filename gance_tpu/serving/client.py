@@ -1,0 +1,137 @@
+"""
+Python client for the online synthesis daemon (daemon.py).
+
+Stdlib-only (urllib), mirroring the daemon's own no-framework rule, so it
+works from any host that can reach the server — including the render CLIs'
+hosts. Raises `ServingClientError` carrying the server's JSON error message
+for 4xx/5xx, so callers see "latent length 511 != network's 512" instead of
+a bare HTTPError.
+
+    client = ServingClient("http://127.0.0.1:8799")
+    client.health()["resolution"]
+    images = client.synthesize(seeds=[0, 1, 2])            # (3, H, W, 3) uint8
+    images = client.synthesize(count=8, seed=42, network=1)
+    images = client.synthesize(dlatents=wplus)             # (B, R, V) float
+    png    = client.synthesize_png(seeds=[7])              # encoded bytes
+
+No reference counterpart (esologic/GANce is offline CLIs only).
+"""
+
+import io
+import json
+import urllib.error
+import urllib.request
+from typing import Any, Dict, Optional, Sequence, Union
+
+import numpy as np
+
+
+class ServingClientError(RuntimeError):
+    """An HTTP error from the daemon, carrying its JSON 'error' message."""
+
+    def __init__(self, status: int, message: str) -> None:
+        super().__init__(f"HTTP {status}: {message}")
+        self.status = status
+        self.message = message
+
+
+class ServingClient:
+    """One daemon endpoint. Thread-safe (no shared mutable state; urllib
+    opens a connection per call, matching the daemon's thread-per-request
+    server)."""
+
+    def __init__(self, base_url: str, timeout_s: float = 600.0) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.timeout_s = float(timeout_s)
+
+    # ---- endpoints ----
+
+    def health(self) -> Dict[str, Any]:
+        return self._get_json("/healthz")
+
+    def stats(self) -> Dict[str, Any]:
+        return self._get_json("/stats")
+
+    def synthesize(
+        self,
+        latents: Optional[np.ndarray] = None,
+        dlatents: Optional[np.ndarray] = None,
+        seeds: Optional[Sequence[int]] = None,
+        count: Optional[int] = None,
+        seed: Optional[int] = None,
+        network: Optional[Union[int, str]] = None,
+    ) -> np.ndarray:
+        """(B, H, W, 3) uint8 images for exactly one latent source (the same
+        contract as the POST body; see daemon.py's module docstring)."""
+        body = self._body(latents, dlatents, seeds, count, seed, network)
+        blob, _headers = self._post_synthesize(body)
+        return np.load(io.BytesIO(blob))
+
+    def synthesize_png(
+        self,
+        latents: Optional[np.ndarray] = None,
+        dlatents: Optional[np.ndarray] = None,
+        seeds: Optional[Sequence[int]] = None,
+        network: Optional[Union[int, str]] = None,
+    ) -> bytes:
+        """PNG bytes for exactly one image."""
+        body = self._body(latents, dlatents, seeds, None, None, network)
+        body["format"] = "png"
+        blob, _headers = self._post_synthesize(body)
+        return blob
+
+    # ---- plumbing ----
+
+    @staticmethod
+    def _body(
+        latents: Optional[np.ndarray],
+        dlatents: Optional[np.ndarray],
+        seeds: Optional[Sequence[int]],
+        count: Optional[int],
+        seed: Optional[int],
+        network: Optional[Union[int, str]],
+    ) -> Dict[str, Any]:
+        body: Dict[str, Any] = {}
+        if latents is not None:
+            body["latents"] = np.asarray(latents, np.float32).tolist()
+        if dlatents is not None:
+            body["dlatents"] = np.asarray(dlatents, np.float32).tolist()
+        if seeds is not None:
+            body["seeds"] = [int(s) for s in seeds]
+        if count is not None:
+            body["count"] = int(count)
+            if seed is not None:
+                body["seed"] = int(seed)
+        if network is not None:
+            body["network"] = network
+        return body
+
+    def _get_json(self, path: str) -> Dict[str, Any]:
+        try:
+            with urllib.request.urlopen(
+                self.base_url + path, timeout=self.timeout_s
+            ) as response:
+                return json.loads(response.read())
+        except urllib.error.HTTPError as error:
+            raise self._wrap(error) from error
+
+    def _post_synthesize(self, body: Dict[str, Any]):
+        request = urllib.request.Request(
+            self.base_url + "/synthesize",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(request, timeout=self.timeout_s) as response:
+                return response.read(), dict(response.headers)
+        except urllib.error.HTTPError as error:
+            raise self._wrap(error) from error
+
+    @staticmethod
+    def _wrap(error: "urllib.error.HTTPError") -> ServingClientError:
+        try:
+            message = json.loads(error.read())["error"]
+        except Exception:  # pylint: disable=broad-except
+            message = str(error)
+        return ServingClientError(error.code, message)

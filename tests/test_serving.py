@@ -520,3 +520,66 @@ class TestMultiNetwork:
         assert "--networks-json" in result.output
         params = {p.name: p for p in cli.params}
         assert params["network_path"].multiple is True
+
+
+class TestServingClient:
+    """gance_tpu.serving.ServingClient against a live fake daemon: round-trip
+    equality with direct synthesis, error surfacing, multi-network routing."""
+
+    @pytest.fixture(scope="class")
+    def client_daemon(self):
+        from gance_tpu.serving import ServingClient
+
+        alpha = FakeSynthesisNetwork(resolution=16, expected_vector_length=32)
+        alpha.path = Path("/nets/alpha_net.pkl")
+        beta = FakeSynthesisNetwork(resolution=8, expected_vector_length=32)
+        beta.path = Path("/nets/beta_net.pkl")
+        with SynthesisDaemon(
+            [alpha, beta], port=0, max_batch=8, max_delay_ms=0
+        ) as daemon:
+            yield ServingClient(f"http://127.0.0.1:{daemon.port}"), alpha, beta
+
+    def test_health_stats_and_latents_roundtrip(self, client_daemon):
+        client, alpha, _beta = client_daemon
+        assert client.health()["ok"] is True
+        latents = np.random.RandomState(0).randn(3, 32).astype(np.float32)
+        np.testing.assert_array_equal(
+            client.synthesize(latents=latents), alpha.images_from_vectors(latents)
+        )
+        assert client.stats()["frames"] >= 3
+
+    def test_seeds_count_and_network_routing(self, client_daemon):
+        client, _alpha, beta = client_daemon
+        images = client.synthesize(seeds=[5, 6], network="beta_net")
+        assert images.shape == (2, 8, 8, 3)
+        images = client.synthesize(count=2, seed=9, network=1)
+        expected = beta.images_from_vectors(
+            np.random.RandomState(9).randn(2, 32).astype(np.float32)
+        )
+        np.testing.assert_array_equal(images, expected)
+
+    def test_png_roundtrip(self, client_daemon):
+        import cv2
+
+        client, alpha, _beta = client_daemon
+        blob = client.synthesize_png(seeds=[7])
+        decoded = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+        expected = alpha.images_from_vectors(
+            np.random.RandomState(7).randn(1, 32).astype(np.float32)
+        )[0]
+        np.testing.assert_array_equal(
+            cv2.cvtColor(decoded, cv2.COLOR_BGR2RGB), expected
+        )
+
+    def test_server_errors_surface_with_message(self, client_daemon):
+        from gance_tpu.serving import ServingClientError
+
+        client, _alpha, _beta = client_daemon
+        with pytest.raises(ServingClientError, match="must be"):
+            client.synthesize(latents=np.zeros((1, 31), np.float32))
+        with pytest.raises(ServingClientError, match="out of range"):
+            client.synthesize(seeds=[1], network=9)
+        try:
+            client.synthesize(seeds=[1], network=9)
+        except ServingClientError as error:
+            assert error.status == 400

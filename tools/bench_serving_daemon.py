@@ -24,7 +24,6 @@ import json
 import sys
 import threading
 import time
-import urllib.request
 
 sys.path.insert(0, "/root/repo")
 
@@ -41,6 +40,11 @@ def main() -> None:
     parser.add_argument(
         "--max-delay-ms", type=float, default=5.0, help="batcher coalescing linger"
     )
+    parser.add_argument(
+        "--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"],
+        help="bfloat16 = the production serving path (fp32 at 1024px OOMs HBM "
+        "from batch 32 up — measured, same ceiling as fp32-HIGHEST b16)",
+    )
     args = parser.parse_args()
 
     import gance_tpu  # noqa: F401  (platform/compile-cache plumbing)
@@ -54,11 +58,19 @@ def main() -> None:
 
     max_batch = args.max_batch if args.max_batch is not None else default_max_batch()
 
+    import jax.numpy as jnp
+
     config = GeneratorConfig(resolution=args.resolution)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         params = init_generator_params(jax.random.PRNGKey(0), config)
     params = jax.device_put(params, jax.devices()[0])  # one transfer, like prod
-    network = SynthesisNetwork(params=params, config=config)
+    network = SynthesisNetwork(
+        params=params,
+        config=config,
+        compute_dtype={"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+            args.compute_dtype
+        ],
+    )
 
     # Warm every z-lane bucket the batcher can dispatch so the timed window
     # never absorbs an XLA compile (minutes over the tunnel).
@@ -74,24 +86,18 @@ def main() -> None:
     errors = [0]
 
     def client(base_url: str, seed0: int) -> None:
+        from gance_tpu.serving import ServingClient
+
+        serving_client = ServingClient(base_url)
         i = 0
         while not stop.is_set():
-            body = json.dumps(
-                {"count": args.request_frames, "seed": seed0 * 100003 + i}
-            ).encode()
-            req = urllib.request.Request(
-                base_url + "/synthesize",
-                data=body,
-                headers={"Content-Type": "application/json"},
-            )
             try:
-                with urllib.request.urlopen(req, timeout=600) as resp:
-                    blob = resp.read()
-                    shape = resp.headers.get("X-Gance-Shape", "")
-                n = int(shape.split("x")[0]) if shape else args.request_frames
-                assert len(blob) > n * 100  # sanity: a real payload came back
+                images = serving_client.synthesize(
+                    count=args.request_frames, seed=seed0 * 100003 + i
+                )
+                assert images.shape[1] == args.resolution
                 with lock:
-                    frames_done[0] += n
+                    frames_done[0] += images.shape[0]
                     requests_done[0] += 1
             except Exception:  # pylint: disable=broad-except
                 if not stop.is_set():
