@@ -58,6 +58,17 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
     "--compute-dtype", type=click.Choice(["bfloat16", "float32"]), default=None,
     help="Override the serving compute dtype (default bfloat16).",
 )
+@click.option(
+    "--use-mesh/--no-mesh", "use_mesh", default=None,
+    help="Shard serving over ALL local devices (params tensor-parallel over "
+    "'model', request batches over 'data'). Default: mesh when more than one "
+    "device is visible, single-device otherwise.",
+)
+@click.option(
+    "--data-parallel", type=click.IntRange(min=1), default=None,
+    help="Data-axis size of the serving mesh (device count / this = tensor-"
+    "parallel size). Implies --use-mesh. Default: pure DP over all devices.",
+)
 @click.option("--log", "log_path", type=click.Path(dir_okay=False), default=None)
 @click.option(
     "--warmup", type=click.Choice(["all", "max", "none"]), default="all",
@@ -79,6 +90,8 @@ def cli(  # pylint: disable=too-many-arguments
     output_side_length: Optional[int],
     truncation_psi: Optional[float],
     compute_dtype: Optional[str],
+    use_mesh: Optional[bool],
+    data_parallel: Optional[int],
     log_path: Optional[str],
     warmup: str,
 ) -> None:
@@ -102,6 +115,24 @@ def cli(  # pylint: disable=too-many-arguments
         kwargs["compute_dtype"] = {
             "bfloat16": jnp.bfloat16, "float32": jnp.float32,
         }[compute_dtype]
+    import jax
+
+    if data_parallel is not None and use_mesh is None:
+        use_mesh = True
+    if use_mesh is None:
+        use_mesh = len(jax.devices()) > 1
+    if use_mesh:
+        from gance_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(data_parallel=data_parallel)
+        LOGGER.info(
+            "Serving over a %s mesh (%d devices)",
+            dict(mesh.shape), mesh.devices.size,
+        )
+        kwargs["mesh"] = mesh
+    elif data_parallel is not None:
+        raise click.UsageError("--data-parallel requires the mesh (drop --no-mesh)")
+
     paths = resolve_networks(networks_directory, network_path, networks_json)
     networks = [
         SynthesisNetwork.from_pkl(

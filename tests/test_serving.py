@@ -583,3 +583,30 @@ class TestServingClient:
             client.synthesize(seeds=[1], network=9)
         except ServingClientError as error:
             assert error.status == 400
+
+
+def test_daemon_over_sharded_network_matches_single_device():
+    """The daemon serves a mesh-sharded SynthesisNetwork (dp x tp over the 8
+    virtual devices) bit-identically to the unsharded network — the multi-chip
+    serving leg of the daemon (cli/serve.py --use-mesh/--data-parallel)."""
+    import jax
+
+    from gance_tpu.models.stylegan2 import GeneratorConfig, init_generator_params
+    from gance_tpu.parallel.mesh import create_mesh
+    from gance_tpu.serving import ServingClient
+    from gance_tpu.synthesis.runtime import SynthesisNetwork
+
+    config = GeneratorConfig(
+        resolution=16, fmap_base=256, fmap_max=32, latent_size=64,
+        dlatent_size=64, mapping_layers=2, mapping_fmaps=64,
+    )
+    params = init_generator_params(jax.random.PRNGKey(0), config)
+    plain = SynthesisNetwork(params=params, config=config)
+    sharded = SynthesisNetwork(
+        params=params, config=config, mesh=create_mesh(data_parallel=4)
+    )
+    latents = np.random.RandomState(2).randn(3, 64).astype(np.float32)
+    with SynthesisDaemon(sharded, port=0, max_batch=8, max_delay_ms=0) as daemon:
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}")
+        images = client.synthesize(latents=latents)
+    np.testing.assert_array_equal(images, plain.images_from_vectors(latents))
