@@ -41,6 +41,19 @@ def main() -> None:
         "--max-delay-ms", type=float, default=5.0, help="batcher coalescing linger"
     )
     parser.add_argument(
+        "--output-side", type=int, default=None,
+        help="scale frames to this side ON DEVICE before egress (the serving "
+        "CLI's --output-side-length): shrinks the device->host transfer, which "
+        "is the binding ceiling on tunneled dev hosts",
+    )
+    parser.add_argument(
+        "--warm", default="all", choices=["all", "max"],
+        help="'all' warms every bucket the batcher can dispatch; 'max' only "
+        "the full batch (enough when --request-frames == max batch: every "
+        "dispatch lands on the max bucket, and cold compiles over the tunnel "
+        "cost minutes each)",
+    )
+    parser.add_argument(
         "--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"],
         help="bfloat16 = the production serving path (fp32 at 1024px OOMs HBM "
         "from batch 32 up — measured, same ceiling as fp32-HIGHEST b16)",
@@ -67,6 +80,7 @@ def main() -> None:
     network = SynthesisNetwork(
         params=params,
         config=config,
+        output_side_length=args.output_side,
         compute_dtype={"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
             args.compute_dtype
         ],
@@ -74,7 +88,7 @@ def main() -> None:
 
     # Warm every z-lane bucket the batcher can dispatch so the timed window
     # never absorbs an XLA compile (minutes over the tunnel).
-    sizes = warmup_batch_sizes(max_batch)
+    sizes = warmup_batch_sizes(max_batch) if args.warm == "all" else [max_batch]
     for size in sizes:
         print(f"warming z program batch={size} ...", file=sys.stderr, flush=True)
         network.images_from_vectors(np.zeros((size, 512), np.float32))
@@ -95,7 +109,7 @@ def main() -> None:
                 images = serving_client.synthesize(
                     count=args.request_frames, seed=seed0 * 100003 + i
                 )
-                assert images.shape[1] == args.resolution
+                assert images.shape[1] == (args.output_side or args.resolution)
                 with lock:
                     frames_done[0] += images.shape[0]
                     requests_done[0] += 1
@@ -144,7 +158,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"{args.resolution}px serving daemon sustained frames/sec "
-                f"({args.clients} clients x {args.request_frames} frames/req)",
+                f"({args.clients} clients x {args.request_frames} frames/req"
+                + (f", output side {args.output_side}" if args.output_side else "")
+                + ")",
                 "value": round(frames / elapsed, 2),
                 "unit": "frames/sec",
                 "requests_per_sec": round(requests / elapsed, 2),
