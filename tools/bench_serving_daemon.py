@@ -41,6 +41,13 @@ def main() -> None:
         "--max-delay-ms", type=float, default=5.0, help="batcher coalescing linger"
     )
     parser.add_argument(
+        "--networks", type=int, default=1,
+        help="number of RESIDENT networks (distinct param sets, same config); "
+        "clients round-robin requests across them — certifies that online "
+        "network switching costs nothing (same-config networks share one "
+        "compiled program, so N networks add zero compiles)",
+    )
+    parser.add_argument(
         "--output-side", type=int, default=None,
         help="scale frames to this side ON DEVICE before egress (the serving "
         "CLI's --output-side-length): shrinks the device->host transfer, which "
@@ -74,17 +81,22 @@ def main() -> None:
     import jax.numpy as jnp
 
     config = GeneratorConfig(resolution=args.resolution)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        params = init_generator_params(jax.random.PRNGKey(0), config)
-    params = jax.device_put(params, jax.devices()[0])  # one transfer, like prod
-    network = SynthesisNetwork(
-        params=params,
-        config=config,
-        output_side_length=args.output_side,
-        compute_dtype={"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-            args.compute_dtype
-        ],
-    )
+    networks = []
+    for n in range(args.networks):
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            params = init_generator_params(jax.random.PRNGKey(n), config)
+        params = jax.device_put(params, jax.devices()[0])  # one transfer, like prod
+        networks.append(
+            SynthesisNetwork(
+                params=params,
+                config=config,
+                output_side_length=args.output_side,
+                compute_dtype={"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+                    args.compute_dtype
+                ],
+            )
+        )
+    network = networks[0]
 
     # Warm every z-lane bucket the batcher can dispatch so the timed window
     # never absorbs an XLA compile (minutes over the tunnel).
@@ -107,7 +119,9 @@ def main() -> None:
         while not stop.is_set():
             try:
                 images = serving_client.synthesize(
-                    count=args.request_frames, seed=seed0 * 100003 + i
+                    count=args.request_frames,
+                    seed=seed0 * 100003 + i,
+                    network=(seed0 + i) % args.networks if args.networks > 1 else None,
                 )
                 assert images.shape[1] == (args.output_side or args.resolution)
                 with lock:
@@ -120,7 +134,7 @@ def main() -> None:
             i += 1
 
     with SynthesisDaemon(
-        network,
+        networks,
         host="127.0.0.1",
         port=0,
         max_batch=max_batch,
@@ -159,6 +173,7 @@ def main() -> None:
             {
                 "metric": f"{args.resolution}px serving daemon sustained frames/sec "
                 f"({args.clients} clients x {args.request_frames} frames/req"
+                + (f", {args.networks} resident networks" if args.networks > 1 else "")
                 + (f", output side {args.output_side}" if args.output_side else "")
                 + ")",
                 "value": round(frames / elapsed, 2),
@@ -171,6 +186,7 @@ def main() -> None:
                 "latency_p99_ms": stats_after.get("latency_p99_ms"),
                 "max_batch": max_batch,
                 "linger_ms": args.max_delay_ms,
+                "frames_by_network": stats_after.get("frames_by_network"),
             }
         )
     )
