@@ -133,7 +133,10 @@ def cli(  # pylint: disable=too-many-arguments
     elif data_parallel is not None:
         raise click.UsageError("--data-parallel requires the mesh (drop --no-mesh)")
 
-    paths = resolve_networks(networks_directory, network_path, networks_json)
+    try:
+        paths = resolve_networks(networks_directory, network_path, networks_json)
+    except ValueError as error:  # no sources given / bad json -> clean usage error
+        raise click.UsageError(str(error)) from error
     networks = [
         SynthesisNetwork.from_pkl(
             p, output_side_length=output_side_length, **kwargs

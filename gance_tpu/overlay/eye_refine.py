@@ -67,16 +67,23 @@ def locate_eye_center(
         return None
     roi = roi.astype(np.float32)
 
-    scale = max(roi.shape) / float(_MAX_SIDE)
-    if scale > 1.0:
+    h, w = roi.shape
+    if max(h, w) > _MAX_SIDE:
+        shrink = max(h, w) / float(_MAX_SIDE)
         small = cv2.resize(
             roi,
-            (max(4, round(roi.shape[1] / scale)), max(4, round(roi.shape[0] / scale))),
+            (max(4, round(w / shrink)), max(4, round(h / shrink))),
             interpolation=cv2.INTER_AREA,
         )
     else:
-        scale = 1.0
         small = roi
+    # Per-axis scales: the resize rounds (and floors at 4px) each axis
+    # independently, so mapping back with one uniform factor would bias the
+    # center by up to half a grid cell per axis on non-square ROIs — the same
+    # magnitude as the precision this module exists to add.
+    small_h, small_w = small.shape
+    scale_x = w / float(small_w)
+    scale_y = h / float(small_h)
 
     gy, gx = np.gradient(small)
     magnitude = np.hypot(gx, gy)
@@ -89,9 +96,29 @@ def locate_eye_center(
     g = np.stack([gx[keep], gy[keep]], axis=1) / magnitude[keep][:, None]  # (M, 2)
     p = np.stack([xs, ys], axis=1).astype(np.float32)  # (M, 2)
 
-    h, w = small.shape
-    cyy, cxx = np.mgrid[0:h, 0:w]
+    cyy, cxx = np.mgrid[0:small_h, 0:small_w]
     centers = np.stack([cxx.ravel(), cyy.ravel()], axis=1).astype(np.float32)  # (K, 2)
+    # full-resolution ROI coordinates of every candidate cell (pixel-center)
+    full_x = (centers[:, 0] + 0.5) * scale_x - 0.5
+    full_y = (centers[:, 1] + 0.5) * scale_y - 0.5
+    # darkness prior: pupils are dark — weight by inverted smoothed intensity
+    blurred = cv2.GaussianBlur(small, (5, 5), 0)
+    weight = (255.0 - blurred).clip(min=0.0).ravel()
+
+    if center_prior is not None and max_shift is not None:
+        # Confine candidates BEFORE the O(K*M) objective: the disk holds a
+        # small fraction of the grid, so filtering first is both the shift
+        # guard and most of the module's compute budget.
+        radius = max(float(max_shift), 1.0)
+        in_disk = (full_x - center_prior[0]) ** 2 + (
+            full_y - center_prior[1]
+        ) ** 2 <= radius * radius
+        if not in_disk.any():
+            return None
+        centers = centers[in_disk]
+        full_x = full_x[in_disk]
+        full_y = full_y[in_disk]
+        weight = weight[in_disk]
 
     # d[k, m] = unit vector from candidate k to gradient pixel m
     d = p[None, :, :] - centers[:, None, :]  # (K, M, 2)
@@ -99,28 +126,12 @@ def locate_eye_center(
     np.maximum(norm, 1e-6, out=norm)
     dots = (d[:, :, 0] * g[None, :, 0] + d[:, :, 1] * g[None, :, 1]) / norm
     np.maximum(dots, 0.0, out=dots)  # outward (dark->bright) alignment only
-    score = np.square(dots).mean(axis=1)  # (K,)
-
-    # darkness prior: pupils are dark — weight by inverted smoothed intensity
-    blurred = cv2.GaussianBlur(small, (5, 5), 0)
-    weight = (255.0 - blurred).clip(min=0.0).ravel()
-    score *= weight
-
-    if center_prior is not None and max_shift is not None:
-        # prior and radius arrive in full-ROI coordinates; candidates live on
-        # the downscaled grid
-        px = (center_prior[0] + 0.5) / scale - 0.5
-        py = (center_prior[1] + 0.5) / scale - 0.5
-        radius = max(max_shift / scale, 1.0)
-        dist2 = (centers[:, 0] - px) ** 2 + (centers[:, 1] - py) ** 2
-        score[dist2 > radius * radius] = 0.0
+    score = np.square(dots).mean(axis=1) * weight  # (K,)
 
     best = int(np.argmax(score))
     if score[best] <= 0.0:
         return None
-    cx, cy = centers[best]
-    # map back to the full-resolution ROI frame (pixel-center alignment)
-    return (float((cx + 0.5) * scale - 0.5), float((cy + 0.5) * scale - 0.5))
+    return (float(full_x[best]), float(full_y[best]))
 
 
 def refine_eye_box(

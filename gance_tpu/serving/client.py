@@ -91,6 +91,12 @@ class ServingClient:
         seed: Optional[int],
         network: Optional[Union[int, str]],
     ) -> Dict[str, Any]:
+        if seed is not None and count is None:
+            raise ValueError(
+                "'seed' seeds the server-side RandomState of the 'count' "
+                "source — pass count=N with it (seeds=[...] pins one seed "
+                "per frame instead)"
+            )
         body: Dict[str, Any] = {}
         if latents is not None:
             body["latents"] = np.asarray(latents, np.float32).tolist()

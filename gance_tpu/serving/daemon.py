@@ -195,7 +195,8 @@ class SynthesisDaemon:
         ]
         self.style_rows = self.style_rows_by_network[0]
         # Name -> index: the pickle's file stem (unique stems only — ambiguous
-        # names stay index-addressable) plus the index's string form.
+        # names stay index-addressable; digit strings resolve as indices in
+        # resolve_network_index, names winning on a collision).
         self.network_names: list = [
             (Path(str(n.path)).stem if getattr(n, "path", None) else f"network_{i}")
             for i, n in enumerate(self.networks)
@@ -304,6 +305,10 @@ class SynthesisDaemon:
         if isinstance(selector, str):
             if selector in self._name_to_index:
                 return self._name_to_index[selector]
+            # a stringified index ("1" from a form field / env var) works
+            # too; served names win when one collides
+            if selector.isdigit() and int(selector) < len(self.networks):
+                return int(selector)
             raise ServingError(
                 f'unknown network "{selector}" (serving: '
                 f'{", ".join(self.network_names)})'

@@ -209,6 +209,14 @@ class SynthesisNetwork:
             self._data_axis = 1
             if self.device is not None:
                 self.params = jax.device_put(self.params, self.device)
+            else:
+                # Hold params RESIDENT on the default device up front:
+                # load_generator returns host numpy arrays, and a jit
+                # re-uploads host-side arguments on EVERY call — ~120 MB of
+                # config-f params per dispatched batch (verified with
+                # jax.transfer_guard), which dwarfs the batch compute on
+                # serving paths and is pure waste on all of them.
+                self.params = jax.device_put(self.params)
 
     def _place_batch(self, batch: jax.Array) -> jax.Array:
         if self._batch_sharding is not None:

@@ -610,3 +610,69 @@ def test_daemon_over_sharded_network_matches_single_device():
         client = ServingClient(f"http://127.0.0.1:{daemon.port}")
         images = client.synthesize(latents=latents)
     np.testing.assert_array_equal(images, plain.images_from_vectors(latents))
+
+
+def test_network_params_are_device_resident():
+    """SynthesisNetwork must hold params as committed device arrays — host
+    numpy params are re-uploaded by jit on EVERY dispatched batch (~120 MB of
+    config-f params per batch on the serving path, verified with
+    jax.transfer_guard before the fix)."""
+    import jax
+
+    from gance_tpu.models.stylegan2 import GeneratorConfig, init_generator_params
+    from gance_tpu.synthesis.runtime import SynthesisNetwork
+
+    config = GeneratorConfig(
+        resolution=16, fmap_base=256, fmap_max=32, latent_size=64,
+        dlatent_size=64, mapping_layers=2, mapping_fmaps=64,
+    )
+    host_params = jax.tree.map(
+        np.asarray, init_generator_params(jax.random.PRNGKey(0), config)
+    )
+    network = SynthesisNetwork(params=host_params, config=config)
+    leaves = jax.tree.leaves(network.params)
+    default = jax.devices()[0]
+    assert all(isinstance(leaf, jax.Array) for leaf in leaves)
+    assert all(leaf.devices() == {default} for leaf in leaves)
+
+
+def test_daemon_accepts_stringified_index(multi_daemon_networks):
+    daemon, _alpha, beta = multi_daemon_networks
+    url = f"http://127.0.0.1:{daemon.port}/synthesize"
+    latents = np.random.RandomState(4).randn(1, 32).astype(np.float32)
+    _status, body, _ = _post(url, {"latents": latents.tolist(), "network": "1"})
+    np.testing.assert_array_equal(
+        np.load(io.BytesIO(body)), beta.images_from_vectors(latents)
+    )
+    # out-of-range digit string is still an error, not a crash
+    with pytest.raises(urllib.error.HTTPError) as info:
+        _post(url, {"seeds": [1], "network": "9"})
+    assert info.value.code == 400
+
+
+def test_serve_cli_without_sources_is_a_usage_error():
+    from click.testing import CliRunner
+
+    from gance_tpu.cli.serve import cli
+
+    result = CliRunner().invoke(cli, [])
+    assert result.exit_code == 2  # click usage error, not a raw traceback
+    assert "No networks given" in result.output
+
+
+def test_client_rejects_seed_without_count():
+    from gance_tpu.serving import ServingClient
+
+    client = ServingClient("http://127.0.0.1:1")  # never contacted
+    with pytest.raises(ValueError, match="count"):
+        client.synthesize(seeds=[1, 2], seed=42)
+
+
+@pytest.fixture(scope="module")
+def multi_daemon_networks():
+    alpha = FakeSynthesisNetwork(resolution=16, expected_vector_length=32)
+    alpha.path = Path("/nets/alpha_net.pkl")
+    beta = FakeSynthesisNetwork(resolution=8, expected_vector_length=32)
+    beta.path = Path("/nets/beta_net.pkl")
+    with SynthesisDaemon([alpha, beta], port=0, max_batch=8, max_delay_ms=0) as daemon:
+        yield daemon, alpha, beta

@@ -81,27 +81,32 @@ def measure_tracking_error(frames, shifts) -> dict:
     """
     import numpy as np
 
-    from gance_tpu.overlay.common import landmarks_to_bounding_boxes
     from gance_tpu.overlay.faces import FaceFinderProxy
 
     out = {}
     for label, refine in (("raw", False), ("refined", True)):
         finder = FaceFinderProxy(refine_eye_centers=refine)
+        # PER-EYE landmark centroids (the centroid of the 6 emitted keypoints
+        # is exactly the eye-box center) — NOT the per-face left+right
+        # bounding rect, whose centroid averages the two eyes and halves the
+        # apparent error.
         all_centers = []
-        box_widths = []
+        eye_widths = []
         for frame in frames:
-            boxes = landmarks_to_bounding_boxes(finder.face_landmarks(frame))
-            box_widths.extend(b.width for b in boxes)
-            all_centers.append(
-                [(b.x + b.width / 2.0, b.y + b.height / 2.0) for b in boxes]
-            )
+            centers = []
+            for face in finder.face_landmarks(frame):
+                for key in ("left_eye", "right_eye"):
+                    pts = np.asarray(face[key], np.float64)
+                    centers.append((float(pts[:, 0].mean()), float(pts[:, 1].mean())))
+                    eye_widths.append(float(pts[:, 0].max() - pts[:, 0].min()))
+            all_centers.append(centers)
         base = next((i for i, c in enumerate(all_centers) if c), None)
-        # A detection counts as the SAME eye only within half a box width of
+        # A detection counts as the SAME eye only within half an EYE width of
         # its ground-truth position; farther means the detector produced a
-        # different/false box (an identity miss — already covered by the
+        # different/false eye (an identity miss — already covered by the
         # flip/IoU metrics). Splitting the two isolates what this metric is
         # for: sub-window localization precision of matched landmarks.
-        gate = (np.median(box_widths) / 2.0) if box_widths else 0.0
+        gate = (np.median(eye_widths) / 2.0) if eye_widths else 0.0
         errors = []
         expected = 0
         if base is not None:

@@ -85,7 +85,8 @@ def main() -> None:
     for n in range(args.networks):
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
             params = init_generator_params(jax.random.PRNGKey(n), config)
-        params = jax.device_put(params, jax.devices()[0])  # one transfer, like prod
+        # SynthesisNetwork.__post_init__ device_puts params resident, exactly
+        # like the serving CLI path (no bench-only placement anymore)
         networks.append(
             SynthesisNetwork(
                 params=params,
