@@ -69,6 +69,23 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
     help="Data-axis size of the serving mesh (device count / this = tensor-"
     "parallel size). Implies --use-mesh. Default: pure DP over all devices.",
 )
+@click.option(
+    "--dist-coordinator", type=str, default=None,
+    help="host:port of process 0's jax.distributed coordinator. Setting this "
+    "(with the two options below) runs the daemon MULTI-HOST: every host "
+    "runs this command with its own --dist-process-id, process 0 serves "
+    "HTTP and broadcasts each device batch over a TCP control channel, the "
+    "other processes mirror every dispatch so request batches shard over "
+    "ALL hosts' chips (serving/multihost.py).",
+)
+@click.option("--dist-num-processes", type=int, default=None)
+@click.option("--dist-process-id", type=int, default=None)
+@click.option(
+    "--control-port", type=click.IntRange(min=0), default=None,
+    help="TCP port of the multi-host control channel (coordinator binds, "
+    "workers connect to the --dist-coordinator host). Default: the "
+    "jax.distributed coordinator port + 1000.",
+)
 @click.option("--log", "log_path", type=click.Path(dir_okay=False), default=None)
 @click.option(
     "--warmup", type=click.Choice(["all", "max", "none"]), default="all",
@@ -92,19 +109,29 @@ def cli(  # pylint: disable=too-many-arguments
     compute_dtype: Optional[str],
     use_mesh: Optional[bool],
     data_parallel: Optional[int],
+    dist_coordinator: Optional[str],
+    dist_num_processes: Optional[int],
+    dist_process_id: Optional[int],
+    control_port: Optional[int],
     log_path: Optional[str],
     warmup: str,
 ) -> None:
     """Serve one or more generators over HTTP with dynamic request batching."""
     import numpy as np
 
-    from gance_tpu.cli.common import resolve_networks
+    from gance_tpu.cli.common import maybe_initialize_distributed, resolve_networks
     from gance_tpu.serving import SynthesisDaemon, default_max_batch
     from gance_tpu.serving.batcher import warmup_batch_sizes
     from gance_tpu.synthesis.runtime import SynthesisNetwork
 
     if log_path:
         add_log_file(Path(log_path))
+
+    # Must precede every device query: JAX fixes its process topology at
+    # backend init.
+    maybe_initialize_distributed(
+        dist_coordinator, dist_num_processes, dist_process_id
+    )
 
     kwargs = {}
     if truncation_psi is not None:
@@ -117,6 +144,14 @@ def cli(  # pylint: disable=too-many-arguments
         }[compute_dtype]
     import jax
 
+    multi_host = jax.process_count() > 1
+    if multi_host:
+        if use_mesh is False:
+            raise click.UsageError(
+                "--no-mesh is impossible multi-host: the whole point of "
+                "--dist-* is sharding batches over every host's chips"
+            )
+        use_mesh = True
     if data_parallel is not None and use_mesh is None:
         use_mesh = True
     if use_mesh is None:
@@ -176,8 +211,52 @@ def cli(  # pylint: disable=too-many-arguments
                     )
         LOGGER.info("Warmup complete.")
 
+    if multi_host:
+        from gance_tpu.serving.multihost import (
+            ControlCoordinator,
+            MultiHostServingError,
+            network_fingerprint,
+            run_worker,
+            wrap_networks_for_multihost,
+        )
+
+        coordinator_host, _, dist_port = dist_coordinator.partition(":")
+        if control_port is not None:
+            resolved_control_port = control_port
+        elif dist_port.isdigit():
+            resolved_control_port = int(dist_port) + 1000
+        else:
+            raise click.UsageError(
+                "--control-port is required when --dist-coordinator carries "
+                "no port"
+            )
+        if jax.process_index() != 0:
+            # Workers never bind HTTP: they mirror the coordinator's device
+            # dispatches so every collective has all its participants.
+            try:
+                run_worker(
+                    networks,
+                    coordinator_host or "127.0.0.1",
+                    resolved_control_port,
+                    jax.process_index(),
+                )
+            except MultiHostServingError as error:
+                raise click.ClickException(str(error)) from error
+            return
+        coordinator = ControlCoordinator(
+            num_workers=jax.process_count() - 1, port=resolved_control_port
+        )
+        try:
+            coordinator.accept(network_fingerprint(networks))
+        except MultiHostServingError as error:
+            raise click.ClickException(str(error)) from error
+        serving_networks = wrap_networks_for_multihost(networks, coordinator)
+    else:
+        coordinator = None
+        serving_networks = networks
+
     with SynthesisDaemon(
-        networks, host=host, port=port,
+        serving_networks, host=host, port=port,
         max_batch=resolved_batch, max_delay_ms=max_delay_ms,
     ) as daemon:
         click.echo(
@@ -188,9 +267,22 @@ def cli(  # pylint: disable=too-many-arguments
         import threading
 
         try:
-            threading.Event().wait()  # serve until interrupted
+            if coordinator is None:
+                threading.Event().wait()  # serve until interrupted
+            else:
+                # Serve until interrupted OR the control channel breaks — a
+                # lost worker means no collective can complete, so keeping
+                # the port open would only accumulate hung requests.
+                coordinator.failed.wait()
         except KeyboardInterrupt:
             LOGGER.info("shutting down synthesis daemon")
+    if coordinator is not None:
+        if coordinator.failed.is_set():
+            coordinator.close()
+            raise click.ClickException(
+                "multi-host serving control channel failed; daemon stopped"
+            )
+        coordinator.shutdown()
 
 
 if __name__ == "__main__":

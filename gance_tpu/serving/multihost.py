@@ -1,0 +1,594 @@
+"""
+Multi-HOST online serving: the synthesis daemon over a process-spanning mesh.
+
+The offline render CLIs already run multi-host (--dist-*): every process
+derives the IDENTICAL frame schedule from the input file, so all hosts enter
+every collective in lockstep with no coordination beyond jax.distributed
+itself. An online daemon breaks that symmetry — batches are request-driven
+and exist only on the host that accepted the HTTP connection. This module
+restores lockstep with a coordinator→worker control channel:
+
+  * The coordinator (process 0) runs the HTTP server + DynamicBatcher
+    unchanged. Its networks are wrapped in `MultiHostNetwork` proxies: every
+    device dispatch first BROADCASTS a batch descriptor (network index, lane
+    kind, the bucketed rows — ~100 KB of latents, never images) over plain
+    TCP to every worker, then runs the same sharded program + collective
+    host fetch itself.
+  * Workers (process 1..N-1) never bind HTTP. They loop on the control
+    socket and mirror each descriptor: same network object, same jitted
+    call, same `fetch_to_host` allgather — entering every collective in the
+    same order as the coordinator. GSPMD does the rest: the batch axis
+    shards over 'data' across hosts, params stay tensor-parallel over
+    'model' within each host's ICI domain.
+
+Correctness hinges on ORDER: all processes must launch the same programs in
+the same sequence. Two properties guarantee it here: the batcher serializes
+all device work through one dispatch thread, and the proxy performs
+broadcast → compute → collective fetch as one synchronous unit inside that
+thread (the single-host batcher overlaps compute with egress across two
+threads; multi-host trades that overlap for a provable global order — the
+collective fetch is itself the synchronization point, so the overlap would
+be largely dead time anyway).
+
+Failure semantics (the part the offline CLIs get for free from their
+deterministic schedules):
+  * Every dispatch is ACKed on RECEIPT by every worker (one control-channel
+    round trip, microseconds against a >100 ms device batch). A dead or
+    wedged worker surfaces as an ACK timeout on the NEXT dispatch: the
+    channel marks itself broken, fails the in-flight request, and every
+    subsequent request fails fast — with one participant gone, no collective
+    can ever complete, so the daemon must stop serving rather than hang.
+    ACKs are prompt by construction: the coordinator only broadcasts
+    dispatch N+1 after its own collective fetch of N completed, which
+    required every worker to finish N and return to its recv loop.
+  * The coordinator heartbeats (fire-and-forget, no ACK) every few seconds
+    so idle workers can bound their recv timeout; a worker whose socket
+    goes silent past the timeout exits loudly (coordinator presumed dead)
+    instead of blocking in recv forever.
+  * Clean shutdown is an explicit broadcast: workers ACK it and exit 0.
+  * A worker wedged INSIDE a collective (device hang) is bounded by the
+    daemon's per-request timeout (the HTTP side returns 503) — the same
+    contract as single-host serving.
+
+Connection handshake carries a network FINGERPRINT (per-network vector
+length / resolution / style rows) so a worker launched with different
+pickles fails at connect time, not as a shape error mid-collective.
+
+No reference counterpart (esologic/GANce is single-GPU offline CLIs,
+SURVEY §2.10); this completes the net-new distributed story across all
+three workloads — training and projection run multi-host since round 3,
+offline serving since round 4, and this brings the ONLINE path.
+"""
+
+import os
+import pickle
+import socket
+import struct
+import threading
+import time
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from gance_tpu.parallel.mesh import fetch_to_host
+from gance_tpu.utils.logging import LOGGER
+
+PROTOCOL_VERSION = 1
+# Length-prefixed pickle frames. Descriptors are latents (48 x 18 x 512 fp32
+# ~= 1.8 MB worst case); anything near the cap is a protocol bug, not a batch.
+_FRAME_HEADER = struct.Struct("!Q")
+MAX_FRAME_BYTES = 256 * 1024 * 1024
+
+MSG_HELLO = "hello"
+MSG_ACK = "ack"
+MSG_DISPATCH = "dispatch"
+MSG_HEARTBEAT = "heartbeat"
+MSG_SHUTDOWN = "shutdown"
+
+DEFAULT_ACK_TIMEOUT_S = float(os.environ.get("GANCE_TPU_SERVE_ACK_TIMEOUT_S", "60"))
+DEFAULT_HEARTBEAT_INTERVAL_S = float(
+    os.environ.get("GANCE_TPU_SERVE_HEARTBEAT_S", "10")
+)
+# Workers tolerate this much control-channel silence while IDLE (heartbeats
+# arrive every DEFAULT_HEARTBEAT_INTERVAL_S, so silence means a dead
+# coordinator). Time spent inside a mirrored collective does not count — the
+# timeout clock only runs while blocked in recv.
+DEFAULT_WORKER_TIMEOUT_S = float(
+    os.environ.get("GANCE_TPU_SERVE_WORKER_TIMEOUT_S", "90")
+)
+
+
+class MultiHostServingError(RuntimeError):
+    """The control channel failed: a peer died, timed out, or spoke garbage."""
+
+
+def _send_frame(sock: socket.socket, payload: Any) -> None:
+    data = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
+    if len(data) > MAX_FRAME_BYTES:
+        raise MultiHostServingError(
+            f"control frame of {len(data)} bytes exceeds the "
+            f"{MAX_FRAME_BYTES}-byte cap (descriptors carry latents, never images)"
+        )
+    sock.sendall(_FRAME_HEADER.pack(len(data)) + data)
+
+
+def _recv_exact(sock: socket.socket, count: int) -> bytes:
+    buffer = bytearray(count)
+    view = memoryview(buffer)
+    got = 0
+    while got < count:
+        read = sock.recv_into(view[got:], count - got)
+        if read == 0:
+            raise MultiHostServingError("control channel closed by peer")
+        got += read
+    return bytes(buffer)
+
+
+def _recv_frame(sock: socket.socket) -> Any:
+    (length,) = _FRAME_HEADER.unpack(_recv_exact(sock, _FRAME_HEADER.size))
+    if length > MAX_FRAME_BYTES:
+        raise MultiHostServingError(f"oversized control frame ({length} bytes)")
+    return pickle.loads(_recv_exact(sock, length))
+
+
+def _device_fn(network: Any, kind: str) -> Callable:
+    """Device entry point for a lane kind, with the batcher's fallback rule:
+    networks exposing only the generic (rank-dispatching) surface work too."""
+    name = (
+        "device_images_from_matrices" if kind == "w+" else "device_images_from_vectors"
+    )
+    fn = getattr(network, name, None)
+    return fn if fn is not None else network.device_images_generic
+
+
+def network_fingerprint(networks: Sequence[Any]) -> List[Tuple]:
+    """What every process must agree on before the first collective: the
+    served network list's shapes (a mismatch would otherwise surface as a
+    cryptic cross-host shape error mid-dispatch)."""
+    fingerprint = []
+    for network in networks:
+        config = getattr(network, "config", None)
+        fingerprint.append(
+            (
+                int(network.expected_vector_length),
+                int(getattr(network, "resolution", 0)),
+                int(config.num_style_rows) if config is not None else None,
+            )
+        )
+    return fingerprint
+
+
+class ControlCoordinator:
+    """
+    Coordinator (process 0) side of the control channel: accept one TCP
+    connection per worker, broadcast dispatch descriptors with receipt-ACKs,
+    heartbeat while idle, and mark the whole channel broken on the first
+    peer failure (collectives cannot survive a lost participant).
+    """
+
+    def __init__(
+        self,
+        num_workers: int,
+        bind_host: str = "0.0.0.0",
+        port: int = 0,
+        ack_timeout_s: float = DEFAULT_ACK_TIMEOUT_S,
+        heartbeat_interval_s: float = DEFAULT_HEARTBEAT_INTERVAL_S,
+    ) -> None:
+        if num_workers < 1:
+            raise ValueError("num_workers must be >= 1 (use no channel for 1 process)")
+        self.num_workers = int(num_workers)
+        self.ack_timeout_s = float(ack_timeout_s)
+        self.heartbeat_interval_s = float(heartbeat_interval_s)
+        self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._listener.bind((bind_host, port))
+        self._listener.listen(self.num_workers)
+        self.port = self._listener.getsockname()[1]
+        self._workers: List[Tuple[int, socket.socket]] = []
+        self._lock = threading.Lock()
+        self._seq = 0
+        self.failed = threading.Event()
+        self._failure: Optional[str] = None
+        self._closed = False
+        self._stop_heartbeat = threading.Event()
+        self._heartbeat_thread: Optional[threading.Thread] = None
+
+    # ---- lifecycle ----
+
+    def accept(
+        self, fingerprint: List[Tuple], timeout_s: float = 600.0
+    ) -> "ControlCoordinator":
+        """Wait for every worker's hello; verify protocol + network list."""
+        self._listener.settimeout(timeout_s)
+        deadline = time.monotonic() + timeout_s
+        try:
+            while len(self._workers) < self.num_workers:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    raise MultiHostServingError(
+                        f"only {len(self._workers)}/{self.num_workers} workers "
+                        f"connected within {timeout_s:g}s"
+                    )
+                self._listener.settimeout(remaining)
+                try:
+                    sock, address = self._listener.accept()
+                except socket.timeout as error:
+                    raise MultiHostServingError(
+                        f"only {len(self._workers)}/{self.num_workers} workers "
+                        f"connected within {timeout_s:g}s"
+                    ) from error
+                sock.settimeout(self.ack_timeout_s)
+                sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                hello = _recv_frame(sock)
+                if (
+                    not isinstance(hello, dict)
+                    or hello.get("type") != MSG_HELLO
+                    or hello.get("protocol") != PROTOCOL_VERSION
+                ):
+                    sock.close()
+                    raise MultiHostServingError(
+                        f"bad hello from {address}: {hello!r}"
+                    )
+                if hello.get("fingerprint") != fingerprint:
+                    problem = (
+                        f"worker {hello.get('process_id')} serves different "
+                        f"networks: {hello.get('fingerprint')} != {fingerprint}"
+                    )
+                    try:
+                        _send_frame(sock, {"type": MSG_SHUTDOWN, "error": problem})
+                    finally:
+                        sock.close()
+                    raise MultiHostServingError(problem)
+                self._workers.append((int(hello.get("process_id", -1)), sock))
+                LOGGER.info(
+                    "serving control channel: worker %s connected from %s "
+                    "(%d/%d)",
+                    hello.get("process_id"), address,
+                    len(self._workers), self.num_workers,
+                )
+        except Exception:
+            self._fail("worker handshake failed")
+            self._listener.close()
+            raise
+        self._listener.close()  # every worker is in; no more connections
+        self._heartbeat_thread = threading.Thread(
+            target=self._heartbeat_loop, name="serving-control-heartbeat",
+            daemon=True,
+        )
+        self._heartbeat_thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        """Broadcast a clean shutdown (workers ACK best-effort and exit 0)."""
+        self._stop_heartbeat.set()
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            if not self.failed.is_set():
+                message = {"type": MSG_SHUTDOWN, "seq": self._next_seq()}
+                for _pid, sock in self._workers:
+                    try:
+                        _send_frame(sock, message)
+                    except OSError:
+                        pass  # a dying worker must not block shutdown
+                for _pid, sock in self._workers:
+                    try:
+                        sock.settimeout(5.0)
+                        _recv_frame(sock)
+                    except (OSError, MultiHostServingError):
+                        pass
+            self._close_sockets_locked()
+        if self._heartbeat_thread is not None:
+            self._heartbeat_thread.join(timeout=5)
+
+    def close(self) -> None:
+        """shutdown() without the courtesy broadcast (failure paths)."""
+        self._stop_heartbeat.set()
+        with self._lock:
+            self._closed = True
+            self._close_sockets_locked()
+
+    def __enter__(self) -> "ControlCoordinator":
+        return self
+
+    def __exit__(self, *_exc: Any) -> None:
+        self.shutdown()
+
+    # ---- dispatch ----
+
+    def broadcast_dispatch(self, network_index: int, kind: str, rows: np.ndarray) -> None:
+        """Send one batch descriptor to every worker and wait for receipt-ACKs.
+
+        Raises MultiHostServingError (and latches `failed`) on the first peer
+        problem — after that every call fails fast, because a collective with
+        a missing participant would hang all surviving processes.
+        """
+        with self._lock:
+            self._broadcast_acked_locked(
+                {
+                    "type": MSG_DISPATCH,
+                    "network": int(network_index),
+                    "kind": kind,
+                    "rows": np.ascontiguousarray(rows),
+                }
+            )
+
+    # ---- internals ----
+
+    def _next_seq(self) -> int:
+        self._seq += 1
+        return self._seq
+
+    def _fail(self, reason: str) -> None:
+        if self._failure is None:
+            self._failure = reason
+        self.failed.set()
+        self._stop_heartbeat.set()
+
+    def _check_usable_locked(self) -> None:
+        if self.failed.is_set():
+            raise MultiHostServingError(
+                f"control channel is broken ({self._failure}); the daemon "
+                "cannot continue collectives with a lost participant"
+            )
+        if self._closed:
+            raise MultiHostServingError("control channel is closed")
+
+    def _close_sockets_locked(self) -> None:
+        try:
+            self._listener.close()
+        except OSError:
+            pass
+        for _pid, sock in self._workers:
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _broadcast_acked_locked(self, message: dict) -> None:
+        self._check_usable_locked()
+        message["seq"] = self._next_seq()
+        for pid, sock in self._workers:
+            try:
+                _send_frame(sock, message)
+            except OSError as error:
+                self._fail(f"send to worker {pid} failed: {error}")
+                self._close_sockets_locked()
+                raise MultiHostServingError(
+                    f"worker {pid} is unreachable: {error}"
+                ) from error
+        for pid, sock in self._workers:
+            try:
+                sock.settimeout(self.ack_timeout_s)
+                ack = _recv_frame(sock)
+            except (OSError, MultiHostServingError, socket.timeout) as error:
+                self._fail(f"worker {pid} did not ACK: {error}")
+                self._close_sockets_locked()
+                raise MultiHostServingError(
+                    f"worker {pid} did not ACK dispatch {message['seq']} "
+                    f"within {self.ack_timeout_s:g}s: {error}"
+                ) from error
+            if (
+                not isinstance(ack, dict)
+                or ack.get("type") != MSG_ACK
+                or ack.get("seq") != message["seq"]
+            ):
+                self._fail(f"worker {pid} sent a bad ACK: {ack!r}")
+                self._close_sockets_locked()
+                raise MultiHostServingError(
+                    f"worker {pid} answered dispatch {message['seq']} with "
+                    f"{ack!r}"
+                )
+
+    def _heartbeat_loop(self) -> None:
+        # Fire-and-forget (no ACK): its only job is to keep idle workers'
+        # recv timeouts from firing, so workers can treat control-channel
+        # silence as a dead coordinator. Never blocks a dispatch: skips the
+        # beat when the lock is held (the dispatch itself is the liveness
+        # signal then).
+        while not self._stop_heartbeat.wait(self.heartbeat_interval_s):
+            if not self._lock.acquire(blocking=False):
+                continue
+            try:
+                if self._closed or self.failed.is_set():
+                    return
+                message = {"type": MSG_HEARTBEAT, "seq": self._next_seq()}
+                for pid, sock in self._workers:
+                    try:
+                        _send_frame(sock, message)
+                    except OSError as error:
+                        self._fail(f"heartbeat to worker {pid} failed: {error}")
+                        self._close_sockets_locked()
+                        return
+            finally:
+                self._lock.release()
+
+
+class MultiHostNetwork:
+    """
+    Coordinator-side proxy with the SynthesisNetwork serving surface: every
+    device dispatch is broadcast to the workers first, then mirrored locally,
+    then collectively fetched — one synchronous unit, so the global program
+    order is exactly the control-message order. Returns HOST arrays (the
+    allgather already happened); the batcher's fetch pass is a no-op on them.
+    """
+
+    def __init__(self, network: Any, coordinator: ControlCoordinator, index: int) -> None:
+        self._network = network
+        self._coordinator = coordinator
+        self._index = int(index)
+
+    # metadata the daemon/batcher reads
+    @property
+    def expected_vector_length(self) -> int:
+        return self._network.expected_vector_length
+
+    @property
+    def resolution(self) -> int:
+        return int(getattr(self._network, "resolution", 0))
+
+    @property
+    def config(self) -> Any:
+        return getattr(self._network, "config", None)
+
+    @property
+    def path(self) -> Any:
+        return getattr(self._network, "path", None)
+
+    def _dispatch(self, kind: str, rows: np.ndarray, fn: Callable) -> np.ndarray:
+        rows = np.asarray(rows, np.float32)
+        self._coordinator.broadcast_dispatch(self._index, kind, rows)
+        return fetch_to_host(fn(rows))
+
+    def device_images_from_vectors(self, z_batch: np.ndarray) -> np.ndarray:
+        return self._dispatch("z", z_batch, _device_fn(self._network, "z"))
+
+    def device_images_from_matrices(self, dlatent_batch: np.ndarray) -> np.ndarray:
+        return self._dispatch("w+", dlatent_batch, _device_fn(self._network, "w+"))
+
+    def device_images_generic(self, batch: np.ndarray) -> np.ndarray:
+        batch = np.asarray(batch)
+        if batch.ndim == 2:
+            return self.device_images_from_vectors(batch)
+        if batch.ndim == 3:
+            return self.device_images_from_matrices(batch)
+        raise ValueError(f"Cannot dispatch batch of shape {batch.shape}")
+
+    def images_from_vectors(self, z_batch: np.ndarray) -> np.ndarray:
+        return self.device_images_from_vectors(z_batch)
+
+    def images_from_matrices(self, dlatent_batch: np.ndarray) -> np.ndarray:
+        return self.device_images_from_matrices(dlatent_batch)
+
+    def images_generic(self, batch: np.ndarray) -> np.ndarray:
+        return self.device_images_generic(batch)
+
+
+def wrap_networks_for_multihost(
+    networks: Sequence[Any], coordinator: ControlCoordinator
+) -> List[MultiHostNetwork]:
+    return [
+        MultiHostNetwork(network, coordinator, index)
+        for index, network in enumerate(networks)
+    ]
+
+
+class ControlWorker:
+    """Worker (process 1..N-1) side: connect, hello, then mirror messages."""
+
+    def __init__(
+        self,
+        address: Tuple[str, int],
+        process_id: int,
+        fingerprint: List[Tuple],
+        connect_timeout_s: float = 600.0,
+    ) -> None:
+        self.process_id = int(process_id)
+        deadline = time.monotonic() + connect_timeout_s
+        last_error: Optional[Exception] = None
+        while True:
+            try:
+                self._sock = socket.create_connection(address, timeout=10.0)
+                break
+            except OSError as error:
+                last_error = error
+                if time.monotonic() >= deadline:
+                    raise MultiHostServingError(
+                        f"could not reach the serving coordinator at "
+                        f"{address}: {error}"
+                    ) from error
+                time.sleep(0.5)
+        del last_error
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        _send_frame(
+            self._sock,
+            {
+                "type": MSG_HELLO,
+                "protocol": PROTOCOL_VERSION,
+                "process_id": self.process_id,
+                "fingerprint": fingerprint,
+            },
+        )
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def run(
+        self,
+        networks: Sequence[Any],
+        recv_timeout_s: float = DEFAULT_WORKER_TIMEOUT_S,
+    ) -> int:
+        """
+        Mirror coordinator dispatches until a clean shutdown. Returns the
+        number of dispatches served. Raises MultiHostServingError if the
+        coordinator goes silent past `recv_timeout_s` (while idle — time
+        inside a mirrored collective doesn't count) or closes the socket
+        without saying shutdown.
+        """
+        served = 0
+        try:
+            while True:
+                self._sock.settimeout(recv_timeout_s)
+                try:
+                    message = _recv_frame(self._sock)
+                except socket.timeout as error:
+                    raise MultiHostServingError(
+                        f"no control traffic for {recv_timeout_s:g}s "
+                        "(heartbeats should arrive every "
+                        f"{DEFAULT_HEARTBEAT_INTERVAL_S:g}s) — coordinator "
+                        "presumed dead"
+                    ) from error
+                kind = message.get("type") if isinstance(message, dict) else None
+                if kind == MSG_HEARTBEAT:
+                    continue
+                if kind == MSG_SHUTDOWN:
+                    if "error" in message:
+                        raise MultiHostServingError(
+                            f"coordinator refused this worker: {message['error']}"
+                        )
+                    try:
+                        _send_frame(
+                            self._sock, {"type": MSG_ACK, "seq": message.get("seq")}
+                        )
+                    except OSError:
+                        pass
+                    LOGGER.info(
+                        "serving worker %d: clean shutdown after %d dispatches",
+                        self.process_id, served,
+                    )
+                    return served
+                if kind != MSG_DISPATCH:
+                    raise MultiHostServingError(f"unexpected control message {message!r}")
+                # ACK on RECEIPT (before compute): the coordinator's ACK wait
+                # must never include device time.
+                _send_frame(self._sock, {"type": MSG_ACK, "seq": message.get("seq")})
+                network = networks[int(message["network"])]
+                # Enter the same program + the same collective fetch as the
+                # coordinator; the result is discarded here (the coordinator's
+                # copy feeds HTTP), but the allgather needs every participant.
+                fetch_to_host(_device_fn(network, message["kind"])(message["rows"]))
+                served += 1
+        finally:
+            self.close()
+
+
+def run_worker(
+    networks: Sequence[Any],
+    coordinator_host: str,
+    control_port: int,
+    process_id: int,
+    recv_timeout_s: float = DEFAULT_WORKER_TIMEOUT_S,
+    connect_timeout_s: float = 600.0,
+) -> int:
+    """Connect to the coordinator's control channel and serve until shutdown."""
+    worker = ControlWorker(
+        (coordinator_host, int(control_port)),
+        process_id,
+        network_fingerprint(networks),
+        connect_timeout_s=connect_timeout_s,
+    )
+    return worker.run(networks, recv_timeout_s=recv_timeout_s)

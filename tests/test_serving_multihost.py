@@ -1,0 +1,388 @@
+"""
+Multi-host online serving (gance_tpu/serving/multihost.py).
+
+Two layers, mirroring how the rest of the distributed backend is certified:
+  * In-process unit tests of the control channel + proxy over real localhost
+    sockets and fake networks: dispatch mirroring, fingerprint rejection,
+    dead-worker detection (ACK timeout / EOF), worker recv timeout,
+    heartbeat liveness, fail-fast after the first break, and the full HTTP
+    daemon over the proxies.
+  * An EXECUTED two-OS-process equality test: the real daemon over a
+    process-spanning 8-device mesh (2 processes x 4 virtual CPU devices),
+    real HTTP requests, images bit-identical to a single-process 8-device
+    run (pure DP synthesis has no reductions).
+
+No reference counterpart (esologic/GANce is single-GPU offline CLIs,
+SURVEY §2.10) — this is the online half of the net-new distributed story.
+"""
+
+import pickle
+import socket
+import struct
+import subprocess
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gance_tpu.serving.multihost import (
+    ControlCoordinator,
+    ControlWorker,
+    MultiHostServingError,
+    network_fingerprint,
+    run_worker,
+    wrap_networks_for_multihost,
+)
+from gance_tpu.synthesis.runtime import FakeSynthesisNetwork
+
+VECTOR_LENGTH = 32
+
+
+class _RecordingFake(FakeSynthesisNetwork):
+    """Fake that records every device batch it renders (thread-safe)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.device_batches = []
+        self._lock = threading.Lock()
+
+    def device_images_from_vectors(self, z_batch):
+        with self._lock:
+            self.device_batches.append(("z", np.asarray(z_batch).shape))
+        return self._render(np.asarray(z_batch))
+
+    def device_images_from_matrices(self, dlatent_batch):
+        with self._lock:
+            self.device_batches.append(("w+", np.asarray(dlatent_batch).shape))
+        return self._render(np.asarray(dlatent_batch)[:, 0, :])
+
+
+def _fake(resolution: int = 16) -> FakeSynthesisNetwork:
+    return FakeSynthesisNetwork(
+        resolution=resolution, expected_vector_length=VECTOR_LENGTH
+    )
+
+
+def _worker_thread(networks, port, process_id=1, recv_timeout_s=30.0):
+    """run_worker on a thread; returns (thread, result dict)."""
+    result = {}
+
+    def target():
+        try:
+            result["served"] = run_worker(
+                networks, "127.0.0.1", port, process_id,
+                recv_timeout_s=recv_timeout_s, connect_timeout_s=30.0,
+            )
+        except BaseException as error:  # noqa: BLE001 - surfaced by the test
+            result["error"] = error
+
+    thread = threading.Thread(target=target, daemon=True)
+    thread.start()
+    return thread, result
+
+
+def test_dispatch_mirrors_on_worker_and_images_match():
+    """Every proxy dispatch reaches the worker with the same lane + shape,
+    the coordinator's images equal a direct render, and a clean shutdown
+    returns the worker with the exact dispatch count."""
+    coordinator_net = _fake()
+    worker_net = _RecordingFake(
+        resolution=16, expected_vector_length=VECTOR_LENGTH
+    )
+    coordinator = ControlCoordinator(
+        num_workers=1, bind_host="127.0.0.1", port=0, heartbeat_interval_s=0.2
+    )
+    thread, result = _worker_thread([worker_net], coordinator.port)
+    coordinator.accept(network_fingerprint([coordinator_net]), timeout_s=30.0)
+    (proxy,) = wrap_networks_for_multihost([coordinator_net], coordinator)
+
+    assert proxy.expected_vector_length == VECTOR_LENGTH
+    assert proxy.resolution == 16
+
+    rng = np.random.RandomState(0)
+    z = rng.randn(4, VECTOR_LENGTH).astype(np.float32)
+    images_z = proxy.device_images_from_vectors(z)
+    np.testing.assert_array_equal(images_z, coordinator_net.images_generic(z))
+
+    w = rng.randn(2, 6, VECTOR_LENGTH).astype(np.float32)
+    images_w = proxy.device_images_from_matrices(w)
+    assert images_w.shape == (2, 16, 16, 3)
+
+    coordinator.shutdown()
+    thread.join(timeout=10)
+    assert not thread.is_alive()
+    assert result.get("served") == 2, result
+    assert worker_net.device_batches == [
+        ("z", (4, VECTOR_LENGTH)),
+        ("w+", (2, 6, VECTOR_LENGTH)),
+    ]
+    assert not coordinator.failed.is_set()
+
+
+def test_fingerprint_mismatch_refused_at_connect():
+    """A worker loaded with different pickles must fail at handshake, not as
+    a cross-host shape error mid-collective."""
+    coordinator = ControlCoordinator(
+        num_workers=1, bind_host="127.0.0.1", port=0
+    )
+    thread, result = _worker_thread([_fake(resolution=8)], coordinator.port)
+    with pytest.raises(MultiHostServingError, match="different networks"):
+        coordinator.accept(network_fingerprint([_fake(resolution=32)]), timeout_s=30.0)
+    thread.join(timeout=10)
+    assert isinstance(result.get("error"), MultiHostServingError)
+    assert "refused" in str(result["error"])
+    coordinator.close()
+
+
+def test_dead_worker_breaks_channel_and_fails_fast():
+    """A worker that vanishes surfaces as a dispatch error (EOF on the ACK
+    read), latches `failed`, and every later dispatch fails immediately."""
+    coordinator = ControlCoordinator(
+        num_workers=1, bind_host="127.0.0.1", port=0, ack_timeout_s=5.0
+    )
+    fingerprint = network_fingerprint([_fake()])
+    sock = socket.create_connection(("127.0.0.1", coordinator.port))
+    payload = pickle.dumps(
+        {
+            "type": "hello", "protocol": 1, "process_id": 1,
+            "fingerprint": fingerprint,
+        }
+    )
+    sock.sendall(struct.pack("!Q", len(payload)) + payload)
+    coordinator.accept(fingerprint, timeout_s=30.0)
+    sock.close()  # the worker dies
+
+    rows = np.zeros((2, VECTOR_LENGTH), np.float32)
+    with pytest.raises(MultiHostServingError):
+        coordinator.broadcast_dispatch(0, "z", rows)
+    assert coordinator.failed.is_set()
+    started = time.monotonic()
+    with pytest.raises(MultiHostServingError, match="broken"):
+        coordinator.broadcast_dispatch(0, "z", rows)
+    assert time.monotonic() - started < 1.0  # fails fast, no fresh timeout
+    coordinator.close()
+
+
+def test_silent_worker_hits_ack_timeout():
+    """A connected-but-wedged worker (never ACKs) bounds the dispatch wait."""
+    coordinator = ControlCoordinator(
+        num_workers=1, bind_host="127.0.0.1", port=0, ack_timeout_s=0.5,
+        heartbeat_interval_s=3600.0,
+    )
+    fingerprint = network_fingerprint([_fake()])
+    sock = socket.create_connection(("127.0.0.1", coordinator.port))
+    payload = pickle.dumps(
+        {
+            "type": "hello", "protocol": 1, "process_id": 1,
+            "fingerprint": fingerprint,
+        }
+    )
+    sock.sendall(struct.pack("!Q", len(payload)) + payload)
+    coordinator.accept(fingerprint, timeout_s=30.0)
+    try:
+        with pytest.raises(MultiHostServingError, match="did not ACK"):
+            coordinator.broadcast_dispatch(
+                0, "z", np.zeros((1, VECTOR_LENGTH), np.float32)
+            )
+        assert coordinator.failed.is_set()
+    finally:
+        sock.close()
+        coordinator.close()
+
+
+def test_worker_times_out_on_silent_coordinator():
+    """Control-channel silence past the recv timeout means a dead
+    coordinator: the worker exits loudly instead of blocking forever."""
+    listener = socket.socket()
+    listener.bind(("127.0.0.1", 0))
+    listener.listen(1)
+    port = listener.getsockname()[1]
+    accepted = {}
+
+    def silent_coordinator():
+        conn, _addr = listener.accept()
+        accepted["conn"] = conn  # read nothing, send nothing
+
+    thread = threading.Thread(target=silent_coordinator, daemon=True)
+    thread.start()
+    worker = ControlWorker(
+        ("127.0.0.1", port), 1, network_fingerprint([_fake()]),
+        connect_timeout_s=10.0,
+    )
+    with pytest.raises(MultiHostServingError, match="no control traffic"):
+        worker.run([_fake()], recv_timeout_s=0.3)
+    thread.join(timeout=5)
+    accepted["conn"].close()
+    listener.close()
+
+
+def test_heartbeats_keep_idle_worker_alive():
+    """An idle worker outlives many multiples of its recv timeout as long as
+    heartbeats flow, then exits 0 on the explicit shutdown."""
+    coordinator = ControlCoordinator(
+        num_workers=1, bind_host="127.0.0.1", port=0, heartbeat_interval_s=0.1
+    )
+    thread, result = _worker_thread(
+        [_fake()], coordinator.port, recv_timeout_s=0.8
+    )
+    coordinator.accept(network_fingerprint([_fake()]), timeout_s=30.0)
+    time.sleep(2.5)  # ~3x the worker timeout: only heartbeats arrive
+    coordinator.shutdown()
+    thread.join(timeout=10)
+    assert result.get("served") == 0, result
+
+
+def test_daemon_over_multihost_proxies():
+    """The full HTTP daemon over proxied networks: requests serve normally,
+    a killed worker turns into HTTP 500s (not hangs) and the channel's
+    failed event fires — the CLI's signal to stop serving."""
+    from gance_tpu.serving import ServingClient, ServingClientError, SynthesisDaemon
+
+    coordinator_net = _fake()
+    worker_net = _RecordingFake(
+        resolution=16, expected_vector_length=VECTOR_LENGTH
+    )
+    coordinator = ControlCoordinator(
+        num_workers=1, bind_host="127.0.0.1", port=0, ack_timeout_s=5.0,
+        heartbeat_interval_s=0.2,
+    )
+    worker = ControlWorker(
+        ("127.0.0.1", coordinator.port), 1,
+        network_fingerprint([worker_net]), connect_timeout_s=30.0,
+    )
+    result = {}
+
+    def run():
+        try:
+            result["served"] = worker.run([worker_net], recv_timeout_s=30.0)
+        except BaseException as error:  # noqa: BLE001
+            result["error"] = error
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    coordinator.accept(network_fingerprint([coordinator_net]), timeout_s=30.0)
+    proxies = wrap_networks_for_multihost([coordinator_net], coordinator)
+    with SynthesisDaemon(proxies, port=0, max_batch=8) as daemon:
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=30.0)
+        rng = np.random.RandomState(7)
+        z = rng.randn(3, VECTOR_LENGTH).astype(np.float32)
+        images = client.synthesize(latents=z)
+        np.testing.assert_array_equal(images, coordinator_net.images_generic(z))
+        # the worker saw the BUCKETED batch (3 -> 8 rows)
+        assert worker_net.device_batches == [("z", (8, VECTOR_LENGTH))]
+
+        # kill the worker mid-serve: requests must fail, not hang
+        worker.close()
+        thread.join(timeout=10)
+        with pytest.raises(ServingClientError) as info:
+            client.synthesize(latents=z)
+        assert info.value.status == 500
+        assert coordinator.failed.wait(timeout=5)
+        # the daemon is still answering (the CLI owns the decision to exit)
+        assert client.health()["ok"]
+    coordinator.close()
+
+
+def test_serve_cli_rejects_partial_dist_triple(tmp_path):
+    """--dist-* is all-or-none on the serve CLI, same contract as the render
+    CLIs (cli/common.py maybe_initialize_distributed)."""
+    from click.testing import CliRunner
+
+    from gance_tpu.cli.serve import cli as serve_cli
+
+    result = CliRunner().invoke(
+        serve_cli,
+        ["--network-path", __file__, "--dist-coordinator", "localhost:1234"],
+    )
+    assert result.exit_code != 0
+    assert "must be given together" in result.output
+
+
+# ---- executed two-OS-process certification ----
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "cpu",
+    reason="subprocess workers are CPU-only",
+)
+def test_daemon_two_process_matches_single_process(tmp_path):
+    """
+    The real online daemon over a process-spanning mesh: 2 OS processes x 4
+    virtual CPU devices, real jax.distributed + control channel + HTTP, and
+    the served images are BIT-IDENTICAL to a single-process 8-device mesh
+    run of the same requests (pure DP synthesis has no reductions).
+    """
+    import jax
+
+    from gance_tpu.models.pickle_loader import save_generator_pickle
+    from gance_tpu.models.stylegan2 import GeneratorConfig, init_generator_params
+
+    model = GeneratorConfig(
+        resolution=16, fmap_base=256, fmap_max=32, latent_size=16,
+        dlatent_size=16, mapping_layers=2, mapping_fmaps=16,
+    )
+    params = init_generator_params(jax.random.PRNGKey(0), model)
+    save_generator_pickle(params, tmp_path / "net.pkl")
+    rng = np.random.RandomState(11)
+    z = rng.randn(5, 16).astype(np.float32)
+    w = rng.randn(3, int(model.num_style_rows), 16).astype(np.float32)
+    np.save(tmp_path / "z.npy", z)
+    np.save(tmp_path / "w.npy", w)
+
+    import os as _os
+
+    def free_port():
+        with socket.socket() as sock:
+            sock.bind(("localhost", 0))
+            return sock.getsockname()[1]
+
+    dist_port = free_port()
+    control_port = free_port()
+    env = dict(_os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    repo_root = Path(__file__).resolve().parent.parent
+    workers = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "tests.distributed_daemon_worker",
+                str(process_id), "2", str(dist_port), str(tmp_path),
+                str(control_port),
+            ],
+            cwd=repo_root,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for process_id in range(2)
+    ]
+    outputs = []
+    failed = False
+    for worker in workers:
+        try:
+            out, _ = worker.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            worker.kill()
+            out, _ = worker.communicate()
+            failed = True
+        outputs.append(out.decode(errors="replace"))
+        failed = failed or worker.returncode != 0
+    if failed:
+        pytest.fail("daemon worker failed:\n" + "\n=== worker ===\n".join(outputs))
+
+    # Single-process reference over this process's 8 virtual devices.
+    from gance_tpu.parallel.mesh import create_mesh
+    from gance_tpu.synthesis.runtime import SynthesisNetwork
+
+    network = SynthesisNetwork.from_pkl(
+        tmp_path / "net.pkl", mesh=create_mesh(data_parallel=8)
+    )
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "out_z.npy"), network.images_from_vectors(z)
+    )
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "out_w.npy"), network.images_from_matrices(w)
+    )
