@@ -8,6 +8,7 @@ Sharding policy (scaling-book style: annotate, let GSPMD insert collectives):
   * per-layer noise buffers, biases, scalars -> replicated
 """
 
+from functools import lru_cache as _functools_lru_cache
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -151,11 +152,31 @@ def fetch_to_host(value: Any) -> np.ndarray:
     allgathered to every host first. This is a COLLECTIVE in multi-process
     runs — every process must reach every fetch in the same order (the serving
     pipelines guarantee it by running the identical frame loop on all hosts,
-    with only the coordinator's writers doing real I/O). Plain arrays take the
-    np.asarray fast path untouched.
+    with only the coordinator's writers doing real I/O). Two fast paths skip
+    the collective: fully-addressable arrays (single-process), and
+    fully-REPLICATED multi-process arrays, whose local shard already holds the
+    complete value — materializing it is a plain D2H copy, safe from any
+    thread at any time (replicate_for_fetch exploits this to move the
+    collective out of egress threads).
     """
     if isinstance(value, jax.Array) and not value.is_fully_addressable:
+        if value.sharding.is_fully_replicated:
+            return np.asarray(value.addressable_shards[0].data)
         from jax.experimental import multihost_utils
 
         return np.asarray(multihost_utils.process_allgather(value, tiled=True))
     return np.asarray(value)
+
+
+@_functools_lru_cache(maxsize=16)
+def replicate_for_fetch(mesh: Mesh):
+    """
+    Compiled identity that gathers a mesh-sharded array into a fully
+    REPLICATED one. In multi-process runs this is the fetch collective made
+    explicit as a PROGRAM: launching it keeps cross-process program order in
+    the launching thread (where order is controlled), while the subsequent
+    host materialization (`fetch_to_host`'s replicated fast path) is a local
+    D2H copy that any thread may do later — which lets pipelines overlap
+    device compute with host egress without reordering collectives.
+    """
+    return jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))

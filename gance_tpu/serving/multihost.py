@@ -24,11 +24,13 @@ restores lockstep with a coordinator→worker control channel:
 Correctness hinges on ORDER: all processes must launch the same programs in
 the same sequence. Two properties guarantee it here: the batcher serializes
 all device work through one dispatch thread, and the proxy performs
-broadcast → compute → collective fetch as one synchronous unit inside that
-thread (the single-host batcher overlaps compute with egress across two
-threads; multi-host trades that overlap for a provable global order — the
-collective fetch is itself the synchronization point, so the overlap would
-be largely dead time anyway).
+broadcast → compute → REPLICATE as one unit inside that thread. The
+replicate step (`parallel.mesh.replicate_for_fetch`) is the fetch collective
+made explicit as a program: once it is LAUNCHED (async), the array's local
+shard holds the complete value, so the batcher's fetch thread materializes
+it with a plain D2H copy — no collective ever runs outside the ordered
+dispatch thread, and the single-host daemon's compute/egress overlap
+survives multi-host intact.
 
 Failure semantics (the part the offline CLIs get for free from their
 deterministic schedules):
@@ -129,6 +131,25 @@ def _recv_frame(sock: socket.socket) -> Any:
     if length > MAX_FRAME_BYTES:
         raise MultiHostServingError(f"oversized control frame ({length} bytes)")
     return pickle.loads(_recv_exact(sock, length))
+
+
+def _replicate_or_fetch(network: Any, images: Any) -> Any:
+    """
+    Post-dispatch hand-off that keeps collectives in the CALLING thread: for
+    a mesh-sharded network in a multi-process run, launch the replicate
+    program (async) and return the device array — its local shard now covers
+    the full value, so any later thread can materialize it without a
+    collective. Otherwise fall through to a host fetch (single-process mesh
+    arrays are fully addressable; fakes return numpy already).
+    """
+    import jax
+
+    mesh = getattr(network, "mesh", None)
+    if mesh is not None and jax.process_count() > 1:
+        from gance_tpu.parallel.mesh import replicate_for_fetch
+
+        return replicate_for_fetch(mesh)(images)
+    return fetch_to_host(images)
 
 
 def _device_fn(network: Any, kind: str) -> Callable:
@@ -409,9 +430,12 @@ class MultiHostNetwork:
     """
     Coordinator-side proxy with the SynthesisNetwork serving surface: every
     device dispatch is broadcast to the workers first, then mirrored locally,
-    then collectively fetched — one synchronous unit, so the global program
-    order is exactly the control-message order. Returns HOST arrays (the
-    allgather already happened); the batcher's fetch pass is a no-op on them.
+    then REPLICATED (the fetch collective launched as an ordered program) —
+    so the global program order is exactly the control-message order. The
+    returned array is fully replicated: the batcher's fetch thread turns it
+    into host numpy with a local D2H copy (fetch_to_host's replicated fast
+    path), preserving the compute/egress overlap. Networks without a mesh
+    (fakes, single-device) skip the replicate and return host arrays.
     """
 
     def __init__(self, network: Any, coordinator: ControlCoordinator, index: int) -> None:
@@ -436,10 +460,10 @@ class MultiHostNetwork:
     def path(self) -> Any:
         return getattr(self._network, "path", None)
 
-    def _dispatch(self, kind: str, rows: np.ndarray, fn: Callable) -> np.ndarray:
+    def _dispatch(self, kind: str, rows: np.ndarray, fn: Callable) -> Any:
         rows = np.asarray(rows, np.float32)
         self._coordinator.broadcast_dispatch(self._index, kind, rows)
-        return fetch_to_host(fn(rows))
+        return _replicate_or_fetch(self._network, fn(rows))
 
     def device_images_from_vectors(self, z_batch: np.ndarray) -> np.ndarray:
         return self._dispatch("z", z_batch, _device_fn(self._network, "z"))
@@ -456,13 +480,13 @@ class MultiHostNetwork:
         raise ValueError(f"Cannot dispatch batch of shape {batch.shape}")
 
     def images_from_vectors(self, z_batch: np.ndarray) -> np.ndarray:
-        return self.device_images_from_vectors(z_batch)
+        return fetch_to_host(self.device_images_from_vectors(z_batch))
 
     def images_from_matrices(self, dlatent_batch: np.ndarray) -> np.ndarray:
-        return self.device_images_from_matrices(dlatent_batch)
+        return fetch_to_host(self.device_images_from_matrices(dlatent_batch))
 
     def images_generic(self, batch: np.ndarray) -> np.ndarray:
-        return self.device_images_generic(batch)
+        return fetch_to_host(self.device_images_generic(batch))
 
 
 def wrap_networks_for_multihost(
@@ -567,10 +591,20 @@ class ControlWorker:
                 # must never include device time.
                 _send_frame(self._sock, {"type": MSG_ACK, "seq": message.get("seq")})
                 network = networks[int(message["network"])]
-                # Enter the same program + the same collective fetch as the
-                # coordinator; the result is discarded here (the coordinator's
-                # copy feeds HTTP), but the allgather needs every participant.
-                fetch_to_host(_device_fn(network, message["kind"])(message["rows"]))
+                # Enter the same program + the same replicate collective as
+                # the coordinator; the images are discarded here (the
+                # coordinator's copy feeds HTTP), but the allgather needs
+                # every participant. The final fetch_to_host BLOCKS this
+                # worker until the dispatch completes — a cheap local
+                # materialize that bounds how far device queues can run
+                # ahead and surfaces device errors here, loudly, instead of
+                # leaving them parked in an async launch forever.
+                fetch_to_host(
+                    _replicate_or_fetch(
+                        network,
+                        _device_fn(network, message["kind"])(message["rows"]),
+                    )
+                )
                 served += 1
         finally:
             self.close()
