@@ -264,18 +264,32 @@ def cli(  # pylint: disable=too-many-arguments
             f"http://{host}:{daemon.port} "
             f"(max_batch={resolved_batch}, linger={max_delay_ms}ms)"
         )
+        import signal
         import threading
 
+        stop_requested = threading.Event()
+
+        def _on_sigterm(_signum, _frame) -> None:
+            LOGGER.info("SIGTERM: draining the synthesis daemon")
+            stop_requested.set()
+
+        previous_handler = signal.signal(signal.SIGTERM, _on_sigterm)
         try:
-            if coordinator is None:
-                threading.Event().wait()  # serve until interrupted
-            else:
-                # Serve until interrupted OR the control channel breaks — a
-                # lost worker means no collective can complete, so keeping
-                # the port open would only accumulate hung requests.
-                coordinator.failed.wait()
+            # Serve until SIGTERM/SIGINT — or, multi-host, until the control
+            # channel breaks (a lost worker means no collective can complete,
+            # so keeping the port open would only accumulate hung requests).
+            while not stop_requested.wait(0.5):
+                if coordinator is not None and coordinator.failed.is_set():
+                    break
         except KeyboardInterrupt:
             LOGGER.info("shutting down synthesis daemon")
+            stop_requested.set()
+        finally:
+            signal.signal(signal.SIGTERM, previous_handler)
+        if stop_requested.is_set():
+            # Graceful: finish in-flight requests (new ones get 503) before
+            # the context manager tears the batcher down.
+            daemon.drain()
     if coordinator is not None:
         if coordinator.failed.is_set():
             coordinator.close()

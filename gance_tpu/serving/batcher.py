@@ -209,6 +209,24 @@ class DynamicBatcher:
             )
         return out
 
+    def live_requests(self) -> int:
+        """Requests whose futures have not resolved yet (pending + in-flight)."""
+        with self._lock:
+            return len(self._live)
+
+    def wait_idle(self, timeout_s: Optional[float] = None) -> bool:
+        """
+        Block until every submitted request has resolved (the drain half of a
+        graceful shutdown — callers stop submitting first). Returns False if
+        the timeout expires with work still live.
+        """
+        deadline = None if timeout_s is None else time.monotonic() + timeout_s
+        while self.live_requests():
+            if deadline is not None and time.monotonic() >= deadline:
+                return False
+            time.sleep(0.05)
+        return True
+
     def close(self) -> None:
         """Drain-free shutdown: pending/in-flight requests fail loudly.
 

@@ -6,6 +6,8 @@ exposes a loaded generator for production serving:
 
   GET  /healthz      -> {"ok": true, "resolution": R, "vector_length": V, ...}
   GET  /stats        -> batcher counters (batches, occupancy, latency p50/p99)
+  GET  /metrics      -> the same counters in Prometheus text exposition format
+                        (scrapeable by any standard monitoring stack)
   POST /synthesize   -> images for a JSON request body:
       {"latents":  [[...], ...]}             z vectors (B, V)
       {"dlatents": [[[...], ...], ...]}      w+ matrices (B, R, V) — skip
@@ -157,6 +159,53 @@ def _encode_images(images: np.ndarray, fmt: str) -> Tuple[bytes, str]:
     raise ServingError(f"unknown format {fmt!r} (expected 'npy' or 'png')")
 
 
+def _prometheus_metrics(daemon: "SynthesisDaemon") -> str:
+    """Batcher counters in Prometheus text exposition format (v0.0.4)."""
+    stats = daemon.batcher.stats()
+    lines = []
+
+    def metric(name: str, kind: str, help_text: str, value, labels: str = "") -> None:
+        lines.append(f"# HELP gance_serving_{name} {help_text}")
+        lines.append(f"# TYPE gance_serving_{name} {kind}")
+        lines.append(f"gance_serving_{name}{labels} {value}")
+
+    metric("requests_total", "counter", "Requests accepted by the batcher",
+           stats["requests"])
+    metric("frames_total", "counter", "Real frames synthesized", stats["frames"])
+    metric("batches_total", "counter", "Device batches dispatched",
+           stats["batches"])
+    metric("dispatched_rows_total", "counter",
+           "Device rows dispatched including bucket padding",
+           stats["dispatched_rows"])
+    metric("errors_total", "counter", "Dispatch/fetch failures", stats["errors"])
+    metric("live_requests", "gauge", "Requests not yet resolved",
+           daemon.batcher.live_requests())
+    metric("draining", "gauge", "1 while refusing new requests for shutdown",
+           int(daemon.draining))
+    if stats.get("occupancy") is not None:
+        metric("occupancy", "gauge",
+               "Real frames / dispatched rows (bucket fill)",
+               round(stats["occupancy"], 6))
+    for quantile in ("p50", "p99"):
+        key = f"latency_{quantile}_ms"
+        if key in stats:
+            metric(f"latency_{quantile}_seconds", "gauge",
+                   f"Request latency {quantile} over the last 512 requests",
+                   round(stats[key] / 1e3, 6))
+    frames_by_network = stats.get("frames_by_network")
+    if frames_by_network:
+        lines.append(
+            "# HELP gance_serving_network_frames_total Frames per resident network"
+        )
+        lines.append("# TYPE gance_serving_network_frames_total counter")
+        for index, count in enumerate(frames_by_network):
+            name = daemon.network_names[index]
+            lines.append(
+                f'gance_serving_network_frames_total{{network="{name}"}} {count}'
+            )
+    return "\n".join(lines) + "\n"
+
+
 class SynthesisDaemon:
     """
     Own a network + batcher + HTTP server. `network` is any SynthesisNetwork-
@@ -209,6 +258,7 @@ class SynthesisDaemon:
         self.batcher = DynamicBatcher(
             self.networks, max_batch=max_batch, max_delay_ms=max_delay_ms
         )
+        self._draining = threading.Event()
         daemon = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -238,12 +288,22 @@ class SynthesisDaemon:
                     self._reply_json(200, daemon.health())
                 elif self.path == "/stats":
                     self._reply_json(200, daemon.batcher.stats())
+                elif self.path == "/metrics":
+                    self._reply(
+                        200, _prometheus_metrics(daemon).encode(),
+                        "text/plain; version=0.0.4",
+                    )
                 else:
                     self._reply_json(404, {"error": f"no route {self.path}"})
 
             def do_POST(self) -> None:  # noqa: N802
                 if self.path != "/synthesize":
                     self._reply_json(404, {"error": f"no route {self.path}"})
+                    return
+                if daemon.draining:
+                    # Graceful shutdown: in-flight work finishes, new work is
+                    # turned away with a retryable status.
+                    self._reply_json(503, {"error": "daemon is draining"})
                     return
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
@@ -319,7 +379,8 @@ class SynthesisDaemon:
         import gance_tpu
 
         payload = {
-            "ok": True,
+            "ok": not self.draining,
+            "draining": self.draining,
             "version": gance_tpu.__version__,
             "vector_length": int(self.network.expected_vector_length),
             "resolution": int(getattr(self.network, "resolution", 0)),
@@ -337,6 +398,26 @@ class SynthesisDaemon:
                 for i, n in enumerate(self.networks)
             ]
         return payload
+
+    @property
+    def draining(self) -> bool:
+        return self._draining.is_set()
+
+    def drain(self, timeout_s: float = 600.0) -> bool:
+        """
+        Graceful-shutdown half one: refuse new requests (HTTP 503, a
+        retryable status for load balancers) and wait for every live request
+        to resolve. Returns False if the timeout expired with work still in
+        flight (callers typically proceed to stop() either way — stop fails
+        leftovers loudly). Idempotent.
+        """
+        if not self._draining.is_set():
+            LOGGER.info(
+                "synthesis daemon draining: %d live request(s)",
+                self.batcher.live_requests(),
+            )
+        self._draining.set()
+        return self.batcher.wait_idle(timeout_s)
 
     def start(self) -> "SynthesisDaemon":
         self._thread.start()

@@ -676,3 +676,99 @@ def multi_daemon_networks():
     beta.path = Path("/nets/beta_net.pkl")
     with SynthesisDaemon([alpha, beta], port=0, max_batch=8, max_delay_ms=0) as daemon:
         yield daemon, alpha, beta
+
+
+# ---- /metrics + graceful drain (round 4f) ----
+
+
+def test_metrics_endpoint_prometheus_format():
+    """GET /metrics returns well-formed Prometheus text exposition with the
+    batcher counters and per-network frame totals."""
+    import time
+
+    from gance_tpu.serving import ServingClient
+
+    alpha = FakeSynthesisNetwork(resolution=16, expected_vector_length=32)
+    alpha.path = Path("/nets/alpha_net.pkl")
+    beta = FakeSynthesisNetwork(resolution=8, expected_vector_length=32)
+    beta.path = Path("/nets/beta_net.pkl")
+    with SynthesisDaemon([alpha, beta], port=0, max_batch=8, max_delay_ms=0) as daemon:
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}")
+        client.synthesize(latents=np.zeros((3, 32), np.float32))
+        client.synthesize(latents=np.zeros((1, 32), np.float32), network=1)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{daemon.port}/metrics"
+        ) as response:
+            assert response.headers["Content-Type"].startswith("text/plain")
+            body = response.read().decode()
+    assert "gance_serving_requests_total 2" in body
+    assert "gance_serving_frames_total 4" in body
+    assert "# TYPE gance_serving_requests_total counter" in body
+    assert "# TYPE gance_serving_occupancy gauge" in body
+    assert "gance_serving_draining 0" in body
+    assert "gance_serving_live_requests 0" in body
+    assert 'gance_serving_network_frames_total{network="alpha_net"} 3' in body
+    assert 'gance_serving_network_frames_total{network="beta_net"} 1' in body
+    assert "gance_serving_latency_p50_seconds" in body
+
+
+def test_drain_finishes_inflight_and_rejects_new():
+    """drain(): in-flight requests complete, new requests get a retryable
+    503, /healthz flips to draining, and wait returns once idle."""
+    import time
+
+    from gance_tpu.serving import ServingClient, ServingClientError
+
+    release = threading.Event()
+
+    class _SlowFake(FakeSynthesisNetwork):
+        def device_images_generic(self, batch):
+            release.wait(timeout=30)
+            return self._render(np.asarray(batch))
+
+    fake = _SlowFake(resolution=16, expected_vector_length=32)
+    with SynthesisDaemon(fake, port=0, max_batch=8, max_delay_ms=0) as daemon:
+        url = f"http://127.0.0.1:{daemon.port}"
+        results = {}
+
+        def submit():
+            results["images"] = ServingClient(url, timeout_s=60).synthesize(
+                latents=np.zeros((2, 32), np.float32)
+            )
+
+        inflight = threading.Thread(target=submit)
+        inflight.start()
+        for _ in range(200):  # until the slow dispatch holds the request live
+            if daemon.batcher.live_requests():
+                break
+            time.sleep(0.02)
+        assert daemon.batcher.live_requests() == 1
+
+        drain_outcome = {}
+        drainer = threading.Thread(
+            target=lambda: drain_outcome.setdefault(
+                "idle", daemon.drain(timeout_s=30)
+            )
+        )
+        drainer.start()
+        for _ in range(200):
+            if daemon.draining:
+                break
+            time.sleep(0.01)
+        assert daemon.draining
+
+        with pytest.raises(ServingClientError) as info:
+            ServingClient(url, timeout_s=10).synthesize(
+                latents=np.zeros((1, 32), np.float32)
+            )
+        assert info.value.status == 503
+        assert "draining" in info.value.message
+        health = ServingClient(url).health()
+        assert health["draining"] is True and health["ok"] is False
+
+        release.set()
+        inflight.join(timeout=20)
+        drainer.join(timeout=20)
+        assert results["images"].shape == (2, 16, 16, 3)
+        assert drain_outcome["idle"] is True
+        assert daemon.batcher.live_requests() == 0
