@@ -172,12 +172,18 @@ def cli(  # pylint: disable=too-many-arguments
         paths = resolve_networks(networks_directory, network_path, networks_json)
     except ValueError as error:  # no sources given / bad json -> clean usage error
         raise click.UsageError(str(error)) from error
-    networks = [
-        SynthesisNetwork.from_pkl(
-            p, output_side_length=output_side_length, **kwargs
+
+    def commit_network(staged, path) -> SynthesisNetwork:
+        # One constructor for startup AND hot loads (/admin/load): rollout
+        # networks serve with the same mesh/dtype/psi/scale as the originals.
+        return SynthesisNetwork.from_staged(
+            staged, Path(path), output_side_length=output_side_length, **kwargs
         )
-        for p in paths
-    ]
+
+    def build_network(path) -> SynthesisNetwork:
+        return commit_network(SynthesisNetwork.stage_pkl(Path(path)), path)
+
+    networks = [build_network(p) for p in paths]
     resolved_batch = max_batch if max_batch is not None else default_max_batch()
 
     if warmup != "none":
@@ -239,6 +245,15 @@ def cli(  # pylint: disable=too-many-arguments
                     coordinator_host or "127.0.0.1",
                     resolved_control_port,
                     jax.process_index(),
+                    # Two-phase hot rollout: parse host-side (fallible),
+                    # then enter the mesh placement in lockstep with the
+                    # coordinator (multihost.py MSG_LOAD_* commentary).
+                    load_prepare=lambda p, _i: SynthesisNetwork.stage_pkl(
+                        Path(p)
+                    ),
+                    load_commit=lambda staged, p, _i: commit_network(
+                        staged, p
+                    ),
                 )
             except MultiHostServingError as error:
                 raise click.ClickException(str(error)) from error
@@ -251,13 +266,34 @@ def cli(  # pylint: disable=too-many-arguments
         except MultiHostServingError as error:
             raise click.ClickException(str(error)) from error
         serving_networks = wrap_networks_for_multihost(networks, coordinator)
+
+        from gance_tpu.serving.multihost import MultiHostNetwork
+
+        def network_loader(path: str, index: int):
+            # Coordinator parses FIRST so a bad path fails before any worker
+            # is involved; broadcast_load then runs prepare (completion-
+            # acked, abortable) + commit (receipt-acked) on every worker, and
+            # the from_staged here enters the mesh-placement collective
+            # together with them.
+            staged = SynthesisNetwork.stage_pkl(Path(path))
+            coordinator.broadcast_load(path, index)
+            return MultiHostNetwork(
+                commit_network(staged, path), coordinator, index
+            )
+
+        def network_unloader(index: int) -> None:
+            coordinator.broadcast_unload(index)
+
     else:
         coordinator = None
         serving_networks = networks
+        network_loader = lambda path, _index: build_network(path)  # noqa: E731
+        network_unloader = None
 
     with SynthesisDaemon(
         serving_networks, host=host, port=port,
         max_batch=resolved_batch, max_delay_ms=max_delay_ms,
+        network_loader=network_loader, network_unloader=network_unloader,
     ) as daemon:
         click.echo(
             f"serving {', '.join(str(p) for p in paths)} on "

@@ -121,11 +121,21 @@ class DynamicBatcher:
         self.pad_multiple = max(1, int(pad_multiple))
         self._pending: "collections.deque[_Request]" = collections.deque()
         self._lock = threading.Condition()
+        # Serializes DEVICE-op issuance: the dispatch thread holds it around
+        # each device call, and run_exclusive() lets admin work (hot network
+        # loads, which issue their own device_puts) interleave between
+        # batches without ever reordering device programs — load-bearing in
+        # multi-host serving, where cross-process program order is the
+        # correctness invariant (multihost.py).
+        self._device_lock = threading.Lock()
         self._closed = False
         # Every request whose future has not resolved yet (pending OR
         # in-flight) — close() fails these so no caller blocks forever.
         self._live: "set[_Request]" = set()
         self._fetch_queue: "queue.Queue" = queue.Queue(maxsize=max(1, queue_depth))
+        # per-network unresolved-request counts (under _lock): retire waits
+        # on these so a slot is never freed under an in-flight lane
+        self._net_live: List[int] = [0] * len(self.networks)
         # stats (under _stats_lock; read by /stats)
         self._stats_lock = threading.Lock()
         self._stat = {
@@ -162,6 +172,8 @@ class DynamicBatcher:
                 f"network_index {network_index} out of range "
                 f"(serving {len(self.networks)} networks)"
             )
+        if self.networks[network_index] is None:
+            raise ValueError(f"network {network_index} has been unloaded")
         rows = np.asarray(batch, np.float32)
         if rows.ndim == 2:
             lane = (int(network_index), LANE_VECTORS) + rows.shape[1:]
@@ -187,6 +199,7 @@ class DynamicBatcher:
                 raise RuntimeError("batcher is closed")
             self._pending.append(request)
             self._live.add(request)
+            self._net_live[lane[0]] += 1
             self._lock.notify_all()
         with self._stats_lock:
             self._stat["requests"] += 1
@@ -208,6 +221,56 @@ class DynamicBatcher:
                 latencies[min(len(latencies) - 1, int(len(latencies) * 0.99))] * 1e3, 2
             )
         return out
+
+    def add_network(self, network: Any) -> int:
+        """Hot-add a resident network and return its index. Existing indices
+        stay stable (clients address networks by index or name), so this is
+        append-only; reuse of retired slots is deliberately NOT done."""
+        if network is None:
+            raise ValueError("network must not be None")
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self.networks.append(network)
+            self._net_live.append(0)
+            index = len(self.networks) - 1
+        with self._stats_lock:
+            self._net_frames.append(0)
+        return index
+
+    def retire_network(self, network_index: int, timeout_s: float = 600.0) -> bool:
+        """
+        Free a resident network's slot once its last request resolves.
+        Callers must stop routing NEW requests to the index first (the daemon
+        marks it retired at the HTTP edge); this waits for the in-flight
+        count to reach zero, then drops the reference (device memory frees
+        with it). Returns False on timeout (slot left intact). Idempotent.
+        """
+        deadline = time.monotonic() + timeout_s
+        with self._lock:
+            if not 0 <= network_index < len(self.networks):
+                raise ValueError(f"network_index {network_index} out of range")
+            if network_index == 0:
+                raise ValueError(
+                    "network 0 is the daemon's identity (healthz surface); "
+                    "retire is for hot-swapped additions"
+                )
+            while self._net_live[network_index] > 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._lock.wait(timeout=remaining)
+            self.networks[network_index] = None
+        return True
+
+    def run_exclusive(self, fn):
+        """Run `fn` while no device batch is being issued (the dispatch
+        thread holds the same lock around each device call). Admin work that
+        issues its own device ops — hot network loads' device_puts — must go
+        through here so device-program order stays single-threaded, the
+        invariant multi-host serving depends on."""
+        with self._device_lock:
+            return fn()
 
     def live_requests(self) -> int:
         """Requests whose futures have not resolved yet (pending + in-flight)."""
@@ -264,7 +327,7 @@ class DynamicBatcher:
         """Resolve a request's future exactly once and drop it from the live
         set; tolerates races with close() (already-resolved futures)."""
         with self._lock:
-            self._live.discard(request)
+            self._drop_live_locked(request)
         if request.future.done():
             return
         try:
@@ -283,6 +346,14 @@ class DynamicBatcher:
 
     # ---- internals ----
 
+    def _drop_live_locked(self, request: _Request) -> None:
+        """Remove a request from the live set exactly once (idempotent) and
+        keep the per-network live counts retire_network waits on accurate."""
+        if request in self._live:
+            self._live.remove(request)
+            self._net_live[request.lane[0]] -= 1
+            self._lock.notify_all()
+
     def _take_batch(self) -> Optional[List[Tuple[_Request, int, np.ndarray]]]:
         """Under the lock: wait for work, apply the linger, then consume up to
         max_batch rows of ONE lane from the queue front. Returns
@@ -294,7 +365,7 @@ class DynamicBatcher:
                 # cancel): their remaining rows must not burn device batches.
                 while self._pending and self._pending[0].future.done():
                     dead = self._pending.popleft()
-                    self._live.discard(dead)
+                    self._drop_live_locked(dead)
                 if self._pending:
                     break
                 self._lock.wait()
@@ -321,7 +392,7 @@ class DynamicBatcher:
                 head = self._pending[0]
                 if head.future.done():  # failed/cancelled: skip its rows
                     self._pending.popleft()
-                    self._live.discard(head)
+                    self._drop_live_locked(head)
                     continue
                 if lane is None:
                     lane = head.lane
@@ -370,7 +441,8 @@ class DynamicBatcher:
                 pad = np.zeros((bucket - real,) + rows.shape[1:], rows.dtype)
                 rows = np.concatenate([rows, pad])
             try:
-                device_images = self._network_fn(lane)(rows)
+                with self._device_lock:
+                    device_images = self._network_fn(lane)(rows)
             except Exception as error:  # pylint: disable=broad-except
                 LOGGER.exception("serving dispatch failed")
                 with self._stats_lock:

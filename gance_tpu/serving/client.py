@@ -80,6 +80,18 @@ class ServingClient:
         blob, _headers = self._post_synthesize(body)
         return blob
 
+    def load_network(self, path: str) -> Dict[str, Any]:
+        """Hot-add a resident network on the server from a pickle path
+        (zero-downtime model rollout; POST /admin/load). Returns the new
+        slot: {"index", "name", "resolution", "vector_length"}."""
+        return self._post_json("/admin/load", {"path": str(path)})
+
+    def unload_network(self, network: Union[int, str]) -> Dict[str, Any]:
+        """Retire a resident network by index or name (POST /admin/unload):
+        new requests are refused at once, in-flight ones finish, then the
+        slot's device memory frees."""
+        return self._post_json("/admin/unload", {"network": network})
+
     # ---- plumbing ----
 
     @staticmethod
@@ -111,6 +123,19 @@ class ServingClient:
         if network is not None:
             body["network"] = network
         return body
+
+    def _post_json(self, path: str, body: Dict[str, Any]) -> Dict[str, Any]:
+        request = urllib.request.Request(
+            self.base_url + path,
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(request, timeout=self.timeout_s) as response:
+                return json.loads(response.read())
+        except urllib.error.HTTPError as error:
+            raise self._wrap(error) from error
 
     def _get_json(self, path: str) -> Dict[str, Any]:
         try:

@@ -220,7 +220,21 @@ class SynthesisDaemon:
         port: int = 8799,
         max_batch: int = 48,
         max_delay_ms: float = 5.0,
+        network_loader: Optional[Any] = None,
+        network_unloader: Optional[Any] = None,
     ) -> None:
+        # Zero-downtime model rollout: when `network_loader(path, index)` is
+        # given, POST /admin/load hot-adds a resident network (the loader
+        # runs under the batcher's device-op lock so its device_puts never
+        # interleave with a dispatch — the multi-host ordering invariant),
+        # and POST /admin/unload retires one by name/index: the edge stops
+        # routing immediately, in-flight requests finish, then the slot (and
+        # its device memory) is dropped; `network_unloader(index)` (optional)
+        # lets multi-host coordinators broadcast the drop to workers.
+        self.network_loader = network_loader
+        self.network_unloader = network_unloader
+        self._admin_lock = threading.Lock()
+        self._retired: set = set()
         # `network` may be one network or a list of RESIDENT networks (the
         # reference's MultiNetwork concept, network_functions.py:484-640,
         # brought online): requests pick one with {"network": <index|name>},
@@ -250,11 +264,7 @@ class SynthesisDaemon:
             (Path(str(n.path)).stem if getattr(n, "path", None) else f"network_{i}")
             for i, n in enumerate(self.networks)
         ]
-        self._name_to_index = {
-            name: i
-            for i, name in enumerate(self.network_names)
-            if self.network_names.count(name) == 1
-        }
+        self._rebuild_name_map()
         self.batcher = DynamicBatcher(
             self.networks, max_batch=max_batch, max_delay_ms=max_delay_ms
         )
@@ -296,7 +306,47 @@ class SynthesisDaemon:
                 else:
                     self._reply_json(404, {"error": f"no route {self.path}"})
 
+            def _read_json_body(self) -> Dict[str, Any]:
+                length = int(self.headers.get("Content-Length", "0"))
+                if length <= 0 or length > MAX_BODY_BYTES:
+                    raise ServingError("missing or oversized request body")
+                payload = json.loads(self.rfile.read(length))
+                if not isinstance(payload, dict):
+                    raise ServingError("request body must be a JSON object")
+                return payload
+
+            def _do_admin(self) -> None:
+                try:
+                    payload = self._read_json_body()
+                    if self.path == "/admin/load":
+                        if daemon.network_loader is None:
+                            self._reply_json(
+                                501,
+                                {"error": "this daemon has no network loader "
+                                 "(start it via serve_network.py)"},
+                            )
+                            return
+                        self._reply_json(
+                            200, daemon.load_network(payload.get("path"))
+                        )
+                    else:
+                        self._reply_json(
+                            200,
+                            daemon.unload_network(payload.get("network")),
+                        )
+                except (ServingError, ValueError, json.JSONDecodeError) as error:
+                    self._reply_json(400, {"error": str(error)})
+                except Exception as error:  # pylint: disable=broad-except
+                    LOGGER.exception("admin request failed")
+                    self._reply_json(500, {"error": str(error)})
+
             def do_POST(self) -> None:  # noqa: N802
+                if self.path in ("/admin/load", "/admin/unload"):
+                    if daemon.draining:
+                        self._reply_json(503, {"error": "daemon is draining"})
+                        return
+                    self._do_admin()
+                    return
                 if self.path != "/synthesize":
                     self._reply_json(404, {"error": f"no route {self.path}"})
                     return
@@ -349,31 +399,139 @@ class SynthesisDaemon:
             target=self._server.serve_forever, name="serving-http", daemon=True
         )
 
+    def _rebuild_name_map(self) -> None:
+        """Name -> index over LIVE slots only (unique names; retiring a
+        network frees its name, which is how same-stem rollouts work:
+        unload old, load new)."""
+        live_names = [
+            name
+            for index, name in enumerate(self.network_names)
+            if index not in self._retired
+        ]
+        self._name_to_index = {
+            name: index
+            for index, name in enumerate(self.network_names)
+            if index not in self._retired and live_names.count(name) == 1
+        }
+
+    def live_network_names(self) -> list:
+        return [
+            name
+            for index, name in enumerate(self.network_names)
+            if index not in self._retired
+        ]
+
     def resolve_network_index(self, payload: Any) -> int:
         """The network a request addresses: the optional "network" field is an
         index or a served name; absent means network 0."""
         selector = payload.get("network", 0) if isinstance(payload, dict) else 0
         if isinstance(selector, bool):
             raise ServingError('"network" must be an index or name')
-        if isinstance(selector, int):
-            if not 0 <= selector < len(self.networks):
-                raise ServingError(
-                    f'"network" index {selector} out of range '
-                    f"(serving {len(self.networks)} networks)"
-                )
-            return selector
         if isinstance(selector, str):
             if selector in self._name_to_index:
-                return self._name_to_index[selector]
+                selector = self._name_to_index[selector]
             # a stringified index ("1" from a form field / env var) works
             # too; served names win when one collides
-            if selector.isdigit() and int(selector) < len(self.networks):
-                return int(selector)
+            elif selector.isdigit() and int(selector) < len(self.networks):
+                selector = int(selector)
+            else:
+                raise ServingError(
+                    f'unknown network "{selector}" (serving: '
+                    f'{", ".join(self.live_network_names())})'
+                )
+        if not isinstance(selector, int):
+            raise ServingError('"network" must be an index or name')
+        if not 0 <= selector < len(self.networks):
             raise ServingError(
-                f'unknown network "{selector}" (serving: '
-                f'{", ".join(self.network_names)})'
+                f'"network" index {selector} out of range '
+                f"(serving {len(self.networks)} networks)"
             )
-        raise ServingError('"network" must be an index or name')
+        if selector in self._retired or self.networks[selector] is None:
+            raise ServingError(
+                f'network {selector} ("{self.network_names[selector]}") has '
+                "been unloaded"
+            )
+        return selector
+
+    def load_network(self, path: Any) -> Dict[str, Any]:
+        """Hot-add a resident network from a pickle path (POST /admin/load).
+        The loader's device work runs under the batcher's device-op lock, so
+        it never interleaves with a dispatch — required for multi-host
+        program-order consistency, harmless single-host."""
+        if not path or not isinstance(path, str):
+            raise ServingError('"path" must be a pickle path string')
+        if self.network_loader is None:
+            raise ServingError("this daemon has no network loader")
+        with self._admin_lock:
+            index = len(self.networks)
+            network = self.batcher.run_exclusive(
+                lambda: self.network_loader(path, index)
+            )
+            batcher_index = self.batcher.add_network(network)
+            if batcher_index != index:  # only possible via API misuse
+                raise RuntimeError(
+                    f"slot skew: daemon {index} != batcher {batcher_index}"
+                )
+            self.networks.append(network)
+            self.frame_caps.append(
+                max_frames_for(int(getattr(network, "resolution", 0)))
+            )
+            self.style_rows_by_network.append(
+                int(network.config.num_style_rows)
+                if getattr(network, "config", None) is not None
+                else None
+            )
+            self.network_names.append(
+                Path(str(network.path)).stem
+                if getattr(network, "path", None)
+                else f"network_{index}"
+            )
+            self._rebuild_name_map()
+        LOGGER.info(
+            "hot-loaded network %d (%s) from %s",
+            index, self.network_names[index], path,
+        )
+        return {
+            "index": index,
+            "name": self.network_names[index],
+            "resolution": int(getattr(network, "resolution", 0)),
+            "vector_length": int(network.expected_vector_length),
+        }
+
+    def unload_network(
+        self, selector: Any, timeout_s: float = 600.0
+    ) -> Dict[str, Any]:
+        """Retire a resident network (POST /admin/unload): new requests are
+        refused immediately, in-flight ones finish, then the slot and its
+        device memory are dropped. Network 0 (the daemon's identity) cannot
+        be unloaded."""
+        with self._admin_lock:
+            index = self.resolve_network_index({"network": selector})
+            if index == 0:
+                raise ServingError(
+                    "network 0 is the daemon's identity and cannot be "
+                    "unloaded; unload is for hot-swapped additions"
+                )
+            self._retired.add(index)  # the HTTP edge stops routing NOW
+            self._rebuild_name_map()
+        drained = self.batcher.retire_network(index, timeout_s=timeout_s)
+        if drained:
+            if self.network_unloader is not None:
+                self.network_unloader(index)
+            self.networks[index] = None
+            LOGGER.info(
+                "unloaded network %d (%s)", index, self.network_names[index]
+            )
+        else:
+            LOGGER.warning(
+                "network %d still has in-flight work after %gs; slot kept "
+                "until its requests resolve", index, timeout_s,
+            )
+        return {
+            "index": index,
+            "name": self.network_names[index],
+            "drained": bool(drained),
+        }
 
     def health(self) -> Dict[str, Any]:
         import gance_tpu
@@ -388,13 +546,17 @@ class SynthesisDaemon:
         }
         if len(self.networks) > 1:
             payload["networks"] = [
-                {
-                    "index": i,
-                    "name": self.network_names[i],
-                    "vector_length": int(n.expected_vector_length),
-                    "resolution": int(getattr(n, "resolution", 0)),
-                    "max_frames_per_request": self.frame_caps[i],
-                }
+                (
+                    {"index": i, "name": self.network_names[i], "retired": True}
+                    if i in self._retired or n is None
+                    else {
+                        "index": i,
+                        "name": self.network_names[i],
+                        "vector_length": int(n.expected_vector_length),
+                        "resolution": int(getattr(n, "resolution", 0)),
+                        "max_frames_per_request": self.frame_caps[i],
+                    }
+                )
                 for i, n in enumerate(self.networks)
             ]
         return payload

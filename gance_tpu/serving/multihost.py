@@ -86,6 +86,27 @@ MSG_ACK = "ack"
 MSG_DISPATCH = "dispatch"
 MSG_HEARTBEAT = "heartbeat"
 MSG_SHUTDOWN = "shutdown"
+# Hot model rollout is TWO-phase because placing params onto a
+# process-spanning mesh is a COLLECTIVE (jax.device_put over non-addressable
+# devices) that every process must enter together. A single completion-acked
+# "load" message deadlocks: the worker's placement waits for the
+# coordinator's participation while the coordinator waits for the worker's
+# ack. So: PREPARE parses the pickle host-side (fallible, completion-acked,
+# recoverable — a bad path on one host aborts the rollout without breaking
+# the channel), then COMMIT is receipt-acked and each worker enters the
+# placement right after acking, with the coordinator entering its own the
+# moment the acks land — all processes meet inside the collective.
+MSG_LOAD_PREPARE = "load_prepare"
+MSG_LOAD_COMMIT = "load_commit"
+MSG_LOAD_ABORT = "load_abort"  # drop staged params after a peer's prepare failed
+MSG_UNLOAD = "unload"  # drop a retired slot's params on every worker
+
+# Prepare acks arrive on COMPLETION of the host-side parse; reading a
+# config-f pickle takes seconds to minutes depending on storage, hence the
+# separate generous bound.
+DEFAULT_LOAD_TIMEOUT_S = float(
+    os.environ.get("GANCE_TPU_SERVE_LOAD_TIMEOUT_S", "900")
+)
 
 DEFAULT_ACK_TIMEOUT_S = float(os.environ.get("GANCE_TPU_SERVE_ACK_TIMEOUT_S", "60"))
 DEFAULT_HEARTBEAT_INTERVAL_S = float(
@@ -335,6 +356,52 @@ class ControlCoordinator:
                 }
             )
 
+    def broadcast_load(self, path: str, index: int) -> None:
+        """Run the worker half of a two-phase hot rollout (see the MSG_LOAD_*
+        commentary at the top of this file for why one message deadlocks).
+
+        PREPARE: every worker parses the pickle host-side and acks on
+        completion. A worker that cannot (missing file, corrupt pickle) acks
+        the error instead — the coordinator then broadcasts an ABORT so
+        peers drop their staged params, and raises WITHOUT breaking the
+        channel: the daemon keeps serving its existing networks.
+
+        COMMIT: receipt-acked. Each worker acks and immediately enters the
+        mesh placement; when this method returns, the CALLER must construct
+        the coordinator's own copy (entering the same collective) before
+        issuing any further device work — the daemon guarantees that by
+        running loads under the batcher's device-op lock.
+        """
+        with self._lock:
+            errors = self._broadcast_acked_locked(
+                {
+                    "type": MSG_LOAD_PREPARE,
+                    "path": str(path),
+                    "index": int(index),
+                },
+                ack_timeout_s=DEFAULT_LOAD_TIMEOUT_S,
+                collect_errors=True,
+            )
+            if errors:
+                self._broadcast_acked_locked(
+                    {"type": MSG_LOAD_ABORT, "index": int(index)}
+                )
+                raise MultiHostServingError(
+                    "hot load failed on worker(s): "
+                    + "; ".join(f"{pid}: {error}" for pid, error in errors)
+                )
+            self._broadcast_acked_locked(
+                {"type": MSG_LOAD_COMMIT, "index": int(index)}
+            )
+
+    def broadcast_unload(self, index: int) -> None:
+        """Tell every worker to drop slot `index`'s params (the coordinator
+        already drained the lane — no dispatch for it can follow)."""
+        with self._lock:
+            self._broadcast_acked_locked(
+                {"type": MSG_UNLOAD, "index": int(index)}
+            )
+
     # ---- internals ----
 
     def _next_seq(self) -> int:
@@ -367,9 +434,21 @@ class ControlCoordinator:
             except OSError:
                 pass
 
-    def _broadcast_acked_locked(self, message: dict) -> None:
+    def _broadcast_acked_locked(
+        self,
+        message: dict,
+        ack_timeout_s: Optional[float] = None,
+        collect_errors: bool = False,
+    ) -> List[Tuple[int, str]]:
+        """Send `message` to every worker and wait for one ack each. Socket
+        failures, timeouts, and malformed acks are always fatal (channel
+        latched broken). Error-carrying acks are fatal too UNLESS
+        `collect_errors` — then they are returned, because a prepare-phase
+        failure is recoverable (nothing has diverged yet)."""
         self._check_usable_locked()
+        timeout = self.ack_timeout_s if ack_timeout_s is None else ack_timeout_s
         message["seq"] = self._next_seq()
+        errors: List[Tuple[int, str]] = []
         for pid, sock in self._workers:
             try:
                 _send_frame(sock, message)
@@ -381,14 +460,14 @@ class ControlCoordinator:
                 ) from error
         for pid, sock in self._workers:
             try:
-                sock.settimeout(self.ack_timeout_s)
+                sock.settimeout(timeout)
                 ack = _recv_frame(sock)
             except (OSError, MultiHostServingError, socket.timeout) as error:
                 self._fail(f"worker {pid} did not ACK: {error}")
                 self._close_sockets_locked()
                 raise MultiHostServingError(
-                    f"worker {pid} did not ACK dispatch {message['seq']} "
-                    f"within {self.ack_timeout_s:g}s: {error}"
+                    f"worker {pid} did not ACK {message['type']} "
+                    f"{message['seq']} within {timeout:g}s: {error}"
                 ) from error
             if (
                 not isinstance(ack, dict)
@@ -398,9 +477,21 @@ class ControlCoordinator:
                 self._fail(f"worker {pid} sent a bad ACK: {ack!r}")
                 self._close_sockets_locked()
                 raise MultiHostServingError(
-                    f"worker {pid} answered dispatch {message['seq']} with "
-                    f"{ack!r}"
+                    f"worker {pid} answered {message['type']} "
+                    f"{message['seq']} with {ack!r}"
                 )
+            if ack.get("error"):
+                if collect_errors:
+                    errors.append((pid, str(ack["error"])))
+                    continue
+                # outside collect_errors an error ack means divergent
+                # state with no recovery protocol — stop serving.
+                self._fail(f"worker {pid}: {ack['error']}")
+                self._close_sockets_locked()
+                raise MultiHostServingError(
+                    f"worker {pid} failed {message['type']}: {ack['error']}"
+                )
+        return errors
 
     def _heartbeat_loop(self) -> None:
         # Fire-and-forget (no ACK): its only job is to keep idle workers'
@@ -545,6 +636,8 @@ class ControlWorker:
         self,
         networks: Sequence[Any],
         recv_timeout_s: float = DEFAULT_WORKER_TIMEOUT_S,
+        load_prepare: Optional[Callable[[str, int], Any]] = None,
+        load_commit: Optional[Callable[[Any, str, int], Any]] = None,
     ) -> int:
         """
         Mirror coordinator dispatches until a clean shutdown. Returns the
@@ -552,7 +645,22 @@ class ControlWorker:
         coordinator goes silent past `recv_timeout_s` (while idle — time
         inside a mirrored collective doesn't count) or closes the socket
         without saying shutdown.
+
+        `load_prepare(path, index) -> staged` and
+        `load_commit(staged, path, index) -> network` (both or neither)
+        enable hot model rollout, mirroring the coordinator's two-phase
+        /admin/load (see the MSG_LOAD_* commentary up top): prepare is the
+        host-side pickle parse, acked on completion and allowed to fail
+        (the rollout aborts, serving continues); commit is acked on receipt
+        and then enters the mesh placement — the collective where all
+        processes meet. A commit-phase failure is fatal (device placement
+        failed mid-collective; peers would hang), exactly like a device
+        error during a mirrored dispatch.
         """
+        if (load_prepare is None) != (load_commit is None):
+            raise ValueError("load_prepare and load_commit come as a pair")
+        resident = list(networks)
+        staged: Optional[Tuple[Any, str, int]] = None  # (staged, path, index)
         served = 0
         try:
             while True:
@@ -585,12 +693,99 @@ class ControlWorker:
                         self.process_id, served,
                     )
                     return served
+                if kind == MSG_LOAD_PREPARE:
+                    # Host-side parse only — no device work, so failure is
+                    # recoverable: ack the error and keep serving (the
+                    # coordinator aborts the rollout everywhere).
+                    error: Optional[str] = None
+                    try:
+                        if load_prepare is None:
+                            raise MultiHostServingError(
+                                "this worker has no network loader"
+                            )
+                        if int(message["index"]) != len(resident):
+                            raise MultiHostServingError(
+                                f"slot skew: coordinator slot "
+                                f"{message['index']}, worker has "
+                                f"{len(resident)} networks"
+                            )
+                        staged = (
+                            load_prepare(message["path"], int(message["index"])),
+                            str(message["path"]),
+                            int(message["index"]),
+                        )
+                    except Exception as prepare_error:  # noqa: BLE001
+                        staged = None
+                        error = str(prepare_error)
+                        LOGGER.warning(
+                            "serving worker %d: hot-load prepare of %s "
+                            "failed: %s",
+                            self.process_id, message.get("path"), error,
+                        )
+                    ack = {"type": MSG_ACK, "seq": message.get("seq")}
+                    if error is not None:
+                        ack["error"] = error
+                    _send_frame(self._sock, ack)
+                    continue
+                if kind == MSG_LOAD_ABORT:
+                    staged = None
+                    _send_frame(
+                        self._sock, {"type": MSG_ACK, "seq": message.get("seq")}
+                    )
+                    continue
+                if kind == MSG_LOAD_COMMIT:
+                    if staged is None or staged[2] != int(message["index"]):
+                        # protocol corruption — error-ack BEFORE anyone
+                        # enters the collective; the coordinator latches
+                        # the channel broken.
+                        _send_frame(
+                            self._sock,
+                            {
+                                "type": MSG_ACK,
+                                "seq": message.get("seq"),
+                                "error": (
+                                    f"commit for slot {message.get('index')} "
+                                    f"but staged is "
+                                    f"{None if staged is None else staged[2]}"
+                                ),
+                            },
+                        )
+                        raise MultiHostServingError(
+                            "hot-load commit without a matching prepare"
+                        )
+                    # ACK on RECEIPT, then enter the mesh placement — the
+                    # coordinator enters its own as soon as the acks land.
+                    _send_frame(
+                        self._sock, {"type": MSG_ACK, "seq": message.get("seq")}
+                    )
+                    staged_value, staged_path, staged_index = staged
+                    staged = None
+                    resident.append(
+                        load_commit(staged_value, staged_path, staged_index)
+                    )
+                    LOGGER.info(
+                        "serving worker %d: hot-loaded %s into slot %d",
+                        self.process_id, staged_path, staged_index,
+                    )
+                    continue
+                if kind == MSG_UNLOAD:
+                    index = int(message["index"])
+                    if 0 < index < len(resident):
+                        resident[index] = None  # params free with the ref
+                        LOGGER.info(
+                            "serving worker %d: dropped slot %d",
+                            self.process_id, index,
+                        )
+                    _send_frame(
+                        self._sock, {"type": MSG_ACK, "seq": message.get("seq")}
+                    )
+                    continue
                 if kind != MSG_DISPATCH:
                     raise MultiHostServingError(f"unexpected control message {message!r}")
                 # ACK on RECEIPT (before compute): the coordinator's ACK wait
                 # must never include device time.
                 _send_frame(self._sock, {"type": MSG_ACK, "seq": message.get("seq")})
-                network = networks[int(message["network"])]
+                network = resident[int(message["network"])]
                 # Enter the same program + the same replicate collective as
                 # the coordinator; the images are discarded here (the
                 # coordinator's copy feeds HTTP), but the allgather needs
@@ -617,6 +812,8 @@ def run_worker(
     process_id: int,
     recv_timeout_s: float = DEFAULT_WORKER_TIMEOUT_S,
     connect_timeout_s: float = 600.0,
+    load_prepare: Optional[Callable[[str, int], Any]] = None,
+    load_commit: Optional[Callable[[Any, str, int], Any]] = None,
 ) -> int:
     """Connect to the coordinator's control channel and serve until shutdown."""
     worker = ControlWorker(
@@ -625,4 +822,9 @@ def run_worker(
         network_fingerprint(networks),
         connect_timeout_s=connect_timeout_s,
     )
-    return worker.run(networks, recv_timeout_s=recv_timeout_s)
+    return worker.run(
+        networks,
+        recv_timeout_s=recv_timeout_s,
+        load_prepare=load_prepare,
+        load_commit=load_commit,
+    )

@@ -235,17 +235,35 @@ class SynthesisNetwork:
         mesh: Optional[Any] = None,
         device: Optional[Any] = None,
     ) -> "SynthesisNetwork":
-        params, config = load_generator(Path(path))
-        return cls(
-            params=params,
-            config=config,
-            path=Path(path),
+        return cls.from_staged(
+            cls.stage_pkl(path),
+            path,
             truncation_psi=truncation_psi,
             compute_dtype=compute_dtype,
             output_side_length=output_side_length,
             mesh=mesh,
             device=device,
         )
+
+    @classmethod
+    def stage_pkl(cls, path: Path) -> Tuple[Params, GeneratorConfig]:
+        """
+        The host-side half of `from_pkl`: parse the pickle into host arrays
+        with NO device placement. Pair with `from_staged`. The split exists
+        for multi-host hot rollout (serving/multihost.py): placing params
+        onto a process-spanning mesh is a collective every process must
+        enter together, so parse (fallible, per-host) and placement
+        (lockstep) cannot be one step there.
+        """
+        return load_generator(Path(path))
+
+    @classmethod
+    def from_staged(
+        cls, staged: Tuple[Params, GeneratorConfig], path: Path, **kwargs: Any
+    ) -> "SynthesisNetwork":
+        """Construct (and device-place) a network from `stage_pkl` output."""
+        params, config = staged
+        return cls(params=params, config=config, path=Path(path), **kwargs)
 
     @property
     def expected_vector_length(self) -> int:

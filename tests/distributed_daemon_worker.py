@@ -58,6 +58,7 @@ def main() -> None:
 
     if process_id == 0:
         from gance_tpu.serving import ServingClient, SynthesisDaemon
+        from gance_tpu.serving.multihost import MultiHostNetwork
 
         coordinator = ControlCoordinator(
             num_workers=num_processes - 1,
@@ -67,20 +68,54 @@ def main() -> None:
         )
         coordinator.accept(network_fingerprint(networks), timeout_s=300.0)
         proxies = wrap_networks_for_multihost(networks, coordinator)
-        with SynthesisDaemon(proxies, port=0, max_batch=8) as daemon:
+
+        def network_loader(path: str, index: int):
+            # Two-phase: parse locally, run prepare+commit on the worker,
+            # then from_staged enters the mesh-placement collective together
+            # with the worker's commit (a single-phase load deadlocks here —
+            # the placement is a cross-process collective).
+            staged = SynthesisNetwork.stage_pkl(Path(path))
+            coordinator.broadcast_load(path, index)
+            return MultiHostNetwork(
+                SynthesisNetwork.from_staged(staged, Path(path), mesh=mesh),
+                coordinator,
+                index,
+            )
+
+        with SynthesisDaemon(
+            proxies, port=0, max_batch=8,
+            network_loader=network_loader,
+            network_unloader=coordinator.broadcast_unload,
+        ) as daemon:
             client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=300.0)
             assert client.health()["ok"]
             out_z = client.synthesize(latents=np.load(workdir / "z.npy"))
             out_w = client.synthesize(dlatents=np.load(workdir / "w.npy"))
             np.save(workdir / "out_z.npy", out_z)
             np.save(workdir / "out_w.npy", out_w)
+            # hot rollout mid-serve: a REAL pickle loads onto the
+            # process-spanning mesh on every host, then serves
+            loaded = client.load_network(str(workdir / "net2.pkl"))
+            assert loaded["index"] == 1 and loaded["name"] == "net2", loaded
+            out_z2 = client.synthesize(
+                latents=np.load(workdir / "z.npy"), network="net2"
+            )
+            np.save(workdir / "out_z2.npy", out_z2)
+            assert client.unload_network("net2")["drained"] is True
         coordinator.shutdown()
         assert not coordinator.failed.is_set(), "control channel failed"
     else:
         served = run_worker(
-            networks, "127.0.0.1", control_port, process_id, recv_timeout_s=300.0
+            networks, "127.0.0.1", control_port, process_id,
+            recv_timeout_s=300.0,
+            load_prepare=lambda path, _i: SynthesisNetwork.stage_pkl(
+                Path(path)
+            ),
+            load_commit=lambda staged, path, _i: SynthesisNetwork.from_staged(
+                staged, Path(path), mesh=mesh
+            ),
         )
-        assert served == 2, f"worker mirrored {served} dispatches, expected 2"
+        assert served == 3, f"worker mirrored {served} dispatches, expected 3"
 
 
 if __name__ == "__main__":

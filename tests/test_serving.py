@@ -772,3 +772,147 @@ def test_drain_finishes_inflight_and_rejects_new():
         assert results["images"].shape == (2, 16, 16, 3)
         assert drain_outcome["idle"] is True
         assert daemon.batcher.live_requests() == 0
+
+
+# ---- zero-downtime model rollout (round 4g) ----
+
+
+def _fake_loader(path, _index=None, resolution=16):
+    fake = FakeSynthesisNetwork(resolution=resolution, expected_vector_length=32)
+    fake.path = Path(path)
+    return fake
+
+
+def test_hot_load_route_and_unload_single_host():
+    """/admin/load adds a resident network addressable by name/index with
+    zero restarts; /admin/unload retires it (new requests 400, name freed
+    for re-load), and network 0 refuses to unload."""
+    from gance_tpu.serving import ServingClient, ServingClientError
+
+    alpha = _fake_loader("/nets/alpha_net.pkl")
+    with SynthesisDaemon(
+        alpha, port=0, max_batch=8, max_delay_ms=0,
+        network_loader=lambda path, index: _fake_loader(path, index),
+    ) as daemon:
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}")
+        loaded = client.load_network("/nets/beta_net.pkl")
+        assert loaded == {
+            "index": 1, "name": "beta_net", "resolution": 16,
+            "vector_length": 32,
+        }
+        images = client.synthesize(
+            latents=np.zeros((2, 32), np.float32), network="beta_net"
+        )
+        assert images.shape == (2, 16, 16, 3)
+        health = client.health()
+        assert [n["name"] for n in health["networks"]] == ["alpha_net", "beta_net"]
+
+        gone = client.unload_network("beta_net")
+        assert gone == {"index": 1, "name": "beta_net", "drained": True}
+        # by index: explicit "unloaded"; by name: the name is FREED (that is
+        # how same-stem rollouts work), so it reads as unknown
+        with pytest.raises(ServingClientError) as info:
+            client.synthesize(latents=np.zeros((1, 32), np.float32), network=1)
+        assert info.value.status == 400
+        assert "unload" in info.value.message
+        with pytest.raises(ServingClientError) as info:
+            client.synthesize(
+                latents=np.zeros((1, 32), np.float32), network="beta_net"
+            )
+        assert info.value.status == 400
+        assert "unknown network" in info.value.message
+        assert daemon.batcher.networks[1] is None  # params reference dropped
+        health = client.health()
+        assert health["networks"][1] == {
+            "index": 1, "name": "beta_net", "retired": True,
+        }
+
+        # the name is free again: same-stem rollout = unload old, load new
+        reloaded = client.load_network("/nets/beta_net.pkl")
+        assert reloaded["index"] == 2 and reloaded["name"] == "beta_net"
+        images = client.synthesize(
+            latents=np.zeros((1, 32), np.float32), network="beta_net"
+        )
+        assert images.shape == (1, 16, 16, 3)
+
+        with pytest.raises(ServingClientError) as info:
+            client.unload_network(0)
+        assert info.value.status == 400
+        assert "identity" in info.value.message
+
+
+def test_hot_load_without_loader_is_501():
+    from gance_tpu.serving import ServingClient, ServingClientError
+
+    with SynthesisDaemon(
+        _fake_loader("/nets/alpha_net.pkl"), port=0, max_batch=8
+    ) as daemon:
+        with pytest.raises(ServingClientError) as info:
+            ServingClient(f"http://127.0.0.1:{daemon.port}").load_network("/x.pkl")
+        assert info.value.status == 501
+
+
+def test_unload_waits_for_inflight_requests():
+    """Retiring a network blocks until its in-flight requests resolve; the
+    HTTP edge refuses new requests for it the moment the unload starts."""
+    import time
+
+    from gance_tpu.serving import ServingClient, ServingClientError
+
+    release = threading.Event()
+
+    class _SlowFake(FakeSynthesisNetwork):
+        def device_images_generic(self, batch):
+            release.wait(timeout=30)
+            return self._render(np.asarray(batch))
+
+    def loader(path, _index):
+        fake = _SlowFake(resolution=16, expected_vector_length=32)
+        fake.path = Path(path)
+        return fake
+
+    with SynthesisDaemon(
+        _fake_loader("/nets/alpha_net.pkl"), port=0, max_batch=8,
+        max_delay_ms=0, network_loader=loader,
+    ) as daemon:
+        url = f"http://127.0.0.1:{daemon.port}"
+        client = ServingClient(url, timeout_s=60)
+        assert client.load_network("/nets/slow_net.pkl")["index"] == 1
+
+        results = {}
+
+        def submit():
+            results["images"] = client.synthesize(
+                latents=np.zeros((2, 32), np.float32), network=1
+            )
+
+        inflight = threading.Thread(target=submit)
+        inflight.start()
+        for _ in range(200):
+            if daemon.batcher.live_requests():
+                break
+            time.sleep(0.02)
+
+        unload_result = {}
+        unloader = threading.Thread(
+            target=lambda: unload_result.setdefault(
+                "reply", ServingClient(url, timeout_s=60).unload_network(1)
+            )
+        )
+        unloader.start()
+        for _ in range(200):  # until the edge marks it retired
+            if 1 in daemon._retired:
+                break
+            time.sleep(0.01)
+        with pytest.raises(ServingClientError) as info:
+            ServingClient(url, timeout_s=10).synthesize(
+                latents=np.zeros((1, 32), np.float32), network=1
+            )
+        assert info.value.status == 400
+
+        release.set()
+        inflight.join(timeout=20)
+        unloader.join(timeout=20)
+        assert results["images"].shape == (2, 16, 16, 3)
+        assert unload_result["reply"]["drained"] is True
+        assert daemon.batcher.networks[1] is None

@@ -286,6 +286,158 @@ def test_daemon_over_multihost_proxies():
     coordinator.close()
 
 
+def test_hot_rollout_multihost():
+    """Zero-downtime model rollout across hosts: /admin/load runs the
+    two-phase prepare (completion-acked parse) + commit (receipt-acked
+    placement) so workers hold the new slot before any request can route to
+    it; dispatches to the new network mirror on the worker's own copy;
+    /admin/unload drops the slot everywhere."""
+    from gance_tpu.serving import (
+        MultiHostNetwork,
+        ServingClient,
+        ServingClientError,
+        SynthesisDaemon,
+    )
+
+    coordinator_net = _fake()
+    coordinator_net.path = Path("/nets/alpha_net.pkl")
+    worker_net = _RecordingFake(resolution=16, expected_vector_length=VECTOR_LENGTH)
+    worker_net.path = Path("/nets/alpha_net.pkl")
+    worker_loads = []
+
+    def worker_prepare(path, index):
+        worker_loads.append(("prepare", path, index))
+        return {"parsed": path}
+
+    def worker_commit(staged, path, index):
+        assert staged == {"parsed": path}
+        worker_loads.append(("commit", path, index))
+        loaded = _RecordingFake(
+            resolution=16, expected_vector_length=VECTOR_LENGTH
+        )
+        loaded.path = Path(path)
+        return loaded
+
+    coordinator = ControlCoordinator(
+        num_workers=1, bind_host="127.0.0.1", port=0, heartbeat_interval_s=0.2
+    )
+    result = {}
+
+    def run():
+        try:
+            result["served"] = run_worker(
+                [worker_net], "127.0.0.1", coordinator.port, 1,
+                recv_timeout_s=30.0, connect_timeout_s=30.0,
+                load_prepare=worker_prepare, load_commit=worker_commit,
+            )
+        except BaseException as error:  # noqa: BLE001
+            result["error"] = error
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    coordinator.accept(network_fingerprint([coordinator_net]), timeout_s=30.0)
+    proxies = wrap_networks_for_multihost([coordinator_net], coordinator)
+
+    def network_loader(path, index):
+        coordinator.broadcast_load(path, index)
+        loaded = _fake()
+        loaded.path = Path(path)
+        return MultiHostNetwork(loaded, coordinator, index)
+
+    with SynthesisDaemon(
+        proxies, port=0, max_batch=8, max_delay_ms=0,
+        network_loader=network_loader,
+        network_unloader=coordinator.broadcast_unload,
+    ) as daemon:
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=30.0)
+        loaded = client.load_network("/nets/beta_net.pkl")
+        assert loaded["index"] == 1 and loaded["name"] == "beta_net"
+        assert worker_loads == [
+            ("prepare", "/nets/beta_net.pkl", 1),
+            ("commit", "/nets/beta_net.pkl", 1),
+        ]
+
+        images = client.synthesize(
+            latents=np.zeros((2, VECTOR_LENGTH), np.float32), network="beta_net"
+        )
+        assert images.shape == (2, 16, 16, 3)
+
+        reply = client.unload_network("beta_net")
+        assert reply["drained"] is True
+        with pytest.raises(ServingClientError) as info:
+            client.synthesize(
+                latents=np.zeros((1, VECTOR_LENGTH), np.float32), network=1
+            )
+        assert info.value.status == 400
+    coordinator.shutdown()
+    thread.join(timeout=10)
+    # one dispatch total (to the hot-loaded net), mirrored on the worker copy
+    assert result.get("served") == 1, result
+    assert not coordinator.failed.is_set()
+
+
+def test_worker_prepare_failure_aborts_rollout_and_serving_survives():
+    """A worker that cannot parse the pickle fails ONLY the rollout: prepare
+    acks the error, the coordinator broadcasts an abort, /admin/load returns
+    500 — and the channel stays healthy (prepare is host-side, nothing
+    diverged), so existing networks keep serving and shutdown is clean."""
+    from gance_tpu.serving import (
+        MultiHostNetwork,
+        ServingClient,
+        ServingClientError,
+        SynthesisDaemon,
+    )
+
+    coordinator_net = _fake()
+    coordinator = ControlCoordinator(
+        num_workers=1, bind_host="127.0.0.1", port=0, ack_timeout_s=5.0
+    )
+    result = {}
+
+    def run():
+        try:
+            result["served"] = run_worker(
+                [_fake()], "127.0.0.1", coordinator.port, 1,
+                recv_timeout_s=30.0, connect_timeout_s=30.0,
+                load_prepare=lambda path, index: (_ for _ in ()).throw(
+                    FileNotFoundError(f"no such pickle: {path}")
+                ),
+                load_commit=lambda staged, path, index: _fake(),
+            )
+        except BaseException as error:  # noqa: BLE001
+            result["error"] = error
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    coordinator.accept(network_fingerprint([coordinator_net]), timeout_s=30.0)
+    proxies = wrap_networks_for_multihost([coordinator_net], coordinator)
+
+    def network_loader(path, index):
+        coordinator.broadcast_load(path, index)
+        return MultiHostNetwork(_fake(), coordinator, index)
+
+    with SynthesisDaemon(
+        proxies, port=0, max_batch=8, max_delay_ms=0,
+        network_loader=network_loader,
+    ) as daemon:
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=30.0)
+        with pytest.raises(ServingClientError) as info:
+            client.load_network("/nets/missing_net.pkl")
+        assert info.value.status == 500
+        assert "no such pickle" in info.value.message
+        # the rollout failed; the FLEET did not
+        assert not coordinator.failed.is_set()
+        assert len(daemon.networks) == 1  # no half-loaded slot
+        images = client.synthesize(
+            latents=np.zeros((2, VECTOR_LENGTH), np.float32)
+        )
+        assert images.shape == (2, 16, 16, 3)
+    coordinator.shutdown()
+    thread.join(timeout=10)
+    assert result.get("served") == 1, result
+    assert not coordinator.failed.is_set()
+
+
 def test_serve_cli_rejects_partial_dist_triple(tmp_path):
     """--dist-* is all-or-none on the serve CLI, same contract as the render
     CLIs (cli/common.py maybe_initialize_distributed)."""
@@ -326,6 +478,9 @@ def test_daemon_two_process_matches_single_process(tmp_path):
     )
     params = init_generator_params(jax.random.PRNGKey(0), model)
     save_generator_pickle(params, tmp_path / "net.pkl")
+    save_generator_pickle(  # hot-rollout target, loaded mid-serve
+        init_generator_params(jax.random.PRNGKey(1), model), tmp_path / "net2.pkl"
+    )
     rng = np.random.RandomState(11)
     z = rng.randn(5, 16).astype(np.float32)
     w = rng.randn(3, int(model.num_style_rows), 16).astype(np.float32)
@@ -377,12 +532,15 @@ def test_daemon_two_process_matches_single_process(tmp_path):
     from gance_tpu.parallel.mesh import create_mesh
     from gance_tpu.synthesis.runtime import SynthesisNetwork
 
-    network = SynthesisNetwork.from_pkl(
-        tmp_path / "net.pkl", mesh=create_mesh(data_parallel=8)
-    )
+    mesh = create_mesh(data_parallel=8)
+    network = SynthesisNetwork.from_pkl(tmp_path / "net.pkl", mesh=mesh)
     np.testing.assert_array_equal(
         np.load(tmp_path / "out_z.npy"), network.images_from_vectors(z)
     )
     np.testing.assert_array_equal(
         np.load(tmp_path / "out_w.npy"), network.images_from_matrices(w)
+    )
+    hot = SynthesisNetwork.from_pkl(tmp_path / "net2.pkl", mesh=mesh)
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "out_z2.npy"), hot.images_from_vectors(z)
     )
