@@ -86,6 +86,12 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
     "workers connect to the --dist-coordinator host). Default: the "
     "jax.distributed coordinator port + 1000.",
 )
+@click.option(
+    "--control-bind", type=str, default=None,
+    help="Interface the control channel listens on. Default: the "
+    "--dist-coordinator host (NOT 0.0.0.0 — the channel should face the "
+    "worker fleet only; set GANCE_TPU_SERVE_TOKEN on every host too).",
+)
 @click.option("--log", "log_path", type=click.Path(dir_okay=False), default=None)
 @click.option(
     "--warmup", type=click.Choice(["all", "max", "none"]), default="all",
@@ -113,6 +119,7 @@ def cli(  # pylint: disable=too-many-arguments
     dist_num_processes: Optional[int],
     dist_process_id: Optional[int],
     control_port: Optional[int],
+    control_bind: Optional[str],
     log_path: Optional[str],
     warmup: str,
 ) -> None:
@@ -259,7 +266,15 @@ def cli(  # pylint: disable=too-many-arguments
                 raise click.ClickException(str(error)) from error
             return
         coordinator = ControlCoordinator(
-            num_workers=jax.process_count() - 1, port=resolved_control_port
+            num_workers=jax.process_count() - 1,
+            # Listen on the coordinator's own interface, not every interface:
+            # this channel speaks authenticated-but-pickled frames and should
+            # face the worker fleet only (override for exotic topologies).
+            bind_host=(
+                control_bind if control_bind is not None
+                else (coordinator_host or "127.0.0.1")
+            ),
+            port=resolved_control_port,
         )
         try:
             coordinator.accept(network_fingerprint(networks))
@@ -277,9 +292,20 @@ def cli(  # pylint: disable=too-many-arguments
             # together with them.
             staged = SynthesisNetwork.stage_pkl(Path(path))
             coordinator.broadcast_load(path, index)
-            return MultiHostNetwork(
-                commit_network(staged, path), coordinator, index
-            )
+            try:
+                network = commit_network(staged, path)
+            except BaseException as error:
+                # The workers committed slot `index` and may be parked inside
+                # the placement collective this process just abandoned; the
+                # fleets' slot tables have diverged with no recovery protocol.
+                # Latch the channel broken (stops serving loudly) rather than
+                # leave every future rollout failing with cryptic slot skew.
+                coordinator.fail(
+                    f"coordinator-side commit of {path} into slot {index} "
+                    f"failed after workers committed: {error}"
+                )
+                raise
+            return MultiHostNetwork(network, coordinator, index)
 
         def network_unloader(index: int) -> None:
             coordinator.broadcast_unload(index)
@@ -287,8 +313,25 @@ def cli(  # pylint: disable=too-many-arguments
     else:
         coordinator = None
         serving_networks = networks
-        network_loader = lambda path, _index: build_network(path)  # noqa: E731
         network_unloader = None
+
+        class _TwoPhaseLoader:
+            # The daemon runs `prepare` (the slow host-side pickle parse)
+            # OUTSIDE the batcher's device-op lock, so single-host serving
+            # keeps dispatching through most of a hot rollout; only `commit`
+            # (the device placement) pauses dispatches.
+            @staticmethod
+            def prepare(path: str, _index: int):
+                return SynthesisNetwork.stage_pkl(Path(path))
+
+            @staticmethod
+            def commit(staged, path: str, _index: int) -> SynthesisNetwork:
+                return commit_network(staged, path)
+
+            def __call__(self, path: str, _index: int) -> SynthesisNetwork:
+                return build_network(path)
+
+        network_loader = _TwoPhaseLoader()
 
     with SynthesisDaemon(
         serving_networks, host=host, port=port,

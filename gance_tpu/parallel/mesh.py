@@ -179,4 +179,4 @@ def replicate_for_fetch(mesh: Mesh):
     D2H copy that any thread may do later — which lets pipelines overlap
     device compute with host egress without reordering collectives.
     """
-    return jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+    return jax.jit(lambda x: x, out_shardings=replicated(mesh))

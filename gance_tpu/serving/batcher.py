@@ -172,8 +172,6 @@ class DynamicBatcher:
                 f"network_index {network_index} out of range "
                 f"(serving {len(self.networks)} networks)"
             )
-        if self.networks[network_index] is None:
-            raise ValueError(f"network {network_index} has been unloaded")
         rows = np.asarray(batch, np.float32)
         if rows.ndim == 2:
             lane = (int(network_index), LANE_VECTORS) + rows.shape[1:]
@@ -197,6 +195,11 @@ class DynamicBatcher:
         with self._lock:
             if self._closed:
                 raise RuntimeError("batcher is closed")
+            # Checked under the SAME lock retire_network frees slots under:
+            # outside it, a request could slip into the queue for a slot
+            # retired between check and append and dispatch against None.
+            if self.networks[network_index] is None:
+                raise ValueError(f"network {network_index} has been unloaded")
             self._pending.append(request)
             self._live.add(request)
             self._net_live[lane[0]] += 1

@@ -198,12 +198,27 @@ def _prometheus_metrics(daemon: "SynthesisDaemon") -> str:
             "# HELP gance_serving_network_frames_total Frames per resident network"
         )
         lines.append("# TYPE gance_serving_network_frames_total counter")
-        for index, count in enumerate(frames_by_network):
-            name = daemon.network_names[index]
+        # zip, not an index loop: during a hot load the batcher's counter list
+        # is extended before daemon.network_names, so a concurrent scrape can
+        # see one more counter than names — the unnamed tail is dropped
+        # rather than crashing the scrape.
+        for name, count in zip(list(daemon.network_names), frames_by_network):
             lines.append(
-                f'gance_serving_network_frames_total{{network="{name}"}} {count}'
+                f'gance_serving_network_frames_total{{network="{_escape_label(name)}"}} '
+                f"{count}"
             )
     return "\n".join(lines) + "\n"
+
+
+def _escape_label(value: str) -> str:
+    """Prometheus exposition-format label escaping (a pickle stem with a
+    quote or backslash must not invalidate the whole scrape)."""
+    return (
+        str(value)
+        .replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+    )
 
 
 class SynthesisDaemon:
@@ -356,14 +371,17 @@ class SynthesisDaemon:
                     self._reply_json(503, {"error": "daemon is draining"})
                     return
                 try:
-                    length = int(self.headers.get("Content-Length", "0"))
-                    if length <= 0 or length > MAX_BODY_BYTES:
-                        raise ServingError("missing or oversized request body")
-                    payload = json.loads(self.rfile.read(length))
+                    payload = self._read_json_body()
                     index = daemon.resolve_network_index(payload)
+                    # Snapshot the object: a concurrent /admin/unload may
+                    # None the slot between resolve and here (submit's own
+                    # locked check is the authoritative gate).
+                    network = daemon.networks[index]
+                    if network is None:
+                        raise ServingError(f"network {index} has been unloaded")
                     rows = _rows_from_request(
                         payload,
-                        daemon.networks[index].expected_vector_length,
+                        network.expected_vector_length,
                         daemon.frame_caps[index],
                         style_rows=daemon.style_rows_by_network[index],
                     )
@@ -464,9 +482,21 @@ class SynthesisDaemon:
             raise ServingError("this daemon has no network loader")
         with self._admin_lock:
             index = len(self.networks)
-            network = self.batcher.run_exclusive(
-                lambda: self.network_loader(path, index)
-            )
+            prepare = getattr(self.network_loader, "prepare", None)
+            commit = getattr(self.network_loader, "commit", None)
+            if prepare is not None and commit is not None:
+                # Two-phase loader (single-host path): the host-side pickle
+                # parse — the slow part, seconds to minutes — runs OUTSIDE
+                # the device-op lock so serving continues through it; only
+                # the device placement pauses dispatches.
+                staged = prepare(path, index)
+                network = self.batcher.run_exclusive(
+                    lambda: commit(staged, path, index)
+                )
+            else:
+                network = self.batcher.run_exclusive(
+                    lambda: self.network_loader(path, index)
+                )
             batcher_index = self.batcher.add_network(network)
             if batcher_index != index:  # only possible via API misuse
                 raise RuntimeError(
@@ -498,22 +528,51 @@ class SynthesisDaemon:
             "vector_length": int(network.expected_vector_length),
         }
 
+    def _retired_unfreed_index(self, selector: Any) -> Optional[int]:
+        """A slot that was retired (edge stopped routing) but whose drain
+        timed out, so its params were never freed — /admin/unload on it is a
+        RETRY of the drain, not an error. Name lookup scans all slots here
+        because the live name map no longer carries retired names."""
+        retryable = {
+            index for index in self._retired if self.networks[index] is not None
+        }
+        if isinstance(selector, bool):
+            return None
+        if isinstance(selector, int):
+            return selector if selector in retryable else None
+        if isinstance(selector, str):
+            by_name = [
+                index for index in retryable
+                if self.network_names[index] == selector
+            ]
+            if len(by_name) == 1:
+                return by_name[0]
+            if selector.isdigit() and int(selector) in retryable:
+                return int(selector)
+        return None
+
     def unload_network(
         self, selector: Any, timeout_s: float = 600.0
     ) -> Dict[str, Any]:
         """Retire a resident network (POST /admin/unload): new requests are
         refused immediately, in-flight ones finish, then the slot and its
         device memory are dropped. Network 0 (the daemon's identity) cannot
-        be unloaded."""
+        be unloaded. If the drain timed out (drained=false), calling unload
+        again on the same slot RETRIES the drain — the slot is never leaked
+        permanently."""
         with self._admin_lock:
-            index = self.resolve_network_index({"network": selector})
-            if index == 0:
-                raise ServingError(
-                    "network 0 is the daemon's identity and cannot be "
-                    "unloaded; unload is for hot-swapped additions"
-                )
-            self._retired.add(index)  # the HTTP edge stops routing NOW
-            self._rebuild_name_map()
+            retry_index = self._retired_unfreed_index(selector)
+            if retry_index is not None:
+                index = retry_index
+            else:
+                index = self.resolve_network_index({"network": selector})
+                if index == 0:
+                    raise ServingError(
+                        "network 0 is the daemon's identity and cannot be "
+                        "unloaded; unload is for hot-swapped additions"
+                    )
+                self._retired.add(index)  # the HTTP edge stops routing NOW
+                self._rebuild_name_map()
         drained = self.batcher.retire_network(index, timeout_s=timeout_s)
         if drained:
             if self.network_unloader is not None:

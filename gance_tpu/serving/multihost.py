@@ -62,6 +62,9 @@ three workloads — training and projection run multi-host since round 3,
 offline serving since round 4, and this brings the ONLINE path.
 """
 
+import hmac
+import hashlib
+import io
 import os
 import pickle
 import socket
@@ -80,6 +83,103 @@ PROTOCOL_VERSION = 1
 # ~= 1.8 MB worst case); anything near the cap is a protocol bug, not a batch.
 _FRAME_HEADER = struct.Struct("!Q")
 MAX_FRAME_BYTES = 256 * 1024 * 1024
+
+# ---- control-channel authentication ----
+# Frames are pickles, and unpickling attacker bytes is remote code execution —
+# so no frame is ever parsed from an unauthenticated peer. Every connection
+# starts with a MUTUAL challenge-response handshake keyed on the shared secret
+# in GANCE_TPU_SERVE_TOKEN (set the same value on every host): the coordinator
+# sends a magic + nonce, the worker proves knowledge of the token over that
+# nonce and issues its own nonce, the coordinator proves back. Raw fixed-size
+# bytes only — a scanner or stray client is dropped before pickle ever runs.
+# On top of that, frames decode through a restricted unpickler that admits
+# only the types descriptors actually carry (dict/str/int/ndarray).
+_AUTH_MAGIC = b"GTPU1"
+_AUTH_NONCE_BYTES = 32
+_AUTH_DIGEST_BYTES = 32  # sha256
+_AUTH_HANDSHAKE_TIMEOUT_S = 10.0
+
+
+def _control_token() -> bytes:
+    token = os.environ.get("GANCE_TPU_SERVE_TOKEN", "")
+    return token.encode()
+
+
+def _auth_digest(token: bytes, role: bytes, nonce: bytes) -> bytes:
+    return hmac.new(token, b"gance-serve-auth:" + role + nonce, hashlib.sha256).digest()
+
+
+def authenticate_as_coordinator(sock: socket.socket) -> bool:
+    """Coordinator half of the mutual handshake. Returns False (peer is not
+    one of ours) instead of raising on garbage — accept() keeps listening."""
+    token = _control_token()
+    nonce = os.urandom(_AUTH_NONCE_BYTES)
+    try:
+        sock.sendall(_AUTH_MAGIC + nonce)
+        reply = _recv_exact(sock, _AUTH_DIGEST_BYTES + _AUTH_NONCE_BYTES)
+    except (OSError, MultiHostServingError):
+        return False
+    digest, worker_nonce = (
+        reply[:_AUTH_DIGEST_BYTES], reply[_AUTH_DIGEST_BYTES:]
+    )
+    if not hmac.compare_digest(digest, _auth_digest(token, b"worker", nonce)):
+        return False
+    try:
+        sock.sendall(_auth_digest(token, b"coordinator", worker_nonce))
+    except OSError:
+        return False
+    return True
+
+
+def authenticate_as_worker(sock: socket.socket) -> None:
+    """Worker half: answer the coordinator's challenge, then verify the
+    coordinator knows the token too (a rogue listener feeding pickle frames
+    to a worker would be code execution on the worker)."""
+    token = _control_token()
+    greeting = _recv_exact(sock, len(_AUTH_MAGIC) + _AUTH_NONCE_BYTES)
+    if greeting[: len(_AUTH_MAGIC)] != _AUTH_MAGIC:
+        raise MultiHostServingError(
+            "peer did not speak the serving control protocol"
+        )
+    nonce = greeting[len(_AUTH_MAGIC):]
+    worker_nonce = os.urandom(_AUTH_NONCE_BYTES)
+    sock.sendall(_auth_digest(token, b"worker", nonce) + worker_nonce)
+    proof = _recv_exact(sock, _AUTH_DIGEST_BYTES)
+    if not hmac.compare_digest(
+        proof, _auth_digest(token, b"coordinator", worker_nonce)
+    ):
+        raise MultiHostServingError(
+            "coordinator failed authentication (GANCE_TPU_SERVE_TOKEN "
+            "mismatch between hosts?)"
+        )
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Defense in depth behind the HMAC handshake: control frames carry only
+    dict/str/int/bytes/ndarray, so only numpy's array-reconstruction globals
+    resolve; anything else (os.system, subprocess, __reduce__ payloads) is
+    refused at name-resolution time."""
+
+    _ALLOWED = {
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy._core.multiarray", "scalar"),
+        ("numpy.core.numeric", "_frombuffer"),
+        ("numpy._core.numeric", "_frombuffer"),
+        ("numpy", "ndarray"),
+        ("numpy", "dtype"),
+        ("numpy.dtypes", "Float32DType"),
+        ("numpy.dtypes", "Float64DType"),
+        ("numpy.dtypes", "Int64DType"),
+    }
+
+    def find_class(self, module: str, name: str) -> Any:
+        if (module, name) in self._ALLOWED:
+            return super().find_class(module, name)
+        raise MultiHostServingError(
+            f"control frame referenced forbidden global {module}.{name}"
+        )
 
 MSG_HELLO = "hello"
 MSG_ACK = "ack"
@@ -151,7 +251,7 @@ def _recv_frame(sock: socket.socket) -> Any:
     (length,) = _FRAME_HEADER.unpack(_recv_exact(sock, _FRAME_HEADER.size))
     if length > MAX_FRAME_BYTES:
         raise MultiHostServingError(f"oversized control frame ({length} bytes)")
-    return pickle.loads(_recv_exact(sock, length))
+    return _RestrictedUnpickler(io.BytesIO(_recv_exact(sock, length))).load()
 
 
 def _replicate_or_fetch(network: Any, images: Any) -> Any:
@@ -228,7 +328,16 @@ class ControlCoordinator:
         self.port = self._listener.getsockname()[1]
         self._workers: List[Tuple[int, socket.socket]] = []
         self._lock = threading.Lock()
+        # Socket WRITES are serialized separately from the broadcast-operation
+        # lock so the heartbeat thread can keep beating while a long
+        # completion-acked broadcast (hot-load prepare: up to minutes of
+        # pickle parsing) holds `_lock` — otherwise workers that finished
+        # their prepare early would see idle-timeout silence and kill the
+        # whole deployment (frames stay atomic; worker loops skip heartbeats
+        # wherever they land in the stream).
+        self._send_lock = threading.Lock()
         self._seq = 0
+        self._seq_lock = threading.Lock()
         self.failed = threading.Event()
         self._failure: Optional[str] = None
         self._closed = False
@@ -240,7 +349,17 @@ class ControlCoordinator:
     def accept(
         self, fingerprint: List[Tuple], timeout_s: float = 600.0
     ) -> "ControlCoordinator":
-        """Wait for every worker's hello; verify protocol + network list."""
+        """Wait for every worker's hello; verify auth + protocol + network
+        list. Stray connections (scanners, LB health probes, bad tokens,
+        malformed hellos) are dropped and the listener keeps waiting for the
+        remaining real workers — only a fingerprint mismatch from an
+        AUTHENTICATED worker is fatal (a misconfigured fleet, not noise)."""
+        if not _control_token():
+            LOGGER.warning(
+                "GANCE_TPU_SERVE_TOKEN is unset: the serving control channel "
+                "authenticates with an empty shared secret. Set the same "
+                "token on every host for any non-loopback deployment."
+            )
         self._listener.settimeout(timeout_s)
         deadline = time.monotonic() + timeout_s
         try:
@@ -259,18 +378,38 @@ class ControlCoordinator:
                         f"only {len(self._workers)}/{self.num_workers} workers "
                         f"connected within {timeout_s:g}s"
                     ) from error
-                sock.settimeout(self.ack_timeout_s)
+                # The handshake gets a short bound of its own so one stalled
+                # connection cannot eat the whole accept window.
+                sock.settimeout(min(_AUTH_HANDSHAKE_TIMEOUT_S, remaining))
                 sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-                hello = _recv_frame(sock)
+                if not authenticate_as_coordinator(sock):
+                    LOGGER.warning(
+                        "serving control channel: dropped unauthenticated "
+                        "connection from %s", address,
+                    )
+                    sock.close()
+                    continue
+                try:
+                    hello = _recv_frame(sock)
+                except (OSError, MultiHostServingError) as error:
+                    LOGGER.warning(
+                        "serving control channel: dropped connection from %s "
+                        "(no valid hello: %s)", address, error,
+                    )
+                    sock.close()
+                    continue
                 if (
                     not isinstance(hello, dict)
                     or hello.get("type") != MSG_HELLO
                     or hello.get("protocol") != PROTOCOL_VERSION
                 ):
-                    sock.close()
-                    raise MultiHostServingError(
-                        f"bad hello from {address}: {hello!r}"
+                    LOGGER.warning(
+                        "serving control channel: dropped connection from %s "
+                        "(bad hello: %r)", address, hello,
                     )
+                    sock.close()
+                    continue
+                sock.settimeout(self.ack_timeout_s)
                 if hello.get("fingerprint") != fingerprint:
                     problem = (
                         f"worker {hello.get('process_id')} serves different "
@@ -311,7 +450,7 @@ class ControlCoordinator:
                 message = {"type": MSG_SHUTDOWN, "seq": self._next_seq()}
                 for _pid, sock in self._workers:
                     try:
-                        _send_frame(sock, message)
+                        self._send_serialized(sock, message)
                     except OSError:
                         pass  # a dying worker must not block shutdown
                 for _pid, sock in self._workers:
@@ -370,7 +509,16 @@ class ControlCoordinator:
         mesh placement; when this method returns, the CALLER must construct
         the coordinator's own copy (entering the same collective) before
         issuing any further device work — the daemon guarantees that by
-        running loads under the batcher's device-op lock.
+        running loads under the batcher's device-op lock. If that
+        coordinator-side construction FAILS, the caller must fail() the
+        channel: workers committed a slot the coordinator doesn't hold (and
+        may be parked inside the abandoned collective) — unrecoverable.
+
+        While PREPARE waits (up to minutes of pickle parsing), dispatches
+        queue behind this broadcast's lock — multi-host serving pauses during
+        a rollout's parse phase because each worker's recv loop is busy
+        parsing and could not ack dispatches anyway. Heartbeats keep flowing
+        (separate send path), so workers that finish early stay alive.
         """
         with self._lock:
             errors = self._broadcast_acked_locked(
@@ -405,14 +553,32 @@ class ControlCoordinator:
     # ---- internals ----
 
     def _next_seq(self) -> int:
-        self._seq += 1
-        return self._seq
+        with self._seq_lock:
+            self._seq += 1
+            return self._seq
+
+    def _send_serialized(self, sock: socket.socket, payload: Any) -> None:
+        """All socket writes go through here: the heartbeat thread and the
+        broadcast path write concurrently, and interleaved frame bytes would
+        corrupt the stream."""
+        with self._send_lock:
+            _send_frame(sock, payload)
 
     def _fail(self, reason: str) -> None:
         if self._failure is None:
             self._failure = reason
         self.failed.set()
         self._stop_heartbeat.set()
+
+    def fail(self, reason: str) -> None:
+        """Latch the channel broken from OUTSIDE (e.g. the coordinator's own
+        half of a hot-load commit failed after the workers were told to
+        commit: the fleets' slot tables would silently diverge, and peers may
+        be parked inside the abandoned placement collective — no recovery
+        protocol exists, so serving must stop loudly)."""
+        with self._lock:
+            self._fail(reason)
+            self._close_sockets_locked()
 
     def _check_usable_locked(self) -> None:
         if self.failed.is_set():
@@ -451,7 +617,7 @@ class ControlCoordinator:
         errors: List[Tuple[int, str]] = []
         for pid, sock in self._workers:
             try:
-                _send_frame(sock, message)
+                self._send_serialized(sock, message)
             except OSError as error:
                 self._fail(f"send to worker {pid} failed: {error}")
                 self._close_sockets_locked()
@@ -496,25 +662,25 @@ class ControlCoordinator:
     def _heartbeat_loop(self) -> None:
         # Fire-and-forget (no ACK): its only job is to keep idle workers'
         # recv timeouts from firing, so workers can treat control-channel
-        # silence as a dead coordinator. Never blocks a dispatch: skips the
-        # beat when the lock is held (the dispatch itself is the liveness
-        # signal then).
+        # silence as a dead coordinator. Deliberately does NOT take the
+        # broadcast lock: a hot-load PREPARE broadcast can hold it for
+        # minutes (pickle parsing on the slowest host) and the workers that
+        # acked early are back in recv counting silence — the beat must keep
+        # flowing exactly then. Writes are frame-atomic via _send_serialized;
+        # workers skip BEAT frames wherever they land in the stream.
         while not self._stop_heartbeat.wait(self.heartbeat_interval_s):
-            if not self._lock.acquire(blocking=False):
-                continue
-            try:
-                if self._closed or self.failed.is_set():
+            if self._closed or self.failed.is_set():
+                return
+            message = {"type": MSG_HEARTBEAT, "seq": self._next_seq()}
+            for pid, sock in list(self._workers):
+                try:
+                    self._send_serialized(sock, message)
+                except OSError as error:
+                    # Latch only — closing sockets here could race a
+                    # broadcast mid-ack-wait; the broadcast path (or the
+                    # CLI's failed-event watch) performs the close.
+                    self._fail(f"heartbeat to worker {pid} failed: {error}")
                     return
-                message = {"type": MSG_HEARTBEAT, "seq": self._next_seq()}
-                for pid, sock in self._workers:
-                    try:
-                        _send_frame(sock, message)
-                    except OSError as error:
-                        self._fail(f"heartbeat to worker {pid} failed: {error}")
-                        self._close_sockets_locked()
-                        return
-            finally:
-                self._lock.release()
 
 
 class MultiHostNetwork:
@@ -601,21 +767,29 @@ class ControlWorker:
     ) -> None:
         self.process_id = int(process_id)
         deadline = time.monotonic() + connect_timeout_s
-        last_error: Optional[Exception] = None
         while True:
             try:
                 self._sock = socket.create_connection(address, timeout=10.0)
+                self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                # Mutual auth precedes ANY pickle frame in either direction
+                # (see the authenticate_* commentary up top). The TCP connect
+                # can succeed (listener backlog) before the coordinator calls
+                # accept(), so a handshake TIMEOUT retries like a refused
+                # connect; an auth FAILURE (bad magic, token mismatch) raises.
+                self._sock.settimeout(_AUTH_HANDSHAKE_TIMEOUT_S)
+                authenticate_as_worker(self._sock)
                 break
-            except OSError as error:
-                last_error = error
+            except OSError as error:  # includes handshake timeouts
+                try:
+                    self._sock.close()
+                except (OSError, AttributeError):
+                    pass
                 if time.monotonic() >= deadline:
                     raise MultiHostServingError(
                         f"could not reach the serving coordinator at "
                         f"{address}: {error}"
                     ) from error
                 time.sleep(0.5)
-        del last_error
-        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         _send_frame(
             self._sock,
             {
@@ -770,12 +944,31 @@ class ControlWorker:
                     continue
                 if kind == MSG_UNLOAD:
                     index = int(message["index"])
-                    if 0 < index < len(resident):
-                        resident[index] = None  # params free with the ref
-                        LOGGER.info(
-                            "serving worker %d: dropped slot %d",
-                            self.process_id, index,
+                    if not 0 < index < len(resident):
+                        # Slot tables diverged (the daemon never unloads slot
+                        # 0 and never references a slot it didn't load):
+                        # error-ack so the coordinator latches the channel
+                        # broken instead of silently keeping params this
+                        # host was told to free.
+                        _send_frame(
+                            self._sock,
+                            {
+                                "type": MSG_ACK,
+                                "seq": message.get("seq"),
+                                "error": (
+                                    f"unload slot {index} out of range "
+                                    f"(worker has {len(resident)} slots)"
+                                ),
+                            },
                         )
+                        raise MultiHostServingError(
+                            f"unload for unknown slot {index}"
+                        )
+                    resident[index] = None  # params free with the ref
+                    LOGGER.info(
+                        "serving worker %d: dropped slot %d",
+                        self.process_id, index,
+                    )
                     _send_frame(
                         self._sock, {"type": MSG_ACK, "seq": message.get("seq")}
                     )

@@ -916,3 +916,138 @@ def test_unload_waits_for_inflight_requests():
         assert results["images"].shape == (2, 16, 16, 3)
         assert unload_result["reply"]["drained"] is True
         assert daemon.batcher.networks[1] is None
+
+
+def test_unload_retry_after_drain_timeout():
+    """A drain timeout must not leak the slot forever: the edge stays closed
+    (no new routing), and a SECOND /admin/unload retries the drain instead of
+    400ing — once in-flight work resolves, the retry frees the slot and
+    notifies the unloader exactly once."""
+    release = threading.Event()
+
+    class _SlowFake(FakeSynthesisNetwork):
+        def device_images_generic(self, batch):
+            release.wait(timeout=30)
+            return self._render(np.asarray(batch))
+
+    def loader(path, _index):
+        fake = _SlowFake(resolution=16, expected_vector_length=32)
+        fake.path = Path(path)
+        return fake
+
+    unloads = []
+    with SynthesisDaemon(
+        _fake_loader("/nets/alpha_net.pkl"), port=0, max_batch=8,
+        max_delay_ms=0, network_loader=loader,
+        network_unloader=unloads.append,
+    ) as daemon:
+        assert daemon.load_network("/nets/slow_net.pkl")["index"] == 1
+        future = daemon.batcher.submit(
+            np.zeros((2, 32), np.float32), network_index=1
+        )
+        for _ in range(200):  # until the request is live
+            if daemon.batcher.live_requests():
+                break
+            import time as _time
+
+            _time.sleep(0.01)
+
+        first = daemon.unload_network(1, timeout_s=0.2)
+        assert first == {"index": 1, "name": "slow_net", "drained": False}
+        assert unloads == []  # nothing freed yet
+        assert daemon.batcher.networks[1] is not None  # slot intact
+        # the edge stopped routing regardless
+        from gance_tpu.serving.daemon import ServingError
+
+        with pytest.raises(ServingError, match="unloaded"):
+            daemon.resolve_network_index({"network": 1})
+
+        release.set()
+        assert future.result(timeout=30).shape == (2, 16, 16, 3)
+
+        # retry — by index AND by (retired) name both resolve the leak
+        second = daemon.unload_network("slow_net", timeout_s=30.0)
+        assert second == {"index": 1, "name": "slow_net", "drained": True}
+        assert daemon.batcher.networks[1] is None
+        assert daemon.networks[1] is None
+        assert unloads == [1]  # workers told exactly once
+
+
+def test_batcher_submit_checks_retired_slot_under_lock():
+    """submit() must consult the slot under the same lock retire_network
+    frees it under — a request for a freed slot raises at the edge instead
+    of dispatching against None."""
+    fakes = [
+        FakeSynthesisNetwork(resolution=16, expected_vector_length=32)
+        for _ in range(2)
+    ]
+    with DynamicBatcher(fakes, max_batch=8, max_delay_ms=0) as batcher:
+        assert batcher.retire_network(1, timeout_s=5.0) is True
+        with pytest.raises(ValueError, match="unloaded"):
+            batcher.submit(np.zeros((1, 32), np.float32), network_index=1)
+
+
+def test_prometheus_labels_escaped():
+    """A pickle stem carrying a quote or backslash must not invalidate the
+    whole Prometheus scrape (exposition-format label escaping)."""
+    from gance_tpu.serving.daemon import _prometheus_metrics
+
+    weird = FakeSynthesisNetwork(resolution=16, expected_vector_length=32)
+    weird.path = Path('/nets/sty"le\\gan.pkl')
+    with SynthesisDaemon(
+        [_fake_loader("/nets/alpha_net.pkl"), weird], port=0, max_batch=8,
+        max_delay_ms=0,
+    ) as daemon:
+        daemon.batcher.submit(
+            np.zeros((1, 32), np.float32), network_index=1
+        ).result(timeout=30)
+        text = _prometheus_metrics(daemon)
+    assert 'network="sty\\"le\\\\gan"' in text
+    assert 'network="sty"le' not in text
+
+
+def test_two_phase_loader_keeps_serving_through_prepare():
+    """The single-host rollout contract: the slow host-side pickle parse
+    (prepare) runs OUTSIDE the batcher's device-op lock, so /synthesize keeps
+    flowing through it; only the device placement (commit) pauses batches."""
+    prepare_entered = threading.Event()
+    prepare_release = threading.Event()
+
+    class _TwoPhase:
+        @staticmethod
+        def prepare(path, _index):
+            prepare_entered.set()
+            assert prepare_release.wait(timeout=30)
+            return {"staged": path}
+
+        @staticmethod
+        def commit(staged, path, _index):
+            return _fake_loader(path)
+
+        def __call__(self, path, _index):  # pragma: no cover - not used here
+            raise AssertionError("two-phase loader must use prepare/commit")
+
+    with SynthesisDaemon(
+        _fake_loader("/nets/alpha_net.pkl"), port=0, max_batch=8,
+        max_delay_ms=0, network_loader=_TwoPhase(),
+    ) as daemon:
+        load_result = {}
+        loader_thread = threading.Thread(
+            target=lambda: load_result.setdefault(
+                "reply", daemon.load_network("/nets/beta_net.pkl")
+            )
+        )
+        loader_thread.start()
+        assert prepare_entered.wait(timeout=10)
+        # serving continues while the parse grinds
+        images = daemon.batcher.submit(
+            np.zeros((3, 32), np.float32), network_index=0
+        ).result(timeout=10)
+        assert images.shape == (3, 16, 16, 3)
+        prepare_release.set()
+        loader_thread.join(timeout=30)
+        assert load_result["reply"]["index"] == 1
+        images = daemon.batcher.submit(
+            np.zeros((1, 32), np.float32), network_index=1
+        ).result(timeout=30)
+        assert images.shape == (1, 16, 16, 3)

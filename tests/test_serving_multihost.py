@@ -32,6 +32,8 @@ from gance_tpu.serving.multihost import (
     ControlCoordinator,
     ControlWorker,
     MultiHostServingError,
+    authenticate_as_coordinator,
+    authenticate_as_worker,
     network_fingerprint,
     run_worker,
     wrap_networks_for_multihost,
@@ -39,6 +41,40 @@ from gance_tpu.serving.multihost import (
 from gance_tpu.synthesis.runtime import FakeSynthesisNetwork
 
 VECTOR_LENGTH = 32
+
+
+def _accept_async(coordinator, fingerprint, timeout_s=30.0):
+    """coordinator.accept on a thread — the auth handshake is interactive
+    (challenge/response), so accept must run concurrently with any
+    hand-rolled worker connection."""
+    result = {}
+
+    def target():
+        try:
+            coordinator.accept(fingerprint, timeout_s=timeout_s)
+        except BaseException as error:  # noqa: BLE001
+            result["error"] = error
+
+    thread = threading.Thread(target=target, daemon=True)
+    thread.start()
+    return thread, result
+
+
+def _manual_worker_connect(port, fingerprint, process_id=1):
+    """A hand-rolled worker: authenticated TCP + hello, no run loop — for
+    tests that need a connected-but-misbehaving peer. The coordinator's
+    accept() must already be running (see _accept_async)."""
+    sock = socket.create_connection(("127.0.0.1", port), timeout=10.0)
+    sock.settimeout(10.0)
+    authenticate_as_worker(sock)
+    payload = pickle.dumps(
+        {
+            "type": "hello", "protocol": 1, "process_id": process_id,
+            "fingerprint": fingerprint,
+        }
+    )
+    sock.sendall(struct.pack("!Q", len(payload)) + payload)
+    return sock
 
 
 class _RecordingFake(FakeSynthesisNetwork):
@@ -144,15 +180,10 @@ def test_dead_worker_breaks_channel_and_fails_fast():
         num_workers=1, bind_host="127.0.0.1", port=0, ack_timeout_s=5.0
     )
     fingerprint = network_fingerprint([_fake()])
-    sock = socket.create_connection(("127.0.0.1", coordinator.port))
-    payload = pickle.dumps(
-        {
-            "type": "hello", "protocol": 1, "process_id": 1,
-            "fingerprint": fingerprint,
-        }
-    )
-    sock.sendall(struct.pack("!Q", len(payload)) + payload)
-    coordinator.accept(fingerprint, timeout_s=30.0)
+    accept_thread, accept_result = _accept_async(coordinator, fingerprint)
+    sock = _manual_worker_connect(coordinator.port, fingerprint)
+    accept_thread.join(timeout=30)
+    assert "error" not in accept_result, accept_result
     sock.close()  # the worker dies
 
     rows = np.zeros((2, VECTOR_LENGTH), np.float32)
@@ -173,15 +204,10 @@ def test_silent_worker_hits_ack_timeout():
         heartbeat_interval_s=3600.0,
     )
     fingerprint = network_fingerprint([_fake()])
-    sock = socket.create_connection(("127.0.0.1", coordinator.port))
-    payload = pickle.dumps(
-        {
-            "type": "hello", "protocol": 1, "process_id": 1,
-            "fingerprint": fingerprint,
-        }
-    )
-    sock.sendall(struct.pack("!Q", len(payload)) + payload)
-    coordinator.accept(fingerprint, timeout_s=30.0)
+    accept_thread, accept_result = _accept_async(coordinator, fingerprint)
+    sock = _manual_worker_connect(coordinator.port, fingerprint)
+    accept_thread.join(timeout=30)
+    assert "error" not in accept_result, accept_result
     try:
         with pytest.raises(MultiHostServingError, match="did not ACK"):
             coordinator.broadcast_dispatch(
@@ -204,7 +230,8 @@ def test_worker_times_out_on_silent_coordinator():
 
     def silent_coordinator():
         conn, _addr = listener.accept()
-        accepted["conn"] = conn  # read nothing, send nothing
+        authenticate_as_coordinator(conn)  # complete the handshake...
+        accepted["conn"] = conn  # ...then read nothing, send nothing
 
     thread = threading.Thread(target=silent_coordinator, daemon=True)
     thread.start()
@@ -249,6 +276,9 @@ def test_daemon_over_multihost_proxies():
         num_workers=1, bind_host="127.0.0.1", port=0, ack_timeout_s=5.0,
         heartbeat_interval_s=0.2,
     )
+    accept_thread, accept_result = _accept_async(
+        coordinator, network_fingerprint([coordinator_net])
+    )
     worker = ControlWorker(
         ("127.0.0.1", coordinator.port), 1,
         network_fingerprint([worker_net]), connect_timeout_s=30.0,
@@ -263,7 +293,8 @@ def test_daemon_over_multihost_proxies():
 
     thread = threading.Thread(target=run, daemon=True)
     thread.start()
-    coordinator.accept(network_fingerprint([coordinator_net]), timeout_s=30.0)
+    accept_thread.join(timeout=30)
+    assert "error" not in accept_result, accept_result
     proxies = wrap_networks_for_multihost([coordinator_net], coordinator)
     with SynthesisDaemon(proxies, port=0, max_batch=8) as daemon:
         client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=30.0)
@@ -436,6 +467,153 @@ def test_worker_prepare_failure_aborts_rollout_and_serving_survives():
     thread.join(timeout=10)
     assert result.get("served") == 1, result
     assert not coordinator.failed.is_set()
+
+
+def test_unauthenticated_peers_dropped_and_accept_continues():
+    """Scanners / stray clients / wrong-token peers are dropped at the
+    challenge handshake — pickle never parses their bytes — and the listener
+    keeps waiting for the real workers instead of aborting startup."""
+    coordinator = ControlCoordinator(num_workers=1, bind_host="127.0.0.1", port=0)
+    fingerprint = network_fingerprint([_fake()])
+    accept_thread, accept_result = _accept_async(coordinator, fingerprint)
+
+    # peer 1: connects and immediately closes (a TCP health probe)
+    probe = socket.create_connection(("127.0.0.1", coordinator.port))
+    probe.close()
+    # peer 2: answers the challenge with a wrong-token digest + garbage nonce
+    wrong = socket.create_connection(("127.0.0.1", coordinator.port), timeout=10.0)
+    wrong.settimeout(10.0)
+    wrong.recv(64)  # magic + nonce
+    wrong.sendall(b"\x00" * 64)
+
+    # the REAL worker connects after the noise; accept must still succeed
+    thread, result = _worker_thread([_fake()], coordinator.port)
+    accept_thread.join(timeout=30)
+    assert not accept_thread.is_alive() and "error" not in accept_result, (
+        accept_result
+    )
+    # peer 2 was rejected: its socket is closed by the coordinator
+    wrong.settimeout(5.0)
+    assert wrong.recv(1) == b""
+    wrong.close()
+    coordinator.shutdown()
+    thread.join(timeout=10)
+    assert result.get("served") == 0, result
+
+
+def test_frames_reject_forbidden_pickle_globals():
+    """Defense in depth behind the handshake: a frame whose pickle references
+    a non-allowlisted global (the classic __reduce__ RCE shape) is refused at
+    name-resolution time, before any code could run."""
+    import io as _io
+
+    from gance_tpu.serving import multihost as mh
+
+    payload = pickle.dumps({"type": "dispatch", "rows": np.zeros((2, 4))})
+    frame = _io.BytesIO(payload)
+    assert mh._RestrictedUnpickler(frame).load()["type"] == "dispatch"
+
+    evil = pickle.dumps(getattr)  # any non-numpy global stands in for a payload
+    with pytest.raises(MultiHostServingError, match="forbidden global"):
+        mh._RestrictedUnpickler(_io.BytesIO(evil)).load()
+
+
+def test_heartbeats_flow_during_slow_prepare():
+    """THE multi-host rollout liveness property: while one worker's hot-load
+    prepare grinds (pickle parse, up to minutes), workers that acked early
+    sit idle in recv — heartbeats must keep flowing to them or they declare
+    the coordinator dead and the whole deployment dies on a routine rollout.
+    Worker A's recv timeout (0.8s) is far below worker B's prepare time (2s):
+    without beats during the broadcast, A exits and the commit breaks."""
+    fast_loads = []
+
+    def fast_prepare(path, index):
+        fast_loads.append(("prepare", path, index))
+        return "staged"
+
+    slow_started = threading.Event()
+
+    def slow_prepare(path, index):
+        slow_started.set()
+        time.sleep(2.0)
+        return "staged"
+
+    def commit(staged, path, index):
+        loaded = _fake()
+        loaded.path = Path(path)
+        return loaded
+
+    coordinator = ControlCoordinator(
+        num_workers=2, bind_host="127.0.0.1", port=0,
+        heartbeat_interval_s=0.2,
+    )
+    results = []
+    threads = []
+    for process_id, prepare, timeout in (
+        (1, fast_prepare, 0.8),  # the canary: dies without beats
+        (2, slow_prepare, 30.0),
+    ):
+        result = {}
+
+        def target(prepare=prepare, timeout=timeout, result=result, pid=process_id):
+            try:
+                result["served"] = run_worker(
+                    [_fake()], "127.0.0.1", coordinator.port, pid,
+                    recv_timeout_s=timeout, connect_timeout_s=30.0,
+                    load_prepare=prepare, load_commit=commit,
+                )
+            except BaseException as error:  # noqa: BLE001
+                result["error"] = error
+
+        thread = threading.Thread(target=target, daemon=True)
+        thread.start()
+        threads.append(thread)
+        results.append(result)
+    coordinator.accept(network_fingerprint([_fake()]), timeout_s=30.0)
+
+    coordinator.broadcast_load("/nets/rollout_net.pkl", 1)
+    assert slow_started.is_set()
+    assert not coordinator.failed.is_set()
+    assert fast_loads == [("prepare", "/nets/rollout_net.pkl", 1)]
+    # both workers committed slot 1: a dispatch to it mirrors everywhere
+    coordinator.broadcast_dispatch(1, "z", np.zeros((2, VECTOR_LENGTH), np.float32))
+    coordinator.shutdown()
+    for thread, result in zip(threads, results):
+        thread.join(timeout=10)
+        assert result.get("served") == 1, result
+
+
+def test_unload_out_of_range_latches_channel_broken():
+    """An unload for a slot the worker doesn't hold means the fleets' slot
+    tables diverged: the worker error-acks (latching the channel) instead of
+    silently keeping memory it was told to free."""
+    coordinator = ControlCoordinator(
+        num_workers=1, bind_host="127.0.0.1", port=0, ack_timeout_s=5.0
+    )
+    thread, result = _worker_thread([_fake()], coordinator.port)
+    coordinator.accept(network_fingerprint([_fake()]), timeout_s=30.0)
+    with pytest.raises(MultiHostServingError, match="out of range"):
+        coordinator.broadcast_unload(5)
+    assert coordinator.failed.is_set()
+    thread.join(timeout=10)
+    assert isinstance(result.get("error"), MultiHostServingError)
+
+
+def test_coordinator_fail_latches_channel():
+    """fail() (the coordinator-side commit-failure path in cli/serve.py)
+    latches the channel broken so every later dispatch fails fast instead of
+    serving against diverged slot tables."""
+    coordinator = ControlCoordinator(num_workers=1, bind_host="127.0.0.1", port=0)
+    thread, result = _worker_thread([_fake()], coordinator.port)
+    coordinator.accept(network_fingerprint([_fake()]), timeout_s=30.0)
+    coordinator.fail("coordinator-side commit failed")
+    assert coordinator.failed.is_set()
+    with pytest.raises(MultiHostServingError, match="broken"):
+        coordinator.broadcast_dispatch(
+            0, "z", np.zeros((1, VECTOR_LENGTH), np.float32)
+        )
+    thread.join(timeout=10)  # its socket was closed; the worker exits loudly
+    assert "error" in result
 
 
 def test_serve_cli_rejects_partial_dist_triple(tmp_path):
