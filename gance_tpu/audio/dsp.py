@@ -122,6 +122,10 @@ def rolling_mean(x: jax.Array, window: int, min_periods: Optional[int] = None) -
     """
     del min_periods
     x = jnp.asarray(x, jnp.float32)
+    if x.shape[0] < window:
+        # pandas parity: a series shorter than the window is all-NaN (the
+        # serving path can hand very short clips to the RMS reducer).
+        return jnp.full(x.shape, jnp.nan, x.dtype)
     csum = jnp.cumsum(x)
     shifted = jnp.concatenate([jnp.zeros((window,), x.dtype), csum[:-window]])
     means = (csum - shifted) / window

@@ -33,28 +33,48 @@ def _remap(data: np.ndarray, input_range, output_range) -> np.ndarray:
     return (data.astype(np.float64) - in0) * ((out1 - out0) / (in1 - in0)) + out0
 
 
+def _to_float32(wav_data: np.ndarray) -> np.ndarray:
+    """Integer PCM -> float32 in [-1, 1] (reference music.py:172-209 dynamic
+    ranges: int32/int16 symmetric, uint8 0..255)."""
+    if wav_data.dtype == np.float32:
+        return wav_data
+    if wav_data.dtype == np.int32:
+        wav_data = _remap(wav_data, (-2147483648, 2147483647), (-1, 1))
+    elif wav_data.dtype == np.int16:
+        wav_data = _remap(wav_data, (-32768, 32767), (-1, 1))
+    elif wav_data.dtype == np.uint8:
+        wav_data = _remap(wav_data, (0, 255), (-1, 1))
+    else:
+        raise ValueError(f"Cannot safely convert wav dtype {wav_data.dtype} to float32")
+    return wav_data.astype(np.float32)
+
+
 def read_wav_file(wav_path: Path, convert_to_32bit_float: bool = True) -> WavFileProperties:
-    """
-    Read a wav file; integer PCM formats are scaled to float32 in [-1, 1]
-    (reference music.py:172-209 dynamic ranges: int32/int16 symmetric, uint8 0..255).
-    """
+    """Read a wav file with the reference's PCM scaling (music.py:172-209)."""
     sample_rate, wav_data = wavfile.read(str(wav_path))
 
-    if convert_to_32bit_float and wav_data.dtype != np.float32:
-        if wav_data.dtype == np.int32:
-            wav_data = _remap(wav_data, (-2147483648, 2147483647), (-1, 1))
-        elif wav_data.dtype == np.int16:
-            wav_data = _remap(wav_data, (-32768, 32767), (-1, 1))
-        elif wav_data.dtype == np.uint8:
-            wav_data = _remap(wav_data, (0, 255), (-1, 1))
-        else:
-            raise ValueError(f"Cannot safely convert wav dtype {wav_data.dtype} to float32")
-        wav_data = wav_data.astype(np.float32)
+    if convert_to_32bit_float:
+        wav_data = _to_float32(wav_data)
 
     return WavFileProperties(
         sample_rate=int(sample_rate),
         wav_data=wav_data,
         name=Path(wav_path).with_suffix("").name,
+    )
+
+
+def read_wav_bytes(
+    data: bytes, name: str = "request", convert_to_32bit_float: bool = True
+) -> WavFileProperties:
+    """read_wav_file over in-memory bytes — the online serving path receives
+    WAV content in a request body, never via a filesystem path."""
+    import io
+
+    sample_rate, wav_data = wavfile.read(io.BytesIO(data))
+    if convert_to_32bit_float:
+        wav_data = _to_float32(wav_data)
+    return WavFileProperties(
+        sample_rate=int(sample_rate), wav_data=wav_data, name=name
     )
 
 

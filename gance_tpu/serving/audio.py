@@ -1,0 +1,212 @@
+"""
+Audio-reactive ONLINE synthesis: the reference's flagship transform — music
+into the latent space of one or more networks with loudness-driven network
+switching (music_into_networks.py noise-blend; visualization_inputs.py:94-166)
+— behind the serving daemon's HTTP surface.
+
+The server does the L2 signal work host-side exactly as the offline pipeline
+does (WAV -> video-locked time stretch -> smoothed/scaled spectrogram alpha-
+blended with seeded gaussian noise -> RMS-quantized per-frame network
+indices), then rides the DynamicBatcher: the frame stream is split into
+contiguous same-network RUNS, each run submitted as its own batcher request
+(the online analog of the offline sort-by-index optimization: the batcher's
+lanes keep every device batch single-network while runs for different
+networks coalesce independently), and the parts reassemble in frame order.
+
+Determinism: the noise source is the reference's seeded gaussian
+(primitives.DEFAULT_RANDOM_SEED), so the same WAV + parameters produce the
+same frames on every request — cacheable at the HTTP layer.
+
+No reference counterpart for the ONLINE form (the reference renders offline
+videos only); the transform itself mirrors gance/visualization_inputs.py:94
+and the index semantics of gance/music_into_networks.py.
+"""
+
+import base64
+import binascii
+import time
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from gance_tpu.utils.logging import LOGGER
+
+DEFAULT_FPS = 30.0
+DEFAULT_ALPHA = 0.5
+# The offline CLI's spectrogram amplitude range (cli/music_into_networks.py).
+DEFAULT_FFT_AMPLITUDE_RANGE = (-10.0, 10.0)
+
+
+class AudioSynthesisPlan(NamedTuple):
+    """The resolved request: what the device will be asked to render."""
+
+    combined: np.ndarray  # (frames, vector_length) float32 z rows
+    indices: np.ndarray  # (frames,) int — resolved BATCHER network index per frame
+    selected: List[int]  # the request's network palette (batcher indices)
+    fps: float
+    vector_length: int
+
+
+class AudioRequestError(ValueError):
+    """Client-side problem with an audio request -> HTTP 400."""
+
+
+def _decode_wav(payload: Dict[str, Any]):
+    from gance_tpu.audio.io import read_wav_bytes
+
+    encoded = payload.get("wav_base64")
+    if not isinstance(encoded, str) or not encoded:
+        raise AudioRequestError(
+            '"wav_base64" (base64-encoded WAV bytes) is required'
+        )
+    try:
+        raw = base64.b64decode(encoded, validate=True)
+    except (binascii.Error, ValueError) as error:
+        raise AudioRequestError(f'"wav_base64" is not valid base64: {error}') from error
+    try:
+        return read_wav_bytes(raw)
+    except Exception as error:  # scipy raises assorted types on bad content
+        raise AudioRequestError(f"could not parse WAV content: {error}") from error
+
+
+def plan_audio_request(
+    payload: Dict[str, Any],
+    networks: Sequence[Any],
+    selected: Sequence[int],
+    frame_cap: int,
+) -> AudioSynthesisPlan:
+    """
+    Resolve a /synthesize_audio body to the frames the device will render.
+
+    ``selected`` is the request's network palette as BATCHER indices (the
+    daemon resolves names); quantized RMS indices 0..K-1 map onto it in
+    order, the same contract as the offline CLI's sorted network list.
+    """
+    wav = _decode_wav(payload)
+
+    fps = float(payload.get("fps", DEFAULT_FPS))
+    if not 0 < fps <= 240:
+        raise AudioRequestError(f'"fps" must be in (0, 240], got {fps}')
+    alpha = float(payload.get("alpha", DEFAULT_ALPHA))
+    if not 0.0 <= alpha <= 1.0:
+        raise AudioRequestError(f'"alpha" must be in [0, 1], got {alpha}')
+    fft_roll = bool(payload.get("fft_roll", False))
+
+    if not selected:
+        raise AudioRequestError("no live networks to synthesize with")
+    vector_lengths = {
+        int(networks[index].expected_vector_length) for index in selected
+    }
+    if len(vector_lengths) != 1:
+        raise AudioRequestError(
+            "selected networks disagree on latent length "
+            f"({sorted(vector_lengths)}); pick a same-architecture palette"
+        )
+    resolutions = {
+        int(getattr(networks[index], "resolution", 0)) for index in selected
+    }
+    if len(resolutions) != 1:
+        raise AudioRequestError(
+            f"selected networks disagree on resolution ({sorted(resolutions)}); "
+            "frames of one response must share a shape"
+        )
+    vector_length = next(iter(vector_lengths))
+
+    from gance_tpu.audio.io import read_wavs_scale_for_video
+    from gance_tpu.synthesis.inputs import alpha_blend_vectors_max_rms_power_audio
+
+    scaled = read_wavs_scale_for_video(
+        [wav], vector_length=vector_length, frames_per_second=fps
+    )
+    frames = scaled.wav_data.shape[0] // vector_length
+    if frames < 1:
+        raise AudioRequestError("audio is too short for even one frame")
+    if frames > frame_cap:
+        raise AudioRequestError(
+            f"{frames} frames at {fps:g} fps exceeds the per-request cap of "
+            f"{frame_cap}; send a shorter clip or lower fps"
+        )
+
+    try:
+        visualization_input = alpha_blend_vectors_max_rms_power_audio(
+            alpha=alpha,
+            fft_roll_enabled=fft_roll,
+            fft_amplitude_range=tuple(
+                payload.get("fft_amplitude_range", DEFAULT_FFT_AMPLITUDE_RANGE)
+            ),
+            time_series_audio_vectors=scaled.wav_data,
+            vector_length=vector_length,
+            network_indices=list(range(len(selected))),
+        )
+    except ValueError as error:
+        # the RMS/smoothing pipeline needs a minimum series length (savgol
+        # window 7 over the 512-sample-hop RMS frames) — same constraint as
+        # the offline pipeline, surfaced as a client error here
+        raise AudioRequestError(
+            f"clip too short for the audio feature pipeline: {error}"
+        ) from error
+    combined = np.asarray(
+        visualization_input.combined.data, np.float32
+    ).reshape(-1, vector_length)
+    quantized = np.asarray(
+        visualization_input.network_indices.result.data, np.int64
+    )
+    # The RMS reducer frames audio at the librosa hop (512), so for
+    # vector lengths != 512 the index series and the frame series disagree
+    # slightly in length; the offline orchestration's rule is min-count +
+    # clip (synthesis/orchestration.py) — same here.
+    count = min(combined.shape[0], quantized.shape[0])
+    if count < 1:
+        raise AudioRequestError("audio is too short for even one frame")
+    combined = combined[:count]
+    palette = np.asarray(list(selected), dtype=np.int64)
+    indices = palette[np.clip(quantized[:count], 0, len(selected) - 1)]
+    return AudioSynthesisPlan(
+        combined=combined,
+        indices=indices,
+        selected=list(selected),
+        fps=fps,
+        vector_length=vector_length,
+    )
+
+
+def _contiguous_runs(indices: np.ndarray) -> List[slice]:
+    """Frame stream -> maximal same-network slices, in frame order."""
+    boundaries = np.flatnonzero(np.diff(indices)) + 1
+    edges = [0, *boundaries.tolist(), len(indices)]
+    return [slice(a, b) for a, b in zip(edges[:-1], edges[1:])]
+
+
+def synthesize_plan(
+    batcher: Any,
+    plan: AudioSynthesisPlan,
+    timeout_s: Optional[float] = None,
+) -> np.ndarray:
+    """
+    Render the plan through the batcher and return (frames, H, W, 3) uint8 in
+    frame order. All runs are submitted UP FRONT (they interleave with other
+    traffic and with each other at the batcher's discretion), then collected
+    against one shared deadline.
+    """
+    runs = _contiguous_runs(plan.indices)
+    futures = [
+        batcher.submit(plan.combined[run], network_index=int(plan.indices[run.start]))
+        for run in runs
+    ]
+    deadline = None if timeout_s is None else time.monotonic() + timeout_s
+    parts = []
+    try:
+        for future in futures:
+            remaining = (
+                None if deadline is None else max(0.0, deadline - time.monotonic())
+            )
+            parts.append(future.result(timeout=remaining))
+    except BaseException:
+        for future in futures:
+            future.cancel()  # drop undispatched rows of the sibling runs
+        raise
+    LOGGER.info(
+        "audio synthesis: %d frames over %d network run(s) (%d distinct)",
+        len(plan.indices), len(runs), len(set(plan.indices.tolist())),
+    )
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]

@@ -492,7 +492,14 @@ class DynamicBatcher:
                 continue
             offset = 0
             for request, take in consumed:
-                if request.future.done():  # earlier slice failed: drop rows
+                if request.future.done():
+                    # Earlier slice failed, or the caller cancelled while the
+                    # batch was in flight: drop the rows AND the live-set
+                    # entry (idempotent) — otherwise a cancelled-in-flight
+                    # request counts as live forever and wait_idle/retire
+                    # never drain.
+                    with self._lock:
+                        self._drop_live_locked(request)
                     offset += take
                     continue
                 request.parts.append(host[offset : offset + take])

@@ -17,6 +17,7 @@ a bare HTTPError.
 No reference counterpart (esologic/GANce is offline CLIs only).
 """
 
+import base64
 import io
 import json
 import urllib.error
@@ -79,6 +80,37 @@ class ServingClient:
         body["format"] = "png"
         blob, _headers = self._post_synthesize(body)
         return blob
+
+    def synthesize_audio(
+        self,
+        wav: Union[bytes, str, Any],
+        fps: float = 30.0,
+        alpha: float = 0.5,
+        fft_roll: bool = False,
+        networks: Optional[Sequence[Union[int, str]]] = None,
+        plan: bool = False,
+    ) -> Union[np.ndarray, Dict[str, Any]]:
+        """Music -> frames, online (POST /synthesize_audio): the server runs
+        the reference's noise-blend transform on the WAV and routes each
+        frame to the network its loudness selects from `networks` (default:
+        every live network). `wav` is raw WAV bytes or a Path. With
+        plan=True, returns the routing plan dict instead of rendering."""
+        if not isinstance(wav, (bytes, bytearray)):
+            with open(wav, "rb") as handle:
+                wav = handle.read()
+        body: Dict[str, Any] = {
+            "wav_base64": base64.b64encode(bytes(wav)).decode(),
+            "fps": float(fps),
+            "alpha": float(alpha),
+            "fft_roll": bool(fft_roll),
+        }
+        if networks is not None:
+            body["networks"] = list(networks)
+        if plan:
+            body["plan"] = True
+            return self._post_json("/synthesize_audio", body)
+        blob, _headers = self._post(self.base_url + "/synthesize_audio", body)
+        return np.load(io.BytesIO(blob))
 
     def load_network(self, path: str) -> Dict[str, Any]:
         """Hot-add a resident network on the server from a pickle path
@@ -146,9 +178,9 @@ class ServingClient:
         except urllib.error.HTTPError as error:
             raise self._wrap(error) from error
 
-    def _post_synthesize(self, body: Dict[str, Any]):
+    def _post(self, url: str, body: Dict[str, Any]):
         request = urllib.request.Request(
-            self.base_url + "/synthesize",
+            url,
             data=json.dumps(body).encode(),
             headers={"Content-Type": "application/json"},
             method="POST",
@@ -158,6 +190,9 @@ class ServingClient:
                 return response.read(), dict(response.headers)
         except urllib.error.HTTPError as error:
             raise self._wrap(error) from error
+
+    def _post_synthesize(self, body: Dict[str, Any]):
+        return self._post(self.base_url + "/synthesize", body)
 
     @staticmethod
     def _wrap(error: "urllib.error.HTTPError") -> ServingClientError:

@@ -20,6 +20,14 @@ exposes a loaded generator for production serving:
       optional "network": index or name when the daemon serves several
       resident networks (the reference's MultiNetwork brought online;
       /healthz lists them) — default 0.
+  POST /synthesize_audio -> the reference's flagship music->frames transform,
+      online (serving/audio.py): {"wav_base64": ..., "fps": 30, "alpha": 0.5,
+      "fft_roll": false, "networks": [selectors...]} — the WAV is
+      time-stretched to fps, spectrogram/noise-blended into z rows, and each
+      frame routes to the network its loudness selects from the palette
+      (default: every live network, by index). Returns the npy frame block;
+      {"plan": true} instead returns the routing plan as JSON with no device
+      work.
 
 Concurrency model: ThreadingHTTPServer gives one thread per connection; every
 handler submits to the shared DynamicBatcher and blocks on its future, so
@@ -355,6 +363,64 @@ class SynthesisDaemon:
                     LOGGER.exception("admin request failed")
                     self._reply_json(500, {"error": str(error)})
 
+            def _do_synthesize_audio(self) -> None:
+                from concurrent.futures import TimeoutError as _FuturesTimeout
+
+                from gance_tpu.serving.audio import (
+                    AudioRequestError,
+                    plan_audio_request,
+                    synthesize_plan,
+                )
+
+                try:
+                    payload = self._read_json_body()
+                    selected = daemon.resolve_audio_palette(payload)
+                    frame_cap = min(daemon.frame_caps[i] for i in selected)
+                    plan = plan_audio_request(
+                        payload, daemon.networks, selected, frame_cap
+                    )
+                    if payload.get("plan"):
+                        # routing-plan preview: no device work
+                        self._reply_json(
+                            200,
+                            {
+                                "frames": int(plan.indices.shape[0]),
+                                "fps": plan.fps,
+                                "vector_length": plan.vector_length,
+                                "indices": [int(i) for i in plan.indices],
+                                "names": [
+                                    daemon.network_names[i] for i in plan.selected
+                                ],
+                            },
+                        )
+                        return
+                    try:
+                        images = synthesize_plan(
+                            daemon.batcher, plan, timeout_s=REQUEST_TIMEOUT_S
+                        )
+                    except _FuturesTimeout:
+                        self._reply_json(
+                            503,
+                            {"error": f"synthesis timed out after "
+                             f"{REQUEST_TIMEOUT_S:g}s"},
+                        )
+                        return
+                    body, content_type = _encode_images(images, "npy")
+                except (
+                    AudioRequestError, ServingError, ValueError,
+                    json.JSONDecodeError,
+                ) as error:
+                    self._reply_json(400, {"error": str(error)})
+                    return
+                except Exception as error:  # pylint: disable=broad-except
+                    LOGGER.exception("audio serving request failed")
+                    self._reply_json(500, {"error": str(error)})
+                    return
+                self._reply(
+                    200, body, content_type,
+                    extra={"X-Gance-Shape": "x".join(map(str, images.shape))},
+                )
+
             def do_POST(self) -> None:  # noqa: N802
                 if self.path in ("/admin/load", "/admin/unload"):
                     if daemon.draining:
@@ -362,13 +428,16 @@ class SynthesisDaemon:
                         return
                     self._do_admin()
                     return
-                if self.path != "/synthesize":
+                if self.path not in ("/synthesize", "/synthesize_audio"):
                     self._reply_json(404, {"error": f"no route {self.path}"})
                     return
                 if daemon.draining:
                     # Graceful shutdown: in-flight work finishes, new work is
                     # turned away with a retryable status.
                     self._reply_json(503, {"error": "daemon is draining"})
+                    return
+                if self.path == "/synthesize_audio":
+                    self._do_synthesize_audio()
                     return
                 try:
                     payload = self._read_json_body()
@@ -470,6 +539,33 @@ class SynthesisDaemon:
                 "been unloaded"
             )
         return selector
+
+    def resolve_audio_palette(self, payload: Any) -> list:
+        """The ordered network palette an audio request's quantized indices
+        map onto: the optional "networks" list (indices/names, resolved like
+        "network"), or every LIVE network by index — the same semantics as
+        the offline CLI's sorted network list."""
+        selectors = payload.get("networks") if isinstance(payload, dict) else None
+        if selectors is None:
+            palette = [
+                index
+                for index, network in enumerate(self.networks)
+                if index not in self._retired and network is not None
+            ]
+            if not palette:
+                raise ServingError("no live networks")
+            return palette
+        if not isinstance(selectors, list) or not selectors:
+            raise ServingError(
+                '"networks" must be a non-empty list of indices or names'
+            )
+        palette = [
+            self.resolve_network_index({"network": selector})
+            for selector in selectors
+        ]
+        if len(set(palette)) != len(palette):
+            raise ServingError('"networks" palette repeats a network')
+        return palette
 
     def load_network(self, path: Any) -> Dict[str, Any]:
         """Hot-add a resident network from a pickle path (POST /admin/load).

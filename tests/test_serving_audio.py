@@ -1,0 +1,239 @@
+"""
+Online audio-reactive synthesis (gance_tpu/serving/audio.py + the daemon's
+/synthesize_audio route): the reference's flagship music->frames transform
+(visualization_inputs.py:94-166 + music_into_networks index semantics)
+served over HTTP. Certified against the OFFLINE pipeline: the endpoint's
+frames must equal rendering alpha_blend_vectors_max_rms_power_audio's plan
+directly — same latents, same per-frame network routing, bit-identical.
+"""
+
+import threading
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gance_tpu.audio.io import fabricate_percussive_wav
+from gance_tpu.serving import DynamicBatcher, ServingClient, SynthesisDaemon
+from gance_tpu.serving.audio import (
+    AudioRequestError,
+    _contiguous_runs,
+    plan_audio_request,
+    synthesize_plan,
+)
+from gance_tpu.synthesis.runtime import FakeSynthesisNetwork
+
+# The production latent length: the RMS reducer frames audio at the librosa
+# 512-sample hop, so vector_length 512 keeps index count == frame count (the
+# same alignment the reference depends on).
+VECTOR_LENGTH = 512
+
+
+@pytest.fixture(scope="module")
+def wav_bytes(tmp_path_factory) -> bytes:
+    path = fabricate_percussive_wav(
+        tmp_path_factory.mktemp("audio") / "clip.wav", seconds=1.0
+    )
+    return Path(path).read_bytes()
+
+
+def _fakes(count: int = 2, resolution: int = 16):
+    fakes = []
+    for index in range(count):
+        fake = FakeSynthesisNetwork(
+            resolution=resolution, expected_vector_length=VECTOR_LENGTH
+        )
+        fake.path = Path(f"/nets/{index}_net.pkl")
+        fakes.append(fake)
+    return fakes
+
+
+def _payload(wav: bytes, **extra):
+    import base64
+
+    body = {"wav_base64": base64.b64encode(wav).decode(), "fps": 15.0}
+    body.update(extra)
+    return body
+
+
+def test_plan_matches_offline_input_synthesis(wav_bytes):
+    """The plan's latents and indices are EXACTLY the offline noise-blend
+    input synthesis on the same (time-stretched) audio."""
+    from gance_tpu.audio.io import read_wav_bytes, read_wavs_scale_for_video
+    from gance_tpu.synthesis.inputs import alpha_blend_vectors_max_rms_power_audio
+
+    networks = _fakes(2)
+    plan = plan_audio_request(
+        _payload(wav_bytes, alpha=0.4), networks, [0, 1], frame_cap=4096
+    )
+    assert plan.vector_length == VECTOR_LENGTH
+    assert plan.combined.shape == (plan.indices.shape[0], VECTOR_LENGTH)
+    assert plan.fps == 15.0
+    # ~15 frames for a 1s clip at 15 fps
+    assert 13 <= plan.indices.shape[0] <= 17
+
+    scaled = read_wavs_scale_for_video(
+        [read_wav_bytes(wav_bytes)],
+        vector_length=VECTOR_LENGTH,
+        frames_per_second=15.0,
+    )
+    offline = alpha_blend_vectors_max_rms_power_audio(
+        alpha=0.4,
+        fft_roll_enabled=False,
+        fft_amplitude_range=(-10.0, 10.0),
+        time_series_audio_vectors=scaled.wav_data,
+        vector_length=VECTOR_LENGTH,
+        network_indices=[0, 1],
+    )
+    np.testing.assert_array_equal(
+        plan.combined,
+        np.asarray(offline.combined.data, np.float32).reshape(-1, VECTOR_LENGTH),
+    )
+    np.testing.assert_array_equal(
+        plan.indices, np.asarray(offline.network_indices.result.data, np.int64)
+    )
+    # determinism: the noise source is seeded — same WAV, same plan
+    again = plan_audio_request(
+        _payload(wav_bytes, alpha=0.4), networks, [0, 1], frame_cap=4096
+    )
+    np.testing.assert_array_equal(plan.combined, again.combined)
+
+
+def test_contiguous_runs_cover_in_order():
+    indices = np.asarray([0, 0, 1, 1, 1, 0, 2])
+    runs = _contiguous_runs(indices)
+    assert [indices[r].tolist() for r in runs] == [[0, 0], [1, 1, 1], [0], [2]]
+    assert np.concatenate([indices[r] for r in runs]).tolist() == indices.tolist()
+    assert _contiguous_runs(np.asarray([3])) == [slice(0, 1)]
+
+
+def test_synthesize_plan_routes_per_frame_and_matches_direct(wav_bytes):
+    """Frames route to the network their loudness selected, and the result
+    equals rendering each frame directly on its network."""
+    networks = _fakes(2)
+    plan = plan_audio_request(
+        _payload(wav_bytes), networks, [0, 1], frame_cap=4096
+    )
+    assert set(np.unique(plan.indices)) <= {0, 1}
+    with DynamicBatcher(networks, max_batch=8, max_delay_ms=0) as batcher:
+        images = synthesize_plan(batcher, plan, timeout_s=60.0)
+    assert images.shape == (plan.indices.shape[0], 16, 16, 3)
+    direct = np.stack(
+        [
+            networks[index].images_generic(row[None, :])[0]
+            for row, index in zip(plan.combined, plan.indices)
+        ]
+    )
+    np.testing.assert_array_equal(images, direct)
+
+
+def test_palette_remaps_onto_selected_networks(wav_bytes):
+    """A request palette of batcher indices [2, 0] maps quantized index 0 to
+    network 2 and 1 to network 0 — the offline CLI's ordered-list contract."""
+    networks = _fakes(3)
+    plan = plan_audio_request(
+        _payload(wav_bytes), networks, [2, 0], frame_cap=4096
+    )
+    assert set(np.unique(plan.indices)) <= {2, 0}
+    # same audio, identity palette: index VALUES differ only by the remap
+    identity = plan_audio_request(
+        _payload(wav_bytes), networks, [0, 1], frame_cap=4096
+    )
+    np.testing.assert_array_equal(
+        plan.indices, np.asarray([2, 0])[identity.indices]
+    )
+
+
+def test_plan_request_validation(wav_bytes):
+    networks = _fakes(2)
+    with pytest.raises(AudioRequestError, match="wav_base64"):
+        plan_audio_request({"fps": 30}, networks, [0], frame_cap=100)
+    with pytest.raises(AudioRequestError, match="base64"):
+        plan_audio_request(
+            {"wav_base64": "not base64!!"}, networks, [0], frame_cap=100
+        )
+    with pytest.raises(AudioRequestError, match="WAV content"):
+        plan_audio_request(
+            _payload(b"\x00" * 64), networks, [0], frame_cap=100
+        )
+    with pytest.raises(AudioRequestError, match="fps"):
+        plan_audio_request(
+            _payload(wav_bytes, fps=-1), networks, [0], frame_cap=100
+        )
+    with pytest.raises(AudioRequestError, match="alpha"):
+        plan_audio_request(
+            _payload(wav_bytes, alpha=1.5), networks, [0], frame_cap=100
+        )
+    with pytest.raises(AudioRequestError, match="cap"):
+        plan_audio_request(_payload(wav_bytes), networks, [0], frame_cap=3)
+    mixed = _fakes(1) + _fakes(1, resolution=32)
+    with pytest.raises(AudioRequestError, match="resolution"):
+        plan_audio_request(_payload(wav_bytes), mixed, [0, 1], frame_cap=100)
+
+
+def test_daemon_synthesize_audio_end_to_end(wav_bytes):
+    """The HTTP route: frames + plan preview + palette errors, via the SDK."""
+    networks = _fakes(2)
+    with SynthesisDaemon(networks, port=0, max_batch=8, max_delay_ms=0) as daemon:
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=60.0)
+
+        plan = client.synthesize_audio(wav_bytes, fps=15.0, plan=True)
+        assert plan["vector_length"] == VECTOR_LENGTH
+        assert plan["names"] == ["0_net", "1_net"]
+        assert len(plan["indices"]) == plan["frames"]
+
+        images = client.synthesize_audio(wav_bytes, fps=15.0)
+        assert images.shape == (plan["frames"], 16, 16, 3)
+        assert images.dtype == np.uint8
+
+        # explicit palette by name; single-network palette routes everything
+        solo = client.synthesize_audio(
+            wav_bytes, fps=15.0, networks=["1_net"], plan=True
+        )
+        assert set(solo["indices"]) == {1}
+
+        from gance_tpu.serving import ServingClientError
+
+        with pytest.raises(ServingClientError) as info:
+            client.synthesize_audio(wav_bytes, networks=["missing_net"])
+        assert info.value.status == 400
+        with pytest.raises(ServingClientError) as info:
+            client.synthesize_audio(wav_bytes, networks=[0, 0])
+        assert info.value.status == 400
+        with pytest.raises(ServingClientError) as info:
+            client.synthesize_audio(b"junk" * 10)
+        assert info.value.status == 400
+
+
+def test_daemon_audio_palette_skips_retired(wav_bytes):
+    """The default palette is LIVE networks only — a retired slot never
+    routes audio frames."""
+    networks = _fakes(3)
+    with SynthesisDaemon(networks, port=0, max_batch=8, max_delay_ms=0) as daemon:
+        daemon.unload_network(1, timeout_s=10.0)
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=60.0)
+        plan = client.synthesize_audio(wav_bytes, fps=15.0, plan=True)
+        assert plan["names"] == ["0_net", "2_net"]
+        assert set(plan["indices"]) <= {0, 2}
+
+
+def test_synthesize_plan_cancels_siblings_on_failure(wav_bytes):
+    """One failing run must not strand the other runs' rows in the queue."""
+    networks = _fakes(2)
+
+    boom = networks[1]
+
+    def explode(batch):  # network 1 dies on dispatch
+        raise RuntimeError("device on fire")
+
+    boom.device_images_from_vectors = explode
+    boom.device_images_generic = explode
+    plan = plan_audio_request(
+        _payload(wav_bytes), networks, [0, 1], frame_cap=4096
+    )
+    if not (plan.indices == 1).any():  # pragma: no cover - audio-dependent
+        pytest.skip("quantizer chose one network for this clip")
+    with DynamicBatcher(networks, max_batch=8, max_delay_ms=0) as batcher:
+        with pytest.raises(RuntimeError, match="device on fire"):
+            synthesize_plan(batcher, plan, timeout_s=60.0)
+        assert batcher.wait_idle(timeout_s=10.0)
