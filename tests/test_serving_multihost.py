@@ -469,6 +469,57 @@ def test_worker_prepare_failure_aborts_rollout_and_serving_survives():
     assert not coordinator.failed.is_set()
 
 
+def test_audio_endpoint_mirrors_over_multihost(tmp_path):
+    """POST /synthesize_audio through the multi-host proxies: every
+    per-network run the server dispatches is broadcast to the worker (same
+    lanes, same bucketed shapes), so the audio path needs no special-casing
+    to run multi-host."""
+    from gance_tpu.audio.io import fabricate_percussive_wav
+    from gance_tpu.serving import ServingClient, SynthesisDaemon
+
+    wav = fabricate_percussive_wav(tmp_path / "clip.wav", seconds=1.0).read_bytes()
+    # 512-latent fakes: the RMS hop (512) aligns index count with frame count
+    coordinator_nets = [
+        FakeSynthesisNetwork(resolution=16, expected_vector_length=512)
+        for _ in range(2)
+    ]
+    worker_nets = [
+        _RecordingFake(resolution=16, expected_vector_length=512) for _ in range(2)
+    ]
+    coordinator = ControlCoordinator(
+        num_workers=1, bind_host="127.0.0.1", port=0, heartbeat_interval_s=0.2
+    )
+    result = {}
+
+    def run():
+        try:
+            result["served"] = run_worker(
+                worker_nets, "127.0.0.1", coordinator.port, 1,
+                recv_timeout_s=30.0, connect_timeout_s=30.0,
+            )
+        except BaseException as error:  # noqa: BLE001
+            result["error"] = error
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    coordinator.accept(network_fingerprint(coordinator_nets), timeout_s=30.0)
+    proxies = wrap_networks_for_multihost(coordinator_nets, coordinator)
+    with SynthesisDaemon(proxies, port=0, max_batch=8, max_delay_ms=0) as daemon:
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=60.0)
+        plan = client.synthesize_audio(wav, fps=15.0, plan=True)
+        images = client.synthesize_audio(wav, fps=15.0)
+        assert images.shape == (plan["frames"], 16, 16, 3)
+    coordinator.shutdown()
+    thread.join(timeout=10)
+    # the worker mirrored every run the coordinator dispatched
+    runs = 1 + int(np.count_nonzero(np.diff(np.asarray(plan["indices"]))))
+    assert result.get("served") == runs, (result, plan["indices"])
+    mirrored = sum(shape[0] for _kind, shape in worker_nets[0].device_batches) + sum(
+        shape[0] for _kind, shape in worker_nets[1].device_batches
+    )
+    assert mirrored >= plan["frames"]  # bucketed shapes pad up
+
+
 def test_unauthenticated_peers_dropped_and_accept_continues():
     """Scanners / stray clients / wrong-token peers are dropped at the
     challenge handshake — pickle never parses their bytes — and the listener

@@ -65,6 +65,29 @@ def main() -> None:
         help="bfloat16 = the production serving path (fp32 at 1024px OOMs HBM "
         "from batch 32 up — measured, same ceiling as fp32-HIGHEST b16)",
     )
+    parser.add_argument(
+        "--audio", action="store_true",
+        help="bench POST /synthesize_audio instead of /synthesize: each "
+        "client repeatedly posts a fabricated WAV clip; the server runs the "
+        "full music->latents transform (time stretch, spectrogram/noise "
+        "blend, RMS index routing) per request before the device work — the "
+        "reference's flagship use-case measured ONLINE",
+    )
+    parser.add_argument(
+        "--audio-clip-seconds", type=float, default=2.0,
+        help="length of the fabricated WAV each audio request carries",
+    )
+    parser.add_argument(
+        "--audio-fps", type=float, default=30.0,
+        help="frames per second the audio request asks for",
+    )
+    parser.add_argument(
+        "--fmap-base", type=int, default=None,
+        help="override the generator's fmap_base (default = config-f 32768; "
+        "CPU smokes need a small value — config-f channel widths make even a "
+        "64px forward take tens of seconds on one CPU core)",
+    )
+    parser.add_argument("--fmap-max", type=int, default=None)
     args = parser.parse_args()
 
     import gance_tpu  # noqa: F401  (platform/compile-cache plumbing)
@@ -80,7 +103,12 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    config = GeneratorConfig(resolution=args.resolution)
+    config_kwargs = {}
+    if args.fmap_base is not None:
+        config_kwargs["fmap_base"] = args.fmap_base
+    if args.fmap_max is not None:
+        config_kwargs["fmap_max"] = args.fmap_max
+    config = GeneratorConfig(resolution=args.resolution, **config_kwargs)
     networks = []
     for n in range(args.networks):
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
@@ -112,6 +140,20 @@ def main() -> None:
     requests_done = [0]
     errors = [0]
 
+    wav_bytes = None
+    if args.audio:
+        import io as _io
+        import tempfile
+        from pathlib import Path
+
+        from gance_tpu.audio.io import fabricate_percussive_wav
+
+        with tempfile.TemporaryDirectory() as tmp:
+            wav_bytes = fabricate_percussive_wav(
+                Path(tmp) / "clip.wav", seconds=args.audio_clip_seconds
+            ).read_bytes()
+        del _io
+
     def client(base_url: str, seed0: int) -> None:
         from gance_tpu.serving import ServingClient
 
@@ -119,11 +161,18 @@ def main() -> None:
         i = 0
         while not stop.is_set():
             try:
-                images = serving_client.synthesize(
-                    count=args.request_frames,
-                    seed=seed0 * 100003 + i,
-                    network=(seed0 + i) % args.networks if args.networks > 1 else None,
-                )
+                if args.audio:
+                    images = serving_client.synthesize_audio(
+                        wav_bytes, fps=args.audio_fps
+                    )
+                else:
+                    images = serving_client.synthesize(
+                        count=args.request_frames,
+                        seed=seed0 * 100003 + i,
+                        network=(
+                            (seed0 + i) % args.networks if args.networks > 1 else None
+                        ),
+                    )
                 assert images.shape[1] == (args.output_side or args.resolution)
                 with lock:
                     frames_done[0] += images.shape[0]
@@ -173,7 +222,12 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"{args.resolution}px serving daemon sustained frames/sec "
-                f"({args.clients} clients x {args.request_frames} frames/req"
+                + (
+                    f"(AUDIO: {args.clients} clients x "
+                    f"{args.audio_clip_seconds:g}s clip @ {args.audio_fps:g} fps"
+                    if args.audio
+                    else f"({args.clients} clients x {args.request_frames} frames/req"
+                )
                 + (f", {args.networks} resident networks" if args.networks > 1 else "")
                 + (f", output side {args.output_side}" if args.output_side else "")
                 + ")",
