@@ -45,6 +45,7 @@ class AudioSynthesisPlan(NamedTuple):
     selected: List[int]  # the request's network palette (batcher indices)
     fps: float
     vector_length: int
+    wav_bytes: bytes  # the original audio, for the "avi" response mux
 
 
 class AudioRequestError(ValueError):
@@ -64,7 +65,7 @@ def _decode_wav(payload: Dict[str, Any]):
     except (binascii.Error, ValueError) as error:
         raise AudioRequestError(f'"wav_base64" is not valid base64: {error}') from error
     try:
-        return read_wav_bytes(raw)
+        return read_wav_bytes(raw), raw
     except Exception as error:  # scipy raises assorted types on bad content
         raise AudioRequestError(f"could not parse WAV content: {error}") from error
 
@@ -82,7 +83,7 @@ def plan_audio_request(
     daemon resolves names); quantized RMS indices 0..K-1 map onto it in
     order, the same contract as the offline CLI's sorted network list.
     """
-    wav = _decode_wav(payload)
+    wav, wav_raw = _decode_wav(payload)
 
     fps = float(payload.get("fps", DEFAULT_FPS))
     if not 0 < fps <= 240:
@@ -167,7 +168,36 @@ def plan_audio_request(
         selected=list(selected),
         fps=fps,
         vector_length=vector_length,
+        wav_bytes=wav_raw,
     )
+
+
+def encode_music_video(
+    images: np.ndarray, wav_bytes: bytes, fps: float
+) -> bytes:
+    """
+    Frames + the ORIGINAL audio -> one playable video file (bytes): the
+    complete reference deliverable (music_into_networks writes exactly this —
+    frames at fps with the source WAVs muxed in) produced server-side for a
+    single request. Uses the same writer + mux stack as the offline CLIs
+    (ffmpeg when present, the native MJPEG+PCM AVI muxer otherwise). FPS mode
+    locked the frame count to the clip duration, so the original audio lines
+    up with the frames by construction.
+    """
+    import tempfile
+    from pathlib import Path
+
+    from gance_tpu.media.video import write_source_to_disk_consume
+
+    with tempfile.TemporaryDirectory() as tmp:
+        wav_path = Path(tmp) / "audio.wav"
+        wav_path.write_bytes(wav_bytes)
+        video_path = Path(tmp) / "clip.avi"
+        write_source_to_disk_consume(
+            iter(list(images)), video_path, video_fps=float(fps),
+            audio_paths=[wav_path],
+        )
+        return video_path.read_bytes()
 
 
 def _contiguous_runs(indices: np.ndarray) -> List[slice]:

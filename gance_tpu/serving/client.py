@@ -89,12 +89,16 @@ class ServingClient:
         fft_roll: bool = False,
         networks: Optional[Sequence[Union[int, str]]] = None,
         plan: bool = False,
-    ) -> Union[np.ndarray, Dict[str, Any]]:
+        format: str = "npy",  # noqa: A002 - mirrors the HTTP field name
+    ) -> Union[np.ndarray, Dict[str, Any], bytes]:
         """Music -> frames, online (POST /synthesize_audio): the server runs
         the reference's noise-blend transform on the WAV and routes each
         frame to the network its loudness selects from `networks` (default:
         every live network). `wav` is raw WAV bytes or a Path. With
-        plan=True, returns the routing plan dict instead of rendering."""
+        plan=True, returns the routing plan dict instead of rendering. With
+        format="avi", returns playable video BYTES — the frames with the
+        posted audio muxed in server-side (the complete reference
+        deliverable from one request)."""
         if not isinstance(wav, (bytes, bytearray)):
             with open(wav, "rb") as handle:
                 wav = handle.read()
@@ -104,13 +108,15 @@ class ServingClient:
             "alpha": float(alpha),
             "fft_roll": bool(fft_roll),
         }
+        if format != "npy":
+            body["format"] = format
         if networks is not None:
             body["networks"] = list(networks)
         if plan:
             body["plan"] = True
             return self._post_json("/synthesize_audio", body)
         blob, _headers = self._post(self.base_url + "/synthesize_audio", body)
-        return np.load(io.BytesIO(blob))
+        return blob if format == "avi" else np.load(io.BytesIO(blob))
 
     def load_network(self, path: str) -> Dict[str, Any]:
         """Hot-add a resident network on the server from a pickle path

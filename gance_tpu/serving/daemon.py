@@ -26,6 +26,8 @@ exposes a loaded generator for production serving:
       time-stretched to fps, spectrogram/noise-blended into z rows, and each
       frame routes to the network its loudness selects from the palette
       (default: every live network, by index). Returns the npy frame block;
+      {"format": "avi"} returns a playable video with the posted audio muxed
+      in server-side (the complete reference deliverable from one request);
       {"plan": true} instead returns the routing plan as JSON with no device
       work.
 
@@ -368,12 +370,20 @@ class SynthesisDaemon:
 
                 from gance_tpu.serving.audio import (
                     AudioRequestError,
+                    encode_music_video,
                     plan_audio_request,
                     synthesize_plan,
                 )
 
                 try:
                     payload = self._read_json_body()
+                    fmt = payload.get("format", "npy")
+                    if fmt not in ("npy", "avi"):
+                        raise ServingError(
+                            f"unknown audio format {fmt!r} (expected 'npy' "
+                            "frames or 'avi' — a playable video with the "
+                            "posted audio muxed in)"
+                        )
                     selected = daemon.resolve_audio_palette(payload)
                     frame_cap = min(daemon.frame_caps[i] for i in selected)
                     plan = plan_audio_request(
@@ -405,7 +415,13 @@ class SynthesisDaemon:
                              f"{REQUEST_TIMEOUT_S:g}s"},
                         )
                         return
-                    body, content_type = _encode_images(images, "npy")
+                    if fmt == "avi":
+                        # the complete reference deliverable, one request:
+                        # frames at fps + the posted audio, muxed server-side
+                        body = encode_music_video(images, plan.wav_bytes, plan.fps)
+                        content_type = "video/x-msvideo"
+                    else:
+                        body, content_type = _encode_images(images, "npy")
                 except (
                     AudioRequestError, ServingError, ValueError,
                     json.JSONDecodeError,

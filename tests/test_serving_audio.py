@@ -205,6 +205,38 @@ def test_daemon_synthesize_audio_end_to_end(wav_bytes):
         assert info.value.status == 400
 
 
+def test_daemon_audio_avi_response_is_playable(wav_bytes, tmp_path):
+    """format='avi' returns the complete reference deliverable from one
+    request: a video file whose frames match the plan, with the posted audio
+    muxed in (the native muxer on this host class)."""
+    import cv2
+
+    from gance_tpu.serving import ServingClient
+
+    networks = _fakes(1)
+    with SynthesisDaemon(networks, port=0, max_batch=8, max_delay_ms=0) as daemon:
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=60.0)
+        plan = client.synthesize_audio(wav_bytes, fps=15.0, plan=True)
+        blob = client.synthesize_audio(wav_bytes, fps=15.0, format="avi")
+    assert isinstance(blob, bytes) and blob[:4] == b"RIFF"
+    out = tmp_path / "clip.avi"
+    out.write_bytes(blob)
+    capture = cv2.VideoCapture(str(out))
+    frames = 0
+    while capture.read()[0]:
+        frames += 1
+    capture.release()
+    assert frames == plan["frames"]
+
+    with SynthesisDaemon(networks, port=0, max_batch=8) as daemon:
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=60.0)
+        from gance_tpu.serving import ServingClientError
+
+        with pytest.raises(ServingClientError) as info:
+            client.synthesize_audio(wav_bytes, format="mp3")
+        assert info.value.status == 400
+
+
 def test_daemon_audio_palette_skips_retired(wav_bytes):
     """The default palette is LIVE networks only — a retired slot never
     routes audio frames."""
