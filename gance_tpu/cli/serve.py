@@ -102,6 +102,14 @@ from gance_tpu.utils.logging import LOGGER, add_log_file
     "only the full-batch z program (fastest startup; other shapes compile on "
     "first use); 'none' = bind immediately.",
 )
+@click.option(
+    "--warmup-audio", type=str, default=None,
+    help="Comma-separated clip durations in seconds (e.g. '2,5,30'): run the "
+    "/synthesize_audio feature pipeline once per duration (at the default "
+    "request fps, 30) before binding, so the first audio request of each "
+    "expected clip length never absorbs the per-length DSP compiles "
+    "(host-side only; no device work).",
+)
 def cli(  # pylint: disable=too-many-arguments
     network_path: tuple,
     networks_directory: Optional[str],
@@ -122,6 +130,7 @@ def cli(  # pylint: disable=too-many-arguments
     control_bind: Optional[str],
     log_path: Optional[str],
     warmup: str,
+    warmup_audio: Optional[str],
 ) -> None:
     """Serve one or more generators over HTTP with dynamic request batching."""
     import numpy as np
@@ -223,6 +232,35 @@ def cli(  # pylint: disable=too-many-arguments
                         np.zeros((size, style_rows, vector_length), np.float32)
                     )
         LOGGER.info("Warmup complete.")
+
+    if warmup_audio:
+        import base64
+        import tempfile
+
+        from gance_tpu.audio.io import fabricate_percussive_wav
+        from gance_tpu.serving.audio import plan_audio_request
+
+        try:
+            durations = [float(v) for v in warmup_audio.split(",") if v.strip()]
+        except ValueError as error:
+            raise click.UsageError(
+                f"--warmup-audio wants comma-separated seconds: {error}"
+            ) from error
+        for seconds in durations:
+            LOGGER.info(
+                "Warming audio feature pipeline for %.3gs clips ...", seconds
+            )
+            with tempfile.TemporaryDirectory() as tmp:
+                clip = fabricate_percussive_wav(
+                    Path(tmp) / "warm.wav", seconds=seconds
+                ).read_bytes()
+            plan_audio_request(
+                {"wav_base64": base64.b64encode(clip).decode()},
+                networks,
+                list(range(len(networks))),
+                frame_cap=1 << 20,  # warmup never rejects on length
+            )
+        LOGGER.info("Audio warmup complete.")
 
     if multi_host:
         from gance_tpu.serving.multihost import (

@@ -25,7 +25,7 @@ and the index semantics of gance/music_into_networks.py.
 import base64
 import binascii
 import time
-from typing import Any, Dict, List, NamedTuple, Optional, Sequence
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -50,6 +50,17 @@ class AudioSynthesisPlan(NamedTuple):
 
 class AudioRequestError(ValueError):
     """Client-side problem with an audio request -> HTTP 400."""
+
+
+def _float_field(payload: Dict[str, Any], key: str, default: float) -> float:
+    """A JSON number field -> float, with bad types as a 400 not a 500."""
+    value = payload.get(key, default)
+    try:
+        return float(value)
+    except (TypeError, ValueError) as error:
+        raise AudioRequestError(
+            f'"{key}" must be a number, got {value!r}'
+        ) from error
 
 
 def _decode_wav(payload: Dict[str, Any]):
@@ -84,19 +95,55 @@ def plan_audio_request(
     order, the same contract as the offline CLI's sorted network list.
     """
     wav, wav_raw = _decode_wav(payload)
+    if wav.wav_data.size == 0:
+        raise AudioRequestError("the WAV contains zero samples")
 
-    fps = float(payload.get("fps", DEFAULT_FPS))
+    fps = _float_field(payload, "fps", DEFAULT_FPS)
     if not 0 < fps <= 240:
         raise AudioRequestError(f'"fps" must be in (0, 240], got {fps}')
-    alpha = float(payload.get("alpha", DEFAULT_ALPHA))
+    alpha = _float_field(payload, "alpha", DEFAULT_ALPHA)
     if not 0.0 <= alpha <= 1.0:
         raise AudioRequestError(f'"alpha" must be in [0, 1], got {alpha}')
     fft_roll = bool(payload.get("fft_roll", False))
+    try:
+        amplitude_range = tuple(
+            float(edge)
+            for edge in payload.get(
+                "fft_amplitude_range", DEFAULT_FFT_AMPLITUDE_RANGE
+            )
+        )
+        if len(amplitude_range) != 2:
+            raise AudioRequestError(
+                '"fft_amplitude_range" must be a [low, high] pair'
+            )
+    except (TypeError, ValueError) as error:
+        raise AudioRequestError(
+            f'"fft_amplitude_range" must be a [low, high] pair: {error}'
+        ) from error
+
+    # Frame-cap BEFORE the time stretch: the polyphase resample over a big
+    # request would burn minutes of CPU and GBs of float64 intermediates
+    # before an after-the-fact cap could reject it. FPS mode pins
+    # frames ~= duration x fps, so the estimate is within rounding of the
+    # exact post-stretch count (which is still enforced below).
+    estimated_frames = (
+        wav.wav_data.shape[0] / float(wav.sample_rate)
+    ) * fps  # samples are axis 0 for mono and multi-channel alike
+    if estimated_frames > frame_cap * 1.05 + 2:
+        raise AudioRequestError(
+            f"~{int(estimated_frames)} frames at {fps:g} fps exceeds the "
+            f"per-request cap of {frame_cap}; send a shorter clip or lower fps"
+        )
 
     if not selected:
         raise AudioRequestError("no live networks to synthesize with")
+    palette_networks = [networks[index] for index in selected]
+    if any(network is None for network in palette_networks):
+        # a concurrent /admin/unload freed a palette slot after resolution;
+        # the batcher's locked check is the authoritative gate — fail 400 here
+        raise AudioRequestError("a palette network has been unloaded")
     vector_lengths = {
-        int(networks[index].expected_vector_length) for index in selected
+        int(network.expected_vector_length) for network in palette_networks
     }
     if len(vector_lengths) != 1:
         raise AudioRequestError(
@@ -104,7 +151,7 @@ def plan_audio_request(
             f"({sorted(vector_lengths)}); pick a same-architecture palette"
         )
     resolutions = {
-        int(getattr(networks[index], "resolution", 0)) for index in selected
+        int(getattr(network, "resolution", 0)) for network in palette_networks
     }
     if len(resolutions) != 1:
         raise AudioRequestError(
@@ -129,16 +176,23 @@ def plan_audio_request(
         )
 
     try:
-        visualization_input = alpha_blend_vectors_max_rms_power_audio(
-            alpha=alpha,
-            fft_roll_enabled=fft_roll,
-            fft_amplitude_range=tuple(
-                payload.get("fft_amplitude_range", DEFAULT_FFT_AMPLITUDE_RANGE)
-            ),
-            time_series_audio_vectors=scaled.wav_data,
-            vector_length=vector_length,
-            network_indices=list(range(len(selected))),
-        )
+        # Pin the feature pipeline's jitted DSP to the HOST CPU backend: the
+        # arrays are tiny (seconds of audio), but on an accelerator backend
+        # each new clip-length shape would trigger a device compile — minutes
+        # over a remote-compile TPU link, measured as the difference between
+        # a ~1s and a never-finishing first request. The accelerator is for
+        # synthesis; request planning is host math.
+        import jax
+
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            visualization_input = alpha_blend_vectors_max_rms_power_audio(
+                alpha=alpha,
+                fft_roll_enabled=fft_roll,
+                fft_amplitude_range=amplitude_range,
+                time_series_audio_vectors=scaled.wav_data,
+                vector_length=vector_length,
+                network_indices=list(range(len(selected))),
+            )
     except ValueError as error:
         # the RMS/smoothing pipeline needs a minimum series length (savgol
         # window 7 over the 512-sample-hop RMS frames) — same constraint as
@@ -197,14 +251,34 @@ def encode_music_video(
             iter(list(images)), video_path, video_fps=float(fps),
             audio_paths=[wav_path],
         )
+        if list(Path(tmp).glob("clip.audio*.wav")):
+            # the mux stack's last-resort fallback (no ffmpeg AND no native
+            # muxer) writes the audio as a sidecar — a silent video would
+            # break this endpoint's contract, so fail loudly instead
+            raise RuntimeError(
+                "no audio muxer available on this host (ffmpeg or the native "
+                "AVI muxer) — cannot honor format='avi'"
+            )
         return video_path.read_bytes()
 
 
-def _contiguous_runs(indices: np.ndarray) -> List[slice]:
-    """Frame stream -> maximal same-network slices, in frame order."""
-    boundaries = np.flatnonzero(np.diff(indices)) + 1
-    edges = [0, *boundaries.tolist(), len(indices)]
-    return [slice(a, b) for a, b in zip(edges[:-1], edges[1:])]
+def _network_groups(indices: np.ndarray) -> List[Tuple[int, np.ndarray]]:
+    """Frame stream -> one (network_index, frame_positions) group per
+    DISTINCT network, first-appearance order. Grouping (rather than
+    contiguous runs) is the online form of the offline sort-by-index
+    optimization: loudness hovering at a quantization midpoint alternates
+    the index frame-to-frame, and per-run submission would turn that into
+    one padded device dispatch per frame (~12% occupancy); grouping keeps
+    each network's frames in as few full batches as possible, and the
+    caller scatters results back to frame order."""
+    groups: List[Tuple[int, np.ndarray]] = []
+    seen: List[int] = []
+    for index in indices.tolist():
+        if index not in seen:
+            seen.append(index)
+    for index in seen:
+        groups.append((int(index), np.flatnonzero(indices == index)))
+    return groups
 
 
 def synthesize_plan(
@@ -214,29 +288,38 @@ def synthesize_plan(
 ) -> np.ndarray:
     """
     Render the plan through the batcher and return (frames, H, W, 3) uint8 in
-    frame order. All runs are submitted UP FRONT (they interleave with other
-    traffic and with each other at the batcher's discretion), then collected
-    against one shared deadline.
+    frame order. Per-network groups are submitted up front (they interleave
+    with other traffic at the batcher's discretion), then collected against
+    one shared deadline and scattered back to frame order.
     """
-    runs = _contiguous_runs(plan.indices)
-    futures = [
-        batcher.submit(plan.combined[run], network_index=int(plan.indices[run.start]))
-        for run in runs
-    ]
-    deadline = None if timeout_s is None else time.monotonic() + timeout_s
-    parts = []
+    groups = _network_groups(plan.indices)
+    futures = []
     try:
+        for network_index, positions in groups:
+            futures.append(
+                batcher.submit(
+                    plan.combined[positions], network_index=network_index
+                )
+            )
+        deadline = None if timeout_s is None else time.monotonic() + timeout_s
+        parts = []
         for future in futures:
             remaining = (
                 None if deadline is None else max(0.0, deadline - time.monotonic())
             )
             parts.append(future.result(timeout=remaining))
     except BaseException:
+        # a failed submit or collect must not strand sibling groups' rows
         for future in futures:
-            future.cancel()  # drop undispatched rows of the sibling runs
+            future.cancel()
         raise
-    LOGGER.info(
-        "audio synthesis: %d frames over %d network run(s) (%d distinct)",
-        len(plan.indices), len(runs), len(set(plan.indices.tolist())),
+    out = np.empty(
+        (len(plan.indices),) + parts[0].shape[1:], dtype=parts[0].dtype
     )
-    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+    for (_index, positions), part in zip(groups, parts):
+        out[positions] = part
+    LOGGER.info(
+        "audio synthesis: %d frames over %d network group(s)",
+        len(plan.indices), len(groups),
+    )
+    return out

@@ -163,17 +163,8 @@ class ServingClient:
         return body
 
     def _post_json(self, path: str, body: Dict[str, Any]) -> Dict[str, Any]:
-        request = urllib.request.Request(
-            self.base_url + path,
-            data=json.dumps(body).encode(),
-            headers={"Content-Type": "application/json"},
-            method="POST",
-        )
-        try:
-            with urllib.request.urlopen(request, timeout=self.timeout_s) as response:
-                return json.loads(response.read())
-        except urllib.error.HTTPError as error:
-            raise self._wrap(error) from error
+        blob, _headers = self._post(self.base_url + path, body)
+        return json.loads(blob)
 
     def _get_json(self, path: str) -> Dict[str, Any]:
         try:

@@ -7,7 +7,6 @@ frames must equal rendering alpha_blend_vectors_max_rms_power_audio's plan
 directly — same latents, same per-frame network routing, bit-identical.
 """
 
-import threading
 from pathlib import Path
 
 import numpy as np
@@ -17,7 +16,7 @@ from gance_tpu.audio.io import fabricate_percussive_wav
 from gance_tpu.serving import DynamicBatcher, ServingClient, SynthesisDaemon
 from gance_tpu.serving.audio import (
     AudioRequestError,
-    _contiguous_runs,
+    _network_groups,
     plan_audio_request,
     synthesize_plan,
 )
@@ -46,6 +45,18 @@ def _fakes(count: int = 2, resolution: int = 16):
         fake.path = Path(f"/nets/{index}_net.pkl")
         fakes.append(fake)
     return fakes
+
+
+class _CountingAudioFake(FakeSynthesisNetwork):
+    """Fake recording every device batch shape (see multihost's twin)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.device_batches = []
+
+    def device_images_from_vectors(self, z_batch):
+        self.device_batches.append(("z", np.asarray(z_batch).shape))
+        return self._render(np.asarray(z_batch))
 
 
 def _payload(wav: bytes, **extra):
@@ -99,12 +110,47 @@ def test_plan_matches_offline_input_synthesis(wav_bytes):
     np.testing.assert_array_equal(plan.combined, again.combined)
 
 
-def test_contiguous_runs_cover_in_order():
+def test_network_groups_partition_and_cover():
     indices = np.asarray([0, 0, 1, 1, 1, 0, 2])
-    runs = _contiguous_runs(indices)
-    assert [indices[r].tolist() for r in runs] == [[0, 0], [1, 1, 1], [0], [2]]
-    assert np.concatenate([indices[r] for r in runs]).tolist() == indices.tolist()
-    assert _contiguous_runs(np.asarray([3])) == [slice(0, 1)]
+    groups = _network_groups(indices)
+    assert [(idx, pos.tolist()) for idx, pos in groups] == [
+        (0, [0, 1, 5]), (1, [2, 3, 4]), (2, [6]),
+    ]
+    covered = np.sort(np.concatenate([pos for _idx, pos in groups]))
+    assert covered.tolist() == list(range(len(indices)))
+    assert _network_groups(np.asarray([3]))[0][0] == 3
+
+
+def test_alternating_indices_batch_as_two_groups():
+    """Loudness at a quantization midpoint alternates the index every frame;
+    grouping must submit ONE request per network (full batches), not one
+    padded dispatch per frame."""
+    networks = _fakes(2)
+    indices = np.asarray([0, 1] * 8)
+    combined = np.random.RandomState(3).randn(16, VECTOR_LENGTH).astype(np.float32)
+    from gance_tpu.serving.audio import AudioSynthesisPlan
+
+    plan = AudioSynthesisPlan(
+        combined=combined, indices=indices, selected=[0, 1], fps=15.0,
+        vector_length=VECTOR_LENGTH, wav_bytes=b"",
+    )
+    counting = [
+        _CountingAudioFake(resolution=16, expected_vector_length=VECTOR_LENGTH)
+        for _ in range(2)
+    ]
+    with DynamicBatcher(counting, max_batch=48, max_delay_ms=0) as batcher:
+        images = synthesize_plan(batcher, plan, timeout_s=60.0)
+    # one 8-row bucket per network — not 16 single-frame dispatches
+    assert counting[0].device_batches == [("z", (8, VECTOR_LENGTH))]
+    assert counting[1].device_batches == [("z", (8, VECTOR_LENGTH))]
+    # and the scatter restored frame order exactly
+    direct = np.stack(
+        [
+            counting[index].images_generic(row[None, :])[0]
+            for row, index in zip(combined, indices)
+        ]
+    )
+    np.testing.assert_array_equal(images, direct)
 
 
 def test_synthesize_plan_routes_per_frame_and_matches_direct(wav_bytes):

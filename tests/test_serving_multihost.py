@@ -511,9 +511,15 @@ def test_audio_endpoint_mirrors_over_multihost(tmp_path):
         assert images.shape == (plan["frames"], 16, 16, 3)
     coordinator.shutdown()
     thread.join(timeout=10)
-    # the worker mirrored every run the coordinator dispatched
-    runs = 1 + int(np.count_nonzero(np.diff(np.asarray(plan["indices"]))))
-    assert result.get("served") == runs, (result, plan["indices"])
+    # the worker mirrored every device dispatch: one per max_batch-sized
+    # slice of each per-network group
+    import math
+
+    expected = sum(
+        math.ceil(plan["indices"].count(index) / 8)
+        for index in set(plan["indices"])
+    )
+    assert result.get("served") == expected, (result, plan["indices"])
     mirrored = sum(shape[0] for _kind, shape in worker_nets[0].device_batches) + sum(
         shape[0] for _kind, shape in worker_nets[1].device_batches
     )

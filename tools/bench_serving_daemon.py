@@ -88,6 +88,12 @@ def main() -> None:
         "64px forward take tens of seconds on one CPU core)",
     )
     parser.add_argument("--fmap-max", type=int, default=None)
+    parser.add_argument(
+        "--settle-seconds", type=float, default=None,
+        help="untimed warm pass before the measured window (default "
+        "min(5, seconds/2)); the audio arm's FIRST request absorbs one-time "
+        "per-clip-shape DSP compiles, so give it a settle longer than that",
+    )
     args = parser.parse_args()
 
     import gance_tpu  # noqa: F401  (platform/compile-cache plumbing)
@@ -142,7 +148,6 @@ def main() -> None:
 
     wav_bytes = None
     if args.audio:
-        import io as _io
         import tempfile
         from pathlib import Path
 
@@ -152,7 +157,6 @@ def main() -> None:
             wav_bytes = fabricate_percussive_wav(
                 Path(tmp) / "clip.wav", seconds=args.audio_clip_seconds
             ).read_bytes()
-        del _io
 
     def client(base_url: str, seed0: int) -> None:
         from gance_tpu.serving import ServingClient
@@ -199,7 +203,11 @@ def main() -> None:
         # shape warms) stay out of the timed window
         for t in threads:
             t.start()
-        time.sleep(min(5.0, args.seconds / 2.0))
+        time.sleep(
+            args.settle_seconds
+            if args.settle_seconds is not None
+            else min(5.0, args.seconds / 2.0)
+        )
         with lock:
             frames_done[0] = requests_done[0] = errors[0] = 0
         stats_before = daemon.batcher.stats()
