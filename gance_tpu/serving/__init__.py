@@ -6,6 +6,11 @@ control channel that runs that daemon over a process-spanning mesh
 only) — the production-serving leg of SURVEY.md §6's north star.
 """
 
+from gance_tpu.serving.audio import (
+    AudioRequestError,
+    plan_audio_request,
+    synthesize_plan,
+)
 from gance_tpu.serving.batcher import DynamicBatcher, bucket_rows, default_max_batch
 from gance_tpu.serving.client import ServingClient, ServingClientError
 from gance_tpu.serving.daemon import SynthesisDaemon
@@ -19,8 +24,11 @@ from gance_tpu.serving.multihost import (
 )
 
 __all__ = [
+    "AudioRequestError",
     "ControlCoordinator",
     "ControlWorker",
+    "plan_audio_request",
+    "synthesize_plan",
     "DynamicBatcher",
     "MultiHostNetwork",
     "MultiHostServingError",

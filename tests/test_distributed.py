@@ -415,7 +415,6 @@ def test_train_cli_multiprocess_smoke(tmp_path):
             rng.randint(0, 255, size=(16, 16, 3), dtype=np.uint8)
         ).save(dataset / f"img_{index}.png")
 
-    port = _free_port()
     checkpoint = tmp_path / "ckpt.pkl"
     network = tmp_path / "trained.pkl"
     env = dict(os.environ)
@@ -428,44 +427,58 @@ def test_train_cli_multiprocess_smoke(tmp_path):
         "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
         "from gance_tpu.cli.train import cli; cli(args=sys.argv[1:])"
     )
-    workers = [
-        subprocess.Popen(
-            [
-                sys.executable, "-c", shim,
-                "--dataset-directory", str(dataset),
-                "--resolution", "16",
-                "--batch-size", "4",
-                "--total-steps", "2",
-                "--checkpoint-every", "2",
-                "--scan-segment", "2",
-                "--fmap-base", "256",
-                "--fmap-max", "32",
-                "--latent-size", "16",
-                "--pl-weight", "0",
-                "--checkpoint-path", str(checkpoint),
-                "--output-network", str(network),
-                "--dist-coordinator", f"localhost:{port}",
-                "--dist-num-processes", "2",
-                "--dist-process-id", str(process_id),
-            ],
-            cwd=repo_root,
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-        )
-        for process_id in range(2)
-    ]
-    outputs = []
-    failed = False
-    for worker in workers:
-        try:
-            out, _ = worker.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            worker.kill()
-            out, _ = worker.communicate()
-            failed = True
-        outputs.append(out.decode(errors="replace"))
-        failed = failed or worker.returncode != 0
+
+    def run_pair():
+        port = _free_port()
+        workers = [
+            subprocess.Popen(
+                [
+                    sys.executable, "-c", shim,
+                    "--dataset-directory", str(dataset),
+                    "--resolution", "16",
+                    "--batch-size", "4",
+                    "--total-steps", "2",
+                    "--checkpoint-every", "2",
+                    "--scan-segment", "2",
+                    "--fmap-base", "256",
+                    "--fmap-max", "32",
+                    "--latent-size", "16",
+                    "--pl-weight", "0",
+                    "--checkpoint-path", str(checkpoint),
+                    "--output-network", str(network),
+                    "--dist-coordinator", f"localhost:{port}",
+                    "--dist-num-processes", "2",
+                    "--dist-process-id", str(process_id),
+                ],
+                cwd=repo_root,
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+            for process_id in range(2)
+        ]
+        outputs = []
+        failed = False
+        for worker in workers:
+            try:
+                out, _ = worker.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                worker.kill()
+                out, _ = worker.communicate()
+                failed = True
+            outputs.append(out.decode(errors="replace"))
+            failed = failed or worker.returncode != 0
+        return failed, outputs
+
+    failed, outputs = run_pair()
+    if failed and any("Shutdown barrier" in out for out in outputs):
+        # Known slow-host contention mode, NOT a code defect: under heavy
+        # load one process can lag the other past jax.distributed's 5-minute
+        # shutdown barrier (the laggard is still compiling when the fast one
+        # exits). A quiet-host run completes in ~40s; retry once.
+        checkpoint.unlink(missing_ok=True)
+        network.unlink(missing_ok=True)
+        failed, outputs = run_pair()
     if failed:
         pytest.fail("train CLI worker failed:\n" + "\n=== worker ===\n".join(outputs))
 
