@@ -45,6 +45,13 @@ def main() -> None:
     parser.add_argument("--window", type=int, default=50)
     parser.add_argument("--min-steps", type=int, default=100)
     parser.add_argument(
+        "--network", type=str, default=None,
+        help="Project against this NVlabs-format .pkl instead of a random-init "
+        "generator (closes the r4 caveat: the plateau shape was only measured "
+        "against random weights; trained manifolds may converge differently). "
+        "Overrides --resolution with the pickle's.",
+    )
+    parser.add_argument(
         "--nominal", type=int, default=1000,
         help="Schedule length for the convergence-stop arm.",
     )
@@ -59,9 +66,15 @@ def main() -> None:
     from gance_tpu.models.stylegan2 import GeneratorConfig, init_generator_params
     from gance_tpu.projection.projector import ProjectorSettings, TPUProjector
 
-    config = GeneratorConfig(resolution=args.resolution)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = init_generator_params(jax.random.PRNGKey(0), config)
+    if args.network is not None:
+        from gance_tpu.models.pickle_loader import load_generator
+
+        params, config = load_generator(Path(args.network))
+        args.resolution = config.resolution
+    else:
+        config = GeneratorConfig(resolution=args.resolution)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = init_generator_params(jax.random.PRNGKey(0), config)
     params = jax.device_put(params, jax.devices()[0])
 
     video = frames_in_video(video_path=Path(args.video))
