@@ -22,7 +22,7 @@ Layers (mirrors SURVEY.md §1 layer map, rebuilt TPU-first):
   * gance_tpu.cli        — click CLIs matching the reference's command shapes
 """
 
-__version__ = "0.7.9"
+__version__ = "0.8.0"
 
 import os as _os
 

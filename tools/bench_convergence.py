@@ -70,7 +70,6 @@ def main() -> None:
         from gance_tpu.models.pickle_loader import load_generator
 
         params, config = load_generator(Path(args.network))
-        args.resolution = config.resolution
     else:
         config = GeneratorConfig(resolution=args.resolution)
         with jax.default_device(jax.devices("cpu")[0]):
@@ -150,6 +149,8 @@ def main() -> None:
             {
                 "metric": "projection convergence-stop certification",
                 "video": Path(args.video).name,
+                "network": args.network,  # null = random-init generator
+                "resolution": config.resolution,
                 "batch": args.batch,
                 "compute_dtype": args.compute_dtype,
                 "curve_steps": [r["nominal_steps"] for r in records],

@@ -70,6 +70,16 @@ def main() -> None:
         if not src.exists():
             continue
         img = cv2.imread(str(src))
+        if img is None:
+            print(f"skipping unreadable asset {src}")
+            continue
+        # Center-crop to square before resizing so faces are not squashed
+        # (standard face-dataset prep); the training loader resizes again but
+        # preserves whatever aspect distortion exists in the stored file.
+        h, w = img.shape[:2]
+        short = min(h, w)
+        y0, x0 = (h - short) // 2, (w - short) // 2
+        img = img[y0 : y0 + short, x0 : x0 + short]
         cv2.imwrite(
             str(out / (name.rsplit(".", 1)[0] + ".png")),
             cv2.resize(img, side, interpolation=cv2.INTER_AREA),
