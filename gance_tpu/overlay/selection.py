@@ -11,7 +11,7 @@ remainder. Timestamp ordering comes from the Pi capture filename format
 import random
 from datetime import datetime
 from pathlib import Path
-from typing import Iterable, List, NamedTuple, Optional, Sequence, Set, Tuple
+from typing import Iterable, List, NamedTuple, Optional, Sequence, Set
 
 from gance_tpu.types import PathAndBoundingBoxes
 from gance_tpu.utils.logging import LOGGER

@@ -16,7 +16,6 @@ from gance_tpu.models.stylegan2 import (
     DEFAULT_TRUNCATION_PSI,
     GeneratorConfig,
     generator_apply,
-    images_to_uint8,
     synthesis_apply,
 )
 from gance_tpu.parallel.mesh import generator_param_sharding, shard_batch

@@ -10,8 +10,8 @@ from typing import List, Optional
 import cv2
 import numpy as np
 
-from gance_tpu.media.video import add_wavs_to_video, write_source_to_disk_consume
-from gance_tpu.projection.file_reader import ProjectionFileReader, load_projection_file
+from gance_tpu.media.video import write_source_to_disk_consume
+from gance_tpu.projection.file_reader import load_projection_file
 from gance_tpu.utils.hashing import hash_file
 from gance_tpu.utils.logging import LOGGER
 

@@ -24,18 +24,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gance_tpu.models.pickle_loader import load_generator, parse_network_paths
+# parse_network_paths is re-exported here because the reference exposes it from the
+# same module as MultiNetwork (network_functions.py:643).
+from gance_tpu.models.pickle_loader import load_generator, parse_network_paths  # noqa: F401
 from gance_tpu.models.stylegan2 import (
     DEFAULT_TRUNCATION_PSI,
     resize_images,
     GeneratorConfig,
-    broadcast_dlatents,
-    config_from_params,
     generator_apply,
     images_to_uint8,
-    mapping_apply,
     synthesis_apply,
-    truncate_dlatents,
 )
 from gance_tpu.parallel.mesh import fetch_to_host
 from gance_tpu.types import is_vector

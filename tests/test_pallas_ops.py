@@ -4,7 +4,6 @@ On real TPU hardware the same kernels compile natively (exercised by bench
 tooling, not by this CPU suite).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

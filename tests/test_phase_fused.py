@@ -4,7 +4,6 @@ XLA ops it replaces (interpreter mode; hardware validation runs via
 tools/bench_phase_fused.py on the real TPU).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -7,8 +7,6 @@ and re-synthesis fidelity from final latents.
 Runs on a tiny 16px generator with few steps so it stays CPU-fast.
 """
 
-from pathlib import Path
-
 import h5py
 import jax
 import numpy as np

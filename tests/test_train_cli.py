@@ -3,8 +3,6 @@ Training CLI: train a tiny model for a few steps, checkpoint, resume, export a
 .pkl, and synthesize from the exported network — the full closed loop.
 """
 
-from pathlib import Path
-
 import numpy as np
 from click.testing import CliRunner
 

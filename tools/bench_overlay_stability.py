@@ -18,7 +18,6 @@ Runs on CPU: python tools/bench_overlay_stability.py
 """
 
 import argparse
-import itertools
 import json
 import sys
 from pathlib import Path

@@ -42,7 +42,7 @@ ROUND_NOTES.md "Roofline accounting" for the trace -> block mapping).
 import json
 import math
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 MXU_PEAK = 197e12  # bf16 FLOP/s, v5e datasheet
