@@ -40,16 +40,129 @@ DEFAULT_FFT_AMPLITUDE_RANGE = (-10.0, 10.0)
 class AudioSynthesisPlan(NamedTuple):
     """The resolved request: what the device will be asked to render."""
 
-    combined: np.ndarray  # (frames, vector_length) float32 z rows
+    combined: np.ndarray  # (frames, V) float32 z rows, or (frames, R, V) w+
     indices: np.ndarray  # (frames,) int — resolved BATCHER network index per frame
     selected: List[int]  # the request's network palette (batcher indices)
     fps: float
     vector_length: int
     wav_bytes: bytes  # the original audio, for the "avi" response mux
+    # The flagship transform's extra state (None/1 on the noise-blend path):
+    projection: Optional[str] = None  # registered projection handle used
+    blend_depth: Optional[int] = None
+    frame_multiplier: int = 1
+
+
+class RegisteredProjection(NamedTuple):
+    """
+    A projection file's final latents, resident server-side so requests can
+    reference them by handle instead of re-posting megabytes of w+ rows.
+    The online analog of the offline pipeline's reader hand-off
+    (pipelines/projection_file_blend.py:433-476; reference
+    projection_file_blend.py:122-157).
+    """
+
+    name: str
+    matrices: np.ndarray  # (num_rows, frames * vector_length) float32
+    vector_length: int
+    num_rows: int
+    projection_fps: float
+    frame_count: int  # latent count in the file
+    label: str
+    path: Optional[str] = None  # HDF5 source (None for posted latents)
 
 
 class AudioRequestError(ValueError):
     """Client-side problem with an audio request -> HTTP 400."""
+
+
+def load_projection_registration(
+    path: str, name: Optional[str] = None
+) -> RegisteredProjection:
+    """
+    Read + validate a projection file for serving, with the SAME gate as the
+    offline pipeline (complete flag, latent count within 2 of the processed
+    frame count — reference projection_file_blend.py:140-141). Host-side HDF5
+    work only; no device memory is touched.
+    """
+    from pathlib import Path
+
+    from gance_tpu.projection import file_reader as projection_file_reader
+
+    file_path = Path(path)
+    if not file_path.is_file():
+        raise AudioRequestError(f"no projection file at {path!r}")
+    try:
+        with projection_file_reader.load_projection_file(file_path) as reader:
+            final_latents = projection_file_reader.final_latents_matrices_label(
+                reader
+            )
+            attrs = reader.projection_attributes
+            matrices = np.asarray(final_latents.data, np.float32)
+            num_rows = matrices.shape[0]
+            vector_length = final_latents.vector_length
+            frame_count = matrices.shape[1] // vector_length
+            if not attrs.complete or abs(
+                frame_count - (attrs.projection_frame_count or 0)
+            ) > 2:
+                raise AudioRequestError(
+                    f"projection file {file_path.name} is incomplete or "
+                    "inconsistent; cannot serve it"
+                )
+            projection_fps = attrs.projection_fps
+            if not projection_fps or projection_fps <= 0:
+                raise AudioRequestError(
+                    f"projection file {file_path.name} records no projection "
+                    "fps; cannot lock request fps to it"
+                )
+            return RegisteredProjection(
+                name=name or file_path.stem,
+                matrices=matrices,
+                vector_length=int(vector_length),
+                num_rows=int(num_rows),
+                projection_fps=float(projection_fps),
+                frame_count=int(frame_count),
+                label=final_latents.label,
+                path=str(file_path),
+            )
+    except AudioRequestError:
+        raise
+    except Exception as error:  # h5py raises assorted types on bad content
+        raise AudioRequestError(
+            f"could not read projection file {file_path.name}: {error}"
+        ) from error
+
+
+def registration_from_latents(
+    final_latents: np.ndarray,
+    projection_fps: float,
+    name: str,
+) -> RegisteredProjection:
+    """Posted final latents (frames, rows, V) -> a registration (no file)."""
+    latents = np.asarray(final_latents, np.float32)
+    if latents.ndim != 3:
+        raise AudioRequestError(
+            f"final latents must be (frames, rows, vector_length), got "
+            f"shape {latents.shape}"
+        )
+    if not projection_fps or projection_fps <= 0:
+        raise AudioRequestError('"projection_fps" must be a positive number')
+    frames, num_rows, vector_length = latents.shape
+    if frames < 1:
+        raise AudioRequestError("final latents carry zero frames")
+    # (frames, R, V) -> the reader's concatenated layout (R, frames * V)
+    matrices = np.ascontiguousarray(
+        latents.transpose(1, 0, 2).reshape(num_rows, frames * vector_length)
+    )
+    return RegisteredProjection(
+        name=name,
+        matrices=matrices,
+        vector_length=int(vector_length),
+        num_rows=int(num_rows),
+        projection_fps=float(projection_fps),
+        frame_count=int(frames),
+        label=f"posted latents {name}",
+        path=None,
+    )
 
 
 def _float_field(payload: Dict[str, Any], key: str, default: float) -> float:
@@ -86,6 +199,7 @@ def plan_audio_request(
     networks: Sequence[Any],
     selected: Sequence[int],
     frame_cap: int,
+    projection: Optional[RegisteredProjection] = None,
 ) -> AudioSynthesisPlan:
     """
     Resolve a /synthesize_audio body to the frames the device will render.
@@ -93,6 +207,14 @@ def plan_audio_request(
     ``selected`` is the request's network palette as BATCHER indices (the
     daemon resolves names); quantized RMS indices 0..K-1 map onto it in
     order, the same contract as the offline CLI's sorted network list.
+
+    With ``projection`` set this is the FLAGSHIP transform (the one that
+    produced Won Pound — reference visualization_inputs.py:169-270 +
+    projection_file_blend.py:56-343) served online: the spectrogram is
+    alpha-blended into the first ``blend_depth`` of the projection's style
+    rows, the remaining rows stay pure projection latents, the request fps is
+    locked to an integer multiple of the projection fps, and the device
+    renders w+ matrices (mapping + truncation skipped).
     """
     wav, wav_raw = _decode_wav(payload)
     if wav.wav_data.size == 0:
@@ -121,19 +243,62 @@ def plan_audio_request(
             f'"fft_amplitude_range" must be a [low, high] pair: {error}'
         ) from error
 
-    # Frame-cap BEFORE the time stretch: the polyphase resample over a big
-    # request would burn minutes of CPU and GBs of float64 intermediates
-    # before an after-the-fact cap could reject it. FPS mode pins
-    # frames ~= duration x fps, so the estimate is within rounding of the
-    # exact post-stretch count (which is still enforced below).
-    estimated_frames = (
-        wav.wav_data.shape[0] / float(wav.sample_rate)
-    ) * fps  # samples are axis 0 for mono and multi-channel alike
-    if estimated_frames > frame_cap * 1.05 + 2:
-        raise AudioRequestError(
-            f"~{int(estimated_frames)} frames at {fps:g} fps exceeds the "
-            f"per-request cap of {frame_cap}; send a shorter clip or lower fps"
-        )
+    blend_depth: Optional[int] = None
+    frame_multiplier = 1
+    if projection is None:
+        # Frame-cap BEFORE the time stretch: the polyphase resample over a big
+        # request would burn minutes of CPU and GBs of float64 intermediates
+        # before an after-the-fact cap could reject it. FPS mode pins
+        # frames ~= duration x fps, so the estimate is within rounding of the
+        # exact post-stretch count (which is still enforced below).
+        estimated_frames = (
+            wav.wav_data.shape[0] / float(wav.sample_rate)
+        ) * fps  # samples are axis 0 for mono and multi-channel alike
+        if estimated_frames > frame_cap * 1.05 + 2:
+            raise AudioRequestError(
+                f"~{int(estimated_frames)} frames at {fps:g} fps exceeds the "
+                f"per-request cap of {frame_cap}; send a shorter clip or "
+                "lower fps"
+            )
+    else:
+        # The offline contract (pipelines/projection_file_blend.py:455-459):
+        # output fps must be an INTEGER multiple of the projection fps, and
+        # the output frame count is multiplier x latent count — exact, known
+        # before any DSP runs.
+        # The CLI's default is 10 of the 1024px generator's 18 rows
+        # (music_into_networks.py --blend-depth); clamp to the projection's
+        # row count so smaller generators get a working default too.
+        raw_depth = payload.get("blend_depth", min(10, projection.num_rows))
+        if isinstance(raw_depth, bool) or not isinstance(raw_depth, int):
+            raise AudioRequestError(
+                f'"blend_depth" must be an integer, got {raw_depth!r}'
+            )
+        if not 0 <= raw_depth <= projection.num_rows:
+            raise AudioRequestError(
+                f'"blend_depth" must be in [0, {projection.num_rows}] for '
+                f'projection "{projection.name}", got {raw_depth}'
+            )
+        blend_depth = raw_depth
+        if fps != int(fps) or projection.projection_fps != int(
+            projection.projection_fps
+        ):
+            raise AudioRequestError(
+                f"fps {fps:g} and projection fps "
+                f"{projection.projection_fps:g} must be whole numbers"
+            )
+        if int(fps) % int(projection.projection_fps) != 0:
+            raise AudioRequestError(
+                f"fps {fps:g} must be an integer multiple of projection "
+                f'"{projection.name}"\'s fps {projection.projection_fps:g}'
+            )
+        frame_multiplier = int(fps) // int(projection.projection_fps)
+        exact_frames = frame_multiplier * projection.frame_count
+        if exact_frames > frame_cap:
+            raise AudioRequestError(
+                f"{exact_frames} frames ({projection.frame_count} latents x "
+                f"{frame_multiplier}) exceeds the per-request cap of "
+                f"{frame_cap}; lower fps or register a shorter projection"
+            )
 
     if not selected:
         raise AudioRequestError("no live networks to synthesize with")
@@ -159,20 +324,55 @@ def plan_audio_request(
             "frames of one response must share a shape"
         )
     vector_length = next(iter(vector_lengths))
+    if projection is not None:
+        if projection.vector_length != vector_length:
+            raise AudioRequestError(
+                f'projection "{projection.name}" carries '
+                f"{projection.vector_length}-wide latents but the palette "
+                f"networks expect {vector_length}"
+            )
+        style_rows = {
+            rows
+            for rows in (
+                int(network.config.num_style_rows)
+                if getattr(network, "config", None) is not None
+                else None
+                for network in palette_networks
+            )
+            if rows is not None
+        }
+        if style_rows and style_rows != {projection.num_rows}:
+            raise AudioRequestError(
+                f'projection "{projection.name}" carries '
+                f"{projection.num_rows} style rows but the palette networks "
+                f"expect {sorted(style_rows)}"
+            )
 
     from gance_tpu.audio.io import read_wavs_scale_for_video
-    from gance_tpu.synthesis.inputs import alpha_blend_vectors_max_rms_power_audio
-
-    scaled = read_wavs_scale_for_video(
-        [wav], vector_length=vector_length, frames_per_second=fps
+    from gance_tpu.synthesis.inputs import (
+        alpha_blend_projection_file,
+        alpha_blend_vectors_max_rms_power_audio,
     )
-    frames = scaled.wav_data.shape[0] // vector_length
-    if frames < 1:
-        raise AudioRequestError("audio is too short for even one frame")
-    if frames > frame_cap:
-        raise AudioRequestError(
-            f"{frames} frames at {fps:g} fps exceeds the per-request cap of "
-            f"{frame_cap}; send a shorter clip or lower fps"
+
+    if projection is None:
+        scaled = read_wavs_scale_for_video(
+            [wav], vector_length=vector_length, frames_per_second=fps
+        )
+        frames = scaled.wav_data.shape[0] // vector_length
+        if frames < 1:
+            raise AudioRequestError("audio is too short for even one frame")
+        if frames > frame_cap:
+            raise AudioRequestError(
+                f"{frames} frames at {fps:g} fps exceeds the per-request cap "
+                f"of {frame_cap}; send a shorter clip or lower fps"
+            )
+    else:
+        # target mode: lock the stretch to the projection's frame count, the
+        # offline pipeline's rule (projection_file_blend.py:461-465)
+        scaled = read_wavs_scale_for_video(
+            [wav],
+            vector_length=vector_length,
+            target_num_vectors=frame_multiplier * projection.frame_count,
         )
 
     try:
@@ -185,14 +385,32 @@ def plan_audio_request(
         import jax
 
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            visualization_input = alpha_blend_vectors_max_rms_power_audio(
-                alpha=alpha,
-                fft_roll_enabled=fft_roll,
-                fft_amplitude_range=amplitude_range,
-                time_series_audio_vectors=scaled.wav_data,
-                vector_length=vector_length,
-                network_indices=list(range(len(selected))),
-            )
+            if projection is None:
+                visualization_input = alpha_blend_vectors_max_rms_power_audio(
+                    alpha=alpha,
+                    fft_roll_enabled=fft_roll,
+                    fft_amplitude_range=amplitude_range,
+                    time_series_audio_vectors=scaled.wav_data,
+                    vector_length=vector_length,
+                    network_indices=list(range(len(selected))),
+                )
+            else:
+                from gance_tpu.types import MatricesLabel
+
+                visualization_input = alpha_blend_projection_file(
+                    final_latents_matrices_label=MatricesLabel(
+                        data=projection.matrices,
+                        vector_length=vector_length,
+                        label=projection.label,
+                    ),
+                    alpha=alpha,
+                    fft_roll_enabled=fft_roll,
+                    fft_amplitude_range=amplitude_range,
+                    blend_depth=blend_depth,
+                    time_series_audio_vectors=scaled.wav_data,
+                    vector_length=vector_length,
+                    network_indices=list(range(len(selected))),
+                )
     except ValueError as error:
         # the RMS/smoothing pipeline needs a minimum series length (savgol
         # window 7 over the 512-sample-hop RMS frames) — same constraint as
@@ -200,9 +418,19 @@ def plan_audio_request(
         raise AudioRequestError(
             f"clip too short for the audio feature pipeline: {error}"
         ) from error
-    combined = np.asarray(
-        visualization_input.combined.data, np.float32
-    ).reshape(-1, vector_length)
+    if projection is None:
+        combined = np.asarray(
+            visualization_input.combined.data, np.float32
+        ).reshape(-1, vector_length)
+    else:
+        # (R, N*V) concatenated matrices -> (N, R, V) w+ rows for the
+        # batcher's matrices lane (mapping + truncation skipped on device)
+        matrices = np.asarray(visualization_input.combined.data, np.float32)
+        combined = np.ascontiguousarray(
+            matrices.reshape(
+                projection.num_rows, -1, vector_length
+            ).transpose(1, 0, 2)
+        )
     quantized = np.asarray(
         visualization_input.network_indices.result.data, np.int64
     )
@@ -223,6 +451,9 @@ def plan_audio_request(
         fps=fps,
         vector_length=vector_length,
         wav_bytes=wav_raw,
+        projection=None if projection is None else projection.name,
+        blend_depth=blend_depth,
+        frame_multiplier=frame_multiplier,
     )
 
 

@@ -90,6 +90,8 @@ class ServingClient:
         networks: Optional[Sequence[Union[int, str]]] = None,
         plan: bool = False,
         format: str = "npy",  # noqa: A002 - mirrors the HTTP field name
+        projection: Optional[str] = None,
+        blend_depth: Optional[int] = None,
     ) -> Union[np.ndarray, Dict[str, Any], bytes]:
         """Music -> frames, online (POST /synthesize_audio): the server runs
         the reference's noise-blend transform on the WAV and routes each
@@ -98,7 +100,11 @@ class ServingClient:
         plan=True, returns the routing plan dict instead of rendering. With
         format="avi", returns playable video BYTES — the frames with the
         posted audio muxed in server-side (the complete reference
-        deliverable from one request)."""
+        deliverable from one request). With `projection` (a handle from
+        register_projection) this is the FLAGSHIP transform: the spectrogram
+        blends into the first `blend_depth` style rows of the registered
+        final latents and fps must be an integer multiple of the
+        projection's fps."""
         if not isinstance(wav, (bytes, bytearray)):
             with open(wav, "rb") as handle:
                 wav = handle.read()
@@ -112,11 +118,49 @@ class ServingClient:
             body["format"] = format
         if networks is not None:
             body["networks"] = list(networks)
+        if projection is not None:
+            body["projection"] = str(projection)
+        if blend_depth is not None:
+            body["blend_depth"] = int(blend_depth)
         if plan:
             body["plan"] = True
             return self._post_json("/synthesize_audio", body)
         blob, _headers = self._post(self.base_url + "/synthesize_audio", body)
         return blob if format == "avi" else np.load(io.BytesIO(blob))
+
+    def register_projection(
+        self,
+        path: Optional[str] = None,
+        final_latents: Optional[np.ndarray] = None,
+        projection_fps: Optional[float] = None,
+        name: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        """Make a projection file's final latents resident server-side
+        (POST /admin/register_projection) so synthesize_audio can blend
+        against them by handle. Either `path` (server-local HDF5) or
+        `final_latents` ((frames, rows, V) array) + `projection_fps` +
+        `name`."""
+        body: Dict[str, Any] = {}
+        if name is not None:
+            body["name"] = str(name)
+        if path is not None:
+            body["path"] = str(path)
+        if final_latents is not None:
+            buffer = io.BytesIO()
+            np.save(buffer, np.asarray(final_latents, np.float32))
+            body["final_latents_base64"] = base64.b64encode(
+                buffer.getvalue()
+            ).decode()
+            if projection_fps is not None:
+                body["projection_fps"] = float(projection_fps)
+        return self._post_json("/admin/register_projection", body)
+
+    def unregister_projection(self, name: str) -> Dict[str, Any]:
+        return self._post_json("/admin/unregister_projection", {"name": name})
+
+    def projections(self) -> Dict[str, Any]:
+        """Registered projections (GET /projections)."""
+        return self._get_json("/projections")
 
     def load_network(self, path: str) -> Dict[str, Any]:
         """Hot-add a resident network on the server from a pickle path

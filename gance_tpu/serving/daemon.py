@@ -29,7 +29,16 @@ exposes a loaded generator for production serving:
       {"format": "avi"} returns a playable video with the posted audio muxed
       in server-side (the complete reference deliverable from one request);
       {"plan": true} instead returns the routing plan as JSON with no device
-      work.
+      work. With {"projection": <handle>, "blend_depth": N} this is the
+      FLAGSHIP projection-file blend (the Won Pound transform) online: the
+      spectrogram blends into the first N style rows of the registered final
+      latents, the rest stay pure projection, and the device renders w+
+      matrices.
+  POST /admin/register_projection -> make a projection file's final latents
+      resident: {"path": <server-local hdf5>} (validated with the offline
+      pipeline's gate) or {"final_latents_base64": <npy b64>,
+      "projection_fps": f, "name": ...}. GET /projections lists handles;
+      POST /admin/unregister_projection {"name": ...} drops one.
 
 Concurrency model: ThreadingHTTPServer gives one thread per connection; every
 handler submits to the shared DynamicBatcher and blocks on its future, so
@@ -260,6 +269,11 @@ class SynthesisDaemon:
         self.network_unloader = network_unloader
         self._admin_lock = threading.Lock()
         self._retired: set = set()
+        # Registered projection files: the server-resident half of the
+        # flagship transform (/synthesize_audio with "projection") — final
+        # latents stay on the server so requests carry only audio.
+        self.projections: Dict[str, Any] = {}
+        self._projections_lock = threading.Lock()
         # `network` may be one network or a list of RESIDENT networks (the
         # reference's MultiNetwork concept, network_functions.py:484-640,
         # brought online): requests pick one with {"network": <index|name>},
@@ -321,6 +335,8 @@ class SynthesisDaemon:
             def do_GET(self) -> None:  # noqa: N802 (stdlib API)
                 if self.path == "/healthz":
                     self._reply_json(200, daemon.health())
+                elif self.path == "/projections":
+                    self._reply_json(200, daemon.list_projections())
                 elif self.path == "/stats":
                     self._reply_json(200, daemon.batcher.stats())
                 elif self.path == "/metrics":
@@ -365,6 +381,28 @@ class SynthesisDaemon:
                     LOGGER.exception("admin request failed")
                     self._reply_json(500, {"error": str(error)})
 
+            def _do_projection_admin(self) -> None:
+                from gance_tpu.serving.audio import AudioRequestError
+
+                try:
+                    payload = self._read_json_body()
+                    if self.path == "/admin/register_projection":
+                        self._reply_json(
+                            200, daemon.register_projection(payload)
+                        )
+                    else:
+                        self._reply_json(
+                            200, daemon.unregister_projection(payload)
+                        )
+                except (
+                    AudioRequestError, ServingError, ValueError,
+                    json.JSONDecodeError,
+                ) as error:
+                    self._reply_json(400, {"error": str(error)})
+                except Exception as error:  # pylint: disable=broad-except
+                    LOGGER.exception("projection admin request failed")
+                    self._reply_json(500, {"error": str(error)})
+
             def _do_synthesize_audio(self) -> None:
                 from concurrent.futures import TimeoutError as _FuturesTimeout
 
@@ -386,23 +424,27 @@ class SynthesisDaemon:
                         )
                     selected = daemon.resolve_audio_palette(payload)
                     frame_cap = min(daemon.frame_caps[i] for i in selected)
+                    projection = daemon.resolve_projection(payload)
                     plan = plan_audio_request(
-                        payload, daemon.networks, selected, frame_cap
+                        payload, daemon.networks, selected, frame_cap,
+                        projection=projection,
                     )
                     if payload.get("plan"):
                         # routing-plan preview: no device work
-                        self._reply_json(
-                            200,
-                            {
-                                "frames": int(plan.indices.shape[0]),
-                                "fps": plan.fps,
-                                "vector_length": plan.vector_length,
-                                "indices": [int(i) for i in plan.indices],
-                                "names": [
-                                    daemon.network_names[i] for i in plan.selected
-                                ],
-                            },
-                        )
+                        preview = {
+                            "frames": int(plan.indices.shape[0]),
+                            "fps": plan.fps,
+                            "vector_length": plan.vector_length,
+                            "indices": [int(i) for i in plan.indices],
+                            "names": [
+                                daemon.network_names[i] for i in plan.selected
+                            ],
+                        }
+                        if plan.projection is not None:
+                            preview["projection"] = plan.projection
+                            preview["blend_depth"] = plan.blend_depth
+                            preview["frame_multiplier"] = plan.frame_multiplier
+                        self._reply_json(200, preview)
                         return
                     try:
                         images = synthesize_plan(
@@ -438,6 +480,15 @@ class SynthesisDaemon:
                 )
 
             def do_POST(self) -> None:  # noqa: N802
+                if self.path in (
+                    "/admin/register_projection",
+                    "/admin/unregister_projection",
+                ):
+                    if daemon.draining:
+                        self._reply_json(503, {"error": "daemon is draining"})
+                        return
+                    self._do_projection_admin()
+                    return
                 if self.path in ("/admin/load", "/admin/unload"):
                     if daemon.draining:
                         self._reply_json(503, {"error": "daemon is draining"})
@@ -582,6 +633,125 @@ class SynthesisDaemon:
         if len(set(palette)) != len(palette):
             raise ServingError('"networks" palette repeats a network')
         return palette
+
+    def register_projection(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        """
+        POST /admin/register_projection: make a projection file's final
+        latents resident so /synthesize_audio requests can blend against them
+        by handle. Two sources: {"path": <server-local hdf5>} reads + validates
+        a projection file with the offline pipeline's gate, or
+        {"final_latents_base64": <b64 npy (frames, rows, V)>,
+        "projection_fps": f} registers posted latents directly. Optional
+        "name" overrides the handle (default: file stem / required for posted
+        latents). Host-side only — no device memory until a request renders.
+        """
+        import base64
+        import binascii
+        import io as _io
+
+        from gance_tpu.serving.audio import (
+            AudioRequestError,
+            load_projection_registration,
+            registration_from_latents,
+        )
+
+        name = payload.get("name")
+        if name is not None and (not isinstance(name, str) or not name):
+            raise ServingError('"name" must be a non-empty string')
+        path = payload.get("path")
+        encoded = payload.get("final_latents_base64")
+        if (path is None) == (encoded is None):
+            raise ServingError(
+                'provide exactly one of "path" (server-local projection '
+                'file) or "final_latents_base64" (+ "projection_fps")'
+            )
+        if path is not None:
+            if not isinstance(path, str):
+                raise ServingError('"path" must be a string')
+            registration = load_projection_registration(path, name=name)
+        else:
+            if name is None:
+                raise ServingError('posted latents need an explicit "name"')
+            try:
+                raw = base64.b64decode(encoded, validate=True)
+                latents = np.load(_io.BytesIO(raw), allow_pickle=False)
+            except (binascii.Error, ValueError) as error:
+                raise ServingError(
+                    f'"final_latents_base64" must be base64 npy: {error}'
+                ) from error
+            try:
+                fps = float(payload.get("projection_fps", 0))
+            except (TypeError, ValueError) as error:
+                raise ServingError(
+                    '"projection_fps" must be a number'
+                ) from error
+            registration = registration_from_latents(latents, fps, name)
+        with self._projections_lock:
+            replaced = registration.name in self.projections
+            self.projections[registration.name] = registration
+        LOGGER.info(
+            "registered projection %r: %d frames x %d rows @ %g fps%s",
+            registration.name, registration.frame_count,
+            registration.num_rows, registration.projection_fps,
+            " (replaced)" if replaced else "",
+        )
+        return {
+            "name": registration.name,
+            "frames": registration.frame_count,
+            "rows": registration.num_rows,
+            "vector_length": registration.vector_length,
+            "projection_fps": registration.projection_fps,
+            "replaced": replaced,
+        }
+
+    def unregister_projection(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        name = payload.get("name")
+        if not isinstance(name, str) or not name:
+            raise ServingError('"name" must be a non-empty string')
+        with self._projections_lock:
+            if name not in self.projections:
+                raise ServingError(
+                    f'no registered projection "{name}" '
+                    f"(registered: {sorted(self.projections)})"
+                )
+            del self.projections[name]
+        LOGGER.info("unregistered projection %r", name)
+        return {"name": name, "unregistered": True}
+
+    def list_projections(self) -> Dict[str, Any]:
+        with self._projections_lock:
+            registrations = list(self.projections.values())
+        return {
+            "projections": [
+                {
+                    "name": r.name,
+                    "frames": r.frame_count,
+                    "rows": r.num_rows,
+                    "vector_length": r.vector_length,
+                    "projection_fps": r.projection_fps,
+                    "path": r.path,
+                }
+                for r in registrations
+            ]
+        }
+
+    def resolve_projection(self, payload: Any) -> Optional[Any]:
+        """The registration a /synthesize_audio request's optional
+        "projection" handle names (None = noise-blend path)."""
+        name = payload.get("projection") if isinstance(payload, dict) else None
+        if name is None:
+            return None
+        if not isinstance(name, str) or not name:
+            raise ServingError('"projection" must be a registered handle name')
+        with self._projections_lock:
+            registration = self.projections.get(name)
+        if registration is None:
+            raise ServingError(
+                f'no registered projection "{name}" '
+                f"(registered: {sorted(self.projections)}); POST "
+                "/admin/register_projection first"
+            )
+        return registration
 
     def load_network(self, path: Any) -> Dict[str, Any]:
         """Hot-add a resident network from a pickle path (POST /admin/load).

@@ -526,6 +526,71 @@ def test_audio_endpoint_mirrors_over_multihost(tmp_path):
     assert mirrored >= plan["frames"]  # bucketed shapes pad up
 
 
+def test_projection_blend_mirrors_over_multihost(tmp_path):
+    """The FLAGSHIP transform (projection-file blend via /synthesize_audio)
+    through the multi-host proxies: registration is coordinator-side host
+    state (no broadcast needed), and the w+ dispatches ride the same
+    "matrices" control frames as any dlatents request — the worker renders
+    identical bucketed batches."""
+    from gance_tpu.audio.io import fabricate_percussive_wav
+    from gance_tpu.serving import ServingClient, SynthesisDaemon
+
+    wav = fabricate_percussive_wav(tmp_path / "clip.wav", seconds=1.0).read_bytes()
+    coordinator_nets = [
+        FakeSynthesisNetwork(resolution=16, expected_vector_length=512)
+        for _ in range(2)
+    ]
+    worker_nets = [
+        _RecordingFake(resolution=16, expected_vector_length=512) for _ in range(2)
+    ]
+    rows = int(coordinator_nets[0].config.num_style_rows)
+    rng = np.random.RandomState(5)
+    latents = np.tile(rng.randn(9, 1, 512).astype(np.float32), (1, rows, 1))
+    coordinator = ControlCoordinator(
+        num_workers=1, bind_host="127.0.0.1", port=0, heartbeat_interval_s=0.2
+    )
+    result = {}
+
+    def run():
+        try:
+            result["served"] = run_worker(
+                worker_nets, "127.0.0.1", coordinator.port, 1,
+                recv_timeout_s=30.0, connect_timeout_s=30.0,
+            )
+        except BaseException as error:  # noqa: BLE001
+            result["error"] = error
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    coordinator.accept(network_fingerprint(coordinator_nets), timeout_s=30.0)
+    proxies = wrap_networks_for_multihost(coordinator_nets, coordinator)
+    with SynthesisDaemon(proxies, port=0, max_batch=8, max_delay_ms=0) as daemon:
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=60.0)
+        client.register_projection(
+            final_latents=latents, projection_fps=15.0, name="clip"
+        )
+        plan = client.synthesize_audio(
+            wav, fps=15.0, projection="clip", blend_depth=2, plan=True
+        )
+        assert plan["projection"] == "clip"
+        images = client.synthesize_audio(
+            wav, fps=15.0, projection="clip", blend_depth=2
+        )
+        assert images.shape == (plan["frames"], 16, 16, 3)
+    coordinator.shutdown()
+    thread.join(timeout=10)
+    assert "error" not in result, result
+    # every mirrored dispatch was a w+ batch carrying the full row stack
+    mirrored = [
+        shape
+        for worker in worker_nets
+        for kind, shape in worker.device_batches
+        if kind == "w+"
+    ]
+    assert mirrored and all(shape[1:] == (rows, 512) for shape in mirrored)
+    assert sum(shape[0] for shape in mirrored) >= plan["frames"]
+
+
 def test_unauthenticated_peers_dropped_and_accept_continues():
     """Scanners / stray clients / wrong-token peers are dropped at the
     challenge handshake — pickle never parses their bytes — and the listener
