@@ -24,7 +24,10 @@ and the index semantics of gance/music_into_networks.py.
 
 import base64
 import binascii
+import hashlib
+import threading
 import time
+from collections import OrderedDict
 from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -35,6 +38,71 @@ DEFAULT_FPS = 30.0
 DEFAULT_ALPHA = 0.5
 # The offline CLI's spectrogram amplitude range (cli/music_into_networks.py).
 DEFAULT_FFT_AMPLITUDE_RANGE = (-10.0, 10.0)
+
+
+class PlanCache:
+    """
+    LRU cache for the request-planning DSP (time stretch + spectrogram +
+    blend + reducers — measured 1.5-2 s of host CPU per request on a 1-core
+    host). Keyed by everything that determines the DSP output: the WAV bytes'
+    hash, fps/alpha/fft params, vector length, palette SIZE (index
+    quantization spreads over K networks), and — on the flagship path — the
+    registered projection's content hash + blend depth. The cached value is
+    the (combined, quantized) pair BEFORE palette mapping, so the same clip
+    re-requested against a different palette of the same size still hits.
+
+    Thread-safe; entries are a few MB each (frames x rows x 512 float32), the
+    byte bound keeps a pathological client from ballooning the host.
+    """
+
+    def __init__(self, max_entries: int = 32, max_bytes: int = 512 << 20) -> None:
+        self._lock = threading.Lock()
+        self._entries: "OrderedDict[Tuple, Tuple[np.ndarray, np.ndarray]]" = (
+            OrderedDict()
+        )
+        self._max_entries = max_entries
+        self._max_bytes = max_bytes
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key: Tuple) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        with self._lock:
+            value = self._entries.get(key)
+            if value is None:
+                self.misses += 1
+                return None
+            self._entries.move_to_end(key)
+            self.hits += 1
+            return value
+
+    def put(self, key: Tuple, combined: np.ndarray, quantized: np.ndarray) -> None:
+        size = combined.nbytes + quantized.nbytes
+        if size > self._max_bytes:
+            return
+        with self._lock:
+            if key in self._entries:
+                old = self._entries.pop(key)
+                self._bytes -= old[0].nbytes + old[1].nbytes
+            self._entries[key] = (combined, quantized)
+            self._bytes += size
+            while self._entries and (
+                len(self._entries) > self._max_entries
+                or self._bytes > self._max_bytes
+            ):
+                _key, (old_combined, old_quantized) = self._entries.popitem(
+                    last=False
+                )
+                self._bytes -= old_combined.nbytes + old_quantized.nbytes
+
+    def stats(self) -> Dict[str, int]:
+        with self._lock:
+            return {
+                "entries": len(self._entries),
+                "bytes": self._bytes,
+                "hits": self.hits,
+                "misses": self.misses,
+            }
 
 
 class AudioSynthesisPlan(NamedTuple):
@@ -69,6 +137,9 @@ class RegisteredProjection(NamedTuple):
     frame_count: int  # latent count in the file
     label: str
     path: Optional[str] = None  # HDF5 source (None for posted latents)
+    # Identifies the latent CONTENT for the plan cache (re-registering a
+    # handle with different latents must not serve stale cached plans).
+    content_hash: str = ""
 
 
 class AudioRequestError(ValueError):
@@ -123,6 +194,7 @@ def load_projection_registration(
                 frame_count=int(frame_count),
                 label=final_latents.label,
                 path=str(file_path),
+                content_hash=_latents_hash(matrices, float(projection_fps)),
             )
     except AudioRequestError:
         raise
@@ -162,7 +234,15 @@ def registration_from_latents(
         frame_count=int(frames),
         label=f"posted latents {name}",
         path=None,
+        content_hash=_latents_hash(matrices, float(projection_fps)),
     )
+
+
+def _latents_hash(matrices: np.ndarray, projection_fps: float) -> str:
+    digest = hashlib.sha1()
+    digest.update(np.ascontiguousarray(matrices).tobytes())
+    digest.update(str(projection_fps).encode())
+    return digest.hexdigest()
 
 
 def _float_field(payload: Dict[str, Any], key: str, default: float) -> float:
@@ -200,6 +280,7 @@ def plan_audio_request(
     selected: Sequence[int],
     frame_cap: int,
     projection: Optional[RegisteredProjection] = None,
+    plan_cache: Optional[PlanCache] = None,
 ) -> AudioSynthesisPlan:
     """
     Resolve a /synthesize_audio body to the frames the device will render.
@@ -348,6 +429,27 @@ def plan_audio_request(
                 f"expect {sorted(style_rows)}"
             )
 
+    # The planning DSP (stretch + spectrogram + blend + reducers) is pure in
+    # these inputs, so identical requests reuse the cached (combined,
+    # quantized) pair and skip it entirely. Palette CONTENT is deliberately
+    # outside the key (only its size shapes the DSP) — the per-request
+    # palette mapping below still runs on hits.
+    cache_key = None
+    if plan_cache is not None:
+        cache_key = (
+            hashlib.sha1(wav_raw).hexdigest(), fps, alpha, fft_roll,
+            amplitude_range, vector_length, len(selected),
+            None if projection is None else projection.content_hash,
+            blend_depth,
+        )
+        cached = plan_cache.get(cache_key)
+        if cached is not None:
+            combined, quantized = cached
+            return _assemble_plan(
+                combined, quantized, selected, fps, vector_length, wav_raw,
+                projection, blend_depth, frame_multiplier,
+            )
+
     from gance_tpu.audio.io import read_wavs_scale_for_video
     from gance_tpu.synthesis.inputs import (
         alpha_blend_projection_file,
@@ -434,18 +536,37 @@ def plan_audio_request(
     quantized = np.asarray(
         visualization_input.network_indices.result.data, np.int64
     )
-    # The RMS reducer frames audio at the librosa hop (512), so for
-    # vector lengths != 512 the index series and the frame series disagree
-    # slightly in length; the offline orchestration's rule is min-count +
-    # clip (synthesis/orchestration.py) — same here.
+    if plan_cache is not None and cache_key is not None:
+        plan_cache.put(cache_key, combined, quantized)
+    return _assemble_plan(
+        combined, quantized, selected, fps, vector_length, wav_raw,
+        projection, blend_depth, frame_multiplier,
+    )
+
+
+def _assemble_plan(
+    combined: np.ndarray,
+    quantized: np.ndarray,
+    selected: Sequence[int],
+    fps: float,
+    vector_length: int,
+    wav_raw: bytes,
+    projection: Optional[RegisteredProjection],
+    blend_depth: Optional[int],
+    frame_multiplier: int,
+) -> AudioSynthesisPlan:
+    """The per-request tail AFTER the cacheable DSP: min-count clip + palette
+    mapping (the RMS reducer frames audio at the librosa hop (512), so for
+    vector lengths != 512 the index series and the frame series disagree
+    slightly in length; the offline orchestration's rule is min-count + clip,
+    synthesis/orchestration.py — same here)."""
     count = min(combined.shape[0], quantized.shape[0])
     if count < 1:
         raise AudioRequestError("audio is too short for even one frame")
-    combined = combined[:count]
     palette = np.asarray(list(selected), dtype=np.int64)
     indices = palette[np.clip(quantized[:count], 0, len(selected) - 1)]
     return AudioSynthesisPlan(
-        combined=combined,
+        combined=combined[:count],
         indices=indices,
         selected=list(selected),
         fps=fps,

@@ -211,6 +211,13 @@ def _prometheus_metrics(daemon: "SynthesisDaemon") -> str:
             metric(f"latency_{quantile}_seconds", "gauge",
                    f"Request latency {quantile} over the last 512 requests",
                    round(stats[key] / 1e3, 6))
+    cache_stats = daemon.plan_cache.stats()
+    metric("plan_cache_hits_total", "counter",
+           "Audio planning-DSP cache hits", cache_stats["hits"])
+    metric("plan_cache_misses_total", "counter",
+           "Audio planning-DSP cache misses", cache_stats["misses"])
+    metric("plan_cache_entries", "gauge",
+           "Resident audio plans", cache_stats["entries"])
     frames_by_network = stats.get("frames_by_network")
     if frames_by_network:
         lines.append(
@@ -274,6 +281,14 @@ class SynthesisDaemon:
         # latents stay on the server so requests carry only audio.
         self.projections: Dict[str, Any] = {}
         self._projections_lock = threading.Lock()
+        # Planning-DSP cache: repeat audio requests (same clip + params) skip
+        # the 1.5-2 s host DSP entirely. Planning itself already overlaps
+        # device work by construction — it runs in the per-connection handler
+        # thread while the batcher's dispatch thread owns the device — so the
+        # cache removes the remaining serial cost for sequential clients.
+        from gance_tpu.serving.audio import PlanCache
+
+        self.plan_cache = PlanCache()
         # `network` may be one network or a list of RESIDENT networks (the
         # reference's MultiNetwork concept, network_functions.py:484-640,
         # brought online): requests pick one with {"network": <index|name>},
@@ -338,7 +353,9 @@ class SynthesisDaemon:
                 elif self.path == "/projections":
                     self._reply_json(200, daemon.list_projections())
                 elif self.path == "/stats":
-                    self._reply_json(200, daemon.batcher.stats())
+                    stats = daemon.batcher.stats()
+                    stats["plan_cache"] = daemon.plan_cache.stats()
+                    self._reply_json(200, stats)
                 elif self.path == "/metrics":
                     self._reply(
                         200, _prometheus_metrics(daemon).encode(),
@@ -427,7 +444,7 @@ class SynthesisDaemon:
                     projection = daemon.resolve_projection(payload)
                     plan = plan_audio_request(
                         payload, daemon.networks, selected, frame_cap,
-                        projection=projection,
+                        projection=projection, plan_cache=daemon.plan_cache,
                     )
                     if payload.get("plan"):
                         # routing-plan preview: no device work

@@ -315,3 +315,110 @@ def test_synthesize_plan_cancels_siblings_on_failure(wav_bytes):
         with pytest.raises(RuntimeError, match="device on fire"):
             synthesize_plan(batcher, plan, timeout_s=60.0)
         assert batcher.wait_idle(timeout_s=10.0)
+
+
+# ------------------------------------------------------------- plan cache
+
+
+def test_plan_cache_hit_skips_dsp_and_is_bit_identical(wav_bytes):
+    """Identical requests reuse the cached planning DSP; different params,
+    palette SIZES, and projection content miss. Same-size palettes with
+    different members HIT (mapping is per-request)."""
+    from gance_tpu.serving.audio import (
+        PlanCache,
+        plan_audio_request,
+        registration_from_latents,
+    )
+
+    networks = _fakes(3)
+    cache = PlanCache()
+    body = _payload(wav_bytes, alpha=0.4)
+    first = plan_audio_request(body, networks, [0, 1], 4096, plan_cache=cache)
+    assert cache.stats()["misses"] == 1 and cache.stats()["hits"] == 0
+    second = plan_audio_request(body, networks, [0, 1], 4096, plan_cache=cache)
+    assert cache.stats()["hits"] == 1
+    np.testing.assert_array_equal(first.combined, second.combined)
+    np.testing.assert_array_equal(first.indices, second.indices)
+
+    # same palette size, different members: DSP hits, mapping differs
+    remapped = plan_audio_request(
+        body, networks, [2, 1], 4096, plan_cache=cache
+    )
+    assert cache.stats()["hits"] == 2
+    np.testing.assert_array_equal(remapped.combined, first.combined)
+    palette = np.asarray([2, 1])
+    np.testing.assert_array_equal(
+        remapped.indices, palette[np.searchsorted([0, 1], first.indices)]
+    )
+
+    # different alpha / different palette size: miss
+    plan_audio_request(
+        _payload(wav_bytes, alpha=0.5), networks, [0, 1], 4096, plan_cache=cache
+    )
+    plan_audio_request(body, networks, [0, 1, 2], 4096, plan_cache=cache)
+    assert cache.stats()["misses"] == 3
+
+    # projection path: content hash keys the cache; re-registering different
+    # latents under the same handle must MISS
+    rows = int(networks[0].config.num_style_rows)
+    rng = np.random.RandomState(3)
+    latents_a = np.tile(rng.randn(8, 1, 512).astype(np.float32), (1, rows, 1))
+    latents_b = np.tile(rng.randn(8, 1, 512).astype(np.float32), (1, rows, 1))
+    reg_a = registration_from_latents(latents_a, 15.0, "clip")
+    reg_b = registration_from_latents(latents_b, 15.0, "clip")
+    proj_body = _payload(wav_bytes, blend_depth=2)
+    plan_a = plan_audio_request(
+        proj_body, networks, [0, 1], 4096, projection=reg_a, plan_cache=cache
+    )
+    misses = cache.stats()["misses"]
+    plan_a2 = plan_audio_request(
+        proj_body, networks, [0, 1], 4096, projection=reg_a, plan_cache=cache
+    )
+    assert cache.stats()["misses"] == misses  # hit
+    np.testing.assert_array_equal(plan_a.combined, plan_a2.combined)
+    plan_audio_request(
+        proj_body, networks, [0, 1], 4096, projection=reg_b, plan_cache=cache
+    )
+    assert cache.stats()["misses"] == misses + 1  # different content: miss
+
+
+def test_plan_cache_lru_and_byte_bounds():
+    from gance_tpu.serving.audio import PlanCache
+
+    cache = PlanCache(max_entries=2, max_bytes=1 << 20)
+    a = np.zeros((4, 512), np.float32)
+    q = np.zeros(4, np.int64)
+    cache.put(("k1",), a, q)
+    cache.put(("k2",), a, q)
+    cache.put(("k3",), a, q)  # evicts k1
+    assert cache.get(("k1",)) is None
+    assert cache.get(("k2",)) is not None
+    # an entry bigger than the byte bound is refused, not stored
+    cache.put(("huge",), np.zeros((600, 512), np.float64), q)
+    big = np.zeros((1024, 512), np.float32)  # 2 MB > 1 MB bound
+    cache.put(("big",), big, q)
+    assert cache.get(("big",)) is None
+
+
+def test_daemon_stats_expose_plan_cache(wav_bytes):
+    """/stats and /metrics carry the plan-cache counters."""
+    import json
+    import urllib.request
+
+    with SynthesisDaemon(_fakes(2), port=0, max_batch=8, max_delay_ms=0) as daemon:
+        from gance_tpu.serving import ServingClient
+
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=60.0)
+        client.synthesize_audio(wav_bytes, fps=15.0, plan=True)
+        client.synthesize_audio(wav_bytes, fps=15.0, plan=True)
+        stats = json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{daemon.port}/stats", timeout=30
+            ).read()
+        )
+        assert stats["plan_cache"]["misses"] == 1
+        assert stats["plan_cache"]["hits"] == 1
+        metrics = urllib.request.urlopen(
+            f"http://127.0.0.1:{daemon.port}/metrics", timeout=30
+        ).read().decode()
+        assert "gance_serving_plan_cache_hits_total 1" in metrics
