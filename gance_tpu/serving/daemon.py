@@ -16,7 +16,10 @@ exposes a loaded generator for production serving:
       {"seeds": [0, 1, ...]}                 server-side N(0,1) z per seed
       {"count": N, "seed": S}                N z rows from one RandomState
       optional "format": "npy" (default; one (B, H, W, 3) uint8 np.save blob,
-      shape echoed in X-Gance-Shape) or "png" (exactly one image);
+      shape echoed in X-Gance-Shape), "png" (exactly one image), "png-zip"
+      (a ZIP of lossless PNGs — compressed egress for full-resolution
+      batches), or "avi" (MJPEG video of the frames at the request's "fps",
+      default 30 — smallest egress, also playable);
       optional "network": index or name when the daemon serves several
       resident networks (the reference's MultiNetwork brought online;
       /healthz lists them) — default 0.
@@ -152,16 +155,42 @@ def _rows_from_request(
     return rows
 
 
+_FORMATS = ("npy", "png", "png-zip", "avi")
+
+
 def _validate_format(fmt: str, num_frames: int) -> None:
     """Reject bad `format` BEFORE device work is spent on the request."""
-    if fmt not in ("npy", "png"):
-        raise ServingError(f"unknown format {fmt!r} (expected 'npy' or 'png')")
+    if fmt not in _FORMATS:
+        raise ServingError(
+            f"unknown format {fmt!r} (expected one of {', '.join(_FORMATS)})"
+        )
     if fmt == "png" and num_frames != 1:
         raise ServingError("'format': 'png' requires exactly one image")
 
 
-def _encode_images(images: np.ndarray, fmt: str) -> Tuple[bytes, str]:
-    """(B, H, W, 3) uint8 -> (body, content_type)."""
+def _encode_png(image: np.ndarray) -> bytes:
+    import cv2
+
+    ok, encoded = cv2.imencode(".png", cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
+    if not ok:
+        raise RuntimeError("PNG encode failed")
+    return encoded.tobytes()
+
+
+def _encode_images(
+    images: np.ndarray, fmt: str, fps: float = 30.0
+) -> Tuple[bytes, str]:
+    """(B, H, W, 3) uint8 -> (body, content_type).
+
+    Compressed egress formats (the full-resolution daemon numbers are
+    EGRESS-bound over any real network — 3 MB/frame as npy at 1024px):
+      * "png-zip": a ZIP (stored — PNG is already deflated) of one lossless
+        PNG per frame, encoded on a thread pool so the wall cost is
+        cores-parallel.
+      * "avi": the frames as an MJPEG video via the same writer stack as the
+        offline CLIs (lossy, much smaller; also directly playable). The
+        request's "fps" field (default 30) sets the timebase.
+    """
     if fmt == "npy":
         buffer = io.BytesIO()
         np.save(buffer, images)
@@ -169,13 +198,37 @@ def _encode_images(images: np.ndarray, fmt: str) -> Tuple[bytes, str]:
     if fmt == "png":
         if images.shape[0] != 1:  # unreachable: _validate_format ran pre-submit
             raise ServingError("'format': 'png' requires exactly one image")
-        import cv2
+        return _encode_png(images[0]), "image/png"
+    if fmt == "png-zip":
+        import zipfile
+        from concurrent.futures import ThreadPoolExecutor
 
-        ok, encoded = cv2.imencode(".png", cv2.cvtColor(images[0], cv2.COLOR_RGB2BGR))
-        if not ok:
-            raise RuntimeError("PNG encode failed")
-        return encoded.tobytes(), "image/png"
-    raise ServingError(f"unknown format {fmt!r} (expected 'npy' or 'png')")
+        workers = min(len(images), os.cpu_count() or 1)
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                blobs = list(pool.map(_encode_png, list(images)))
+        else:
+            blobs = [_encode_png(image) for image in images]
+        buffer = io.BytesIO()
+        with zipfile.ZipFile(buffer, "w", zipfile.ZIP_STORED) as archive:
+            for index, blob in enumerate(blobs):
+                archive.writestr(f"frame_{index:06d}.png", blob)
+        return buffer.getvalue(), "application/zip"
+    if fmt == "avi":
+        import tempfile
+        from pathlib import Path
+
+        from gance_tpu.media.video import write_source_to_disk_consume
+
+        with tempfile.TemporaryDirectory() as tmp:
+            path = Path(tmp) / "frames.avi"
+            write_source_to_disk_consume(
+                iter(list(images)), path, video_fps=float(fps)
+            )
+            return path.read_bytes(), "video/x-msvideo"
+    raise ServingError(
+        f"unknown format {fmt!r} (expected one of {', '.join(_FORMATS)})"
+    )
 
 
 def _prometheus_metrics(daemon: "SynthesisDaemon") -> str:
@@ -551,7 +604,9 @@ class SynthesisDaemon:
                              f"{REQUEST_TIMEOUT_S:g}s"},
                         )
                         return
-                    body, content_type = _encode_images(images, fmt)
+                    body, content_type = _encode_images(
+                        images, fmt, fps=float(payload.get("fps", 30.0))
+                    )
                 except (ServingError, ValueError, json.JSONDecodeError) as error:
                     self._reply_json(400, {"error": str(error)})
                     return

@@ -1051,3 +1051,78 @@ def test_two_phase_loader_keeps_serving_through_prepare():
             np.zeros((1, 32), np.float32), network_index=1
         ).result(timeout=30)
         assert images.shape == (1, 16, 16, 3)
+
+
+def test_daemon_compressed_egress_png_zip_and_avi(real_daemon):
+    """Compressed egress formats: png-zip round-trips LOSSLESSLY to the npy
+    frames; avi returns playable MJPEG of the same shape at the posted fps."""
+    import zipfile
+
+    import cv2
+
+    daemon, network = real_daemon
+    latents = np.random.RandomState(1).randn(
+        4, network.expected_vector_length
+    ).astype(np.float32)
+    expected = network.images_from_vectors(latents)
+
+    status, body, _ = _post(
+        f"http://127.0.0.1:{daemon.port}/synthesize",
+        {"latents": latents.tolist(), "format": "png-zip"},
+    )
+    assert status == 200
+    with zipfile.ZipFile(io.BytesIO(body)) as archive:
+        names = sorted(archive.namelist())
+        assert names == [f"frame_{i:06d}.png" for i in range(4)]
+        decoded = np.stack(
+            [
+                cv2.cvtColor(
+                    cv2.imdecode(
+                        np.frombuffer(archive.read(name), np.uint8),
+                        cv2.IMREAD_COLOR,
+                    ),
+                    cv2.COLOR_BGR2RGB,
+                )
+                for name in names
+            ]
+        )
+    np.testing.assert_array_equal(decoded, expected)
+
+    status, body, _ = _post(
+        f"http://127.0.0.1:{daemon.port}/synthesize",
+        {"latents": latents.tolist(), "format": "avi", "fps": 24.0},
+    )
+    assert status == 200
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".avi") as handle:
+        handle.write(body)
+        handle.flush()
+        capture = cv2.VideoCapture(handle.name)
+        assert int(capture.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
+        assert capture.get(cv2.CAP_PROP_FPS) == 24.0
+        ok, frame = capture.read()
+        capture.release()
+    assert ok and frame.shape == expected.shape[1:]
+
+    # unknown formats still rejected before device work
+    with pytest.raises(urllib.error.HTTPError) as info:
+        _post(
+            f"http://127.0.0.1:{daemon.port}/synthesize",
+            {"latents": latents.tolist(), "format": "jpeg"},
+        )
+    assert info.value.code == 400
+
+
+def test_client_synthesize_compressed(real_daemon):
+    from gance_tpu.serving import ServingClient
+
+    daemon, network = real_daemon
+    client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=60.0)
+    blob = client.synthesize_compressed(seeds=[3, 4], format="png-zip")
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(blob)) as archive:
+        assert len(archive.namelist()) == 2
+    with pytest.raises(ValueError, match="png-zip"):
+        client.synthesize_compressed(seeds=[3], format="bmp")
