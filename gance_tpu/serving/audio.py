@@ -578,6 +578,126 @@ def _assemble_plan(
     )
 
 
+def parse_overlay_params(payload: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    """The optional "overlay" object of a /synthesize_audio request: the
+    offline CLI's all-or-none overlay option group (music_into_networks.py
+    --phash-distance/--bbox-distance/--track-length) as JSON fields."""
+    overlay = payload.get("overlay")
+    if overlay is None:
+        return None
+    if not isinstance(overlay, dict):
+        raise AudioRequestError(
+            '"overlay" must be an object with "phash_distance", '
+            '"bbox_distance", "track_length"'
+        )
+    required = ("phash_distance", "bbox_distance", "track_length")
+    missing = [key for key in required if key not in overlay]
+    if missing:
+        raise AudioRequestError(
+            f'"overlay" is missing {missing} (the overlay gate is '
+            "all-or-none, like the offline CLI's option group)"
+        )
+    try:
+        parsed = {
+            "phash_distance": int(overlay["phash_distance"]),
+            "bbox_distance": float(overlay["bbox_distance"]),
+            "track_length": int(overlay["track_length"]),
+            "detection_side": (
+                int(overlay["detection_side"])
+                if overlay.get("detection_side") is not None
+                else None
+            ),
+            "smoothing": int(overlay.get("smoothing", 0)),
+        }
+    except (TypeError, ValueError) as error:
+        raise AudioRequestError(f'bad "overlay" field: {error}') from error
+    return parsed
+
+
+def composite_overlay(
+    images: np.ndarray,
+    projection: RegisteredProjection,
+    frame_multiplier: int,
+    overlay_params: Dict[str, Any],
+) -> np.ndarray:
+    """
+    The flagship pipeline's eye-tracked overlay applied to the ONLINE render:
+    foreground = the projection file's target frames (scaled to the response
+    side, repeated to the output fps), background = the synthesized frames;
+    eyes matched and gated per frame, short tracks rejected, matched targets
+    composited over the synthesis. Mirrors
+    pipelines/projection_file_blend.py:232-326 (reference
+    projection_file_blend.py:184-273) without the streaming/resume machinery
+    — a request's frames are already materialized.
+    """
+    from itertools import islice
+
+    from gance_tpu.audio import reduction as vector_reduction
+    from gance_tpu.media.video import scale_square_source_duplicate
+    from gance_tpu.overlay.common import write_boxes_onto_image
+    from gance_tpu.overlay.eye_tracking import compute_eye_tracking_overlay
+    from gance_tpu.projection import file_reader as projection_file_reader
+    from pathlib import Path
+
+    if projection.path is None:
+        raise AudioRequestError(
+            f'projection "{projection.name}" was registered from posted '
+            "latents; the overlay needs the projection FILE's target frames "
+            '— register with {"path": ...}'
+        )
+    side = int(images.shape[1])
+    with projection_file_reader.load_projection_file(
+        Path(projection.path)
+    ) as reader:
+        targets = list(
+            islice(
+                scale_square_source_duplicate(
+                    source=reader.target_images,
+                    output_side_length=side,
+                    frame_multiplier=frame_multiplier,
+                ),
+                len(images),
+            )
+        )
+    if len(targets) < len(images):
+        raise AudioRequestError(
+            f'projection "{projection.name}" supplies {len(targets)} target '
+            f"frames but the request renders {len(images)}"
+        )
+    overlay_results = compute_eye_tracking_overlay(
+        foreground_images=iter(targets),
+        background_images=iter(list(images)),
+        min_phash_distance=overlay_params["phash_distance"],
+        min_bbox_distance=overlay_params["bbox_distance"],
+        detection_side=overlay_params.get("detection_side"),
+        temporal_smoothing=overlay_params.get("smoothing", 0),
+    )
+    all_boxes = list(overlay_results.bbox_lists)
+    long_tracks = vector_reduction.track_length_filter(
+        bool_tracks=np.asarray([box is not None for box in all_boxes]),
+        track_length=overlay_params["track_length"],
+    )
+    composited = np.stack(
+        [
+            write_boxes_onto_image(
+                foreground_image=foreground,
+                background_image=background,
+                bounding_boxes=boxes,
+            )
+            if in_track
+            else background
+            for boxes, foreground, background, in_track in zip(
+                all_boxes, targets, images, list(long_tracks)
+            )
+        ]
+    )
+    overlaid = int(np.sum(long_tracks))
+    LOGGER.info(
+        "online overlay: %d/%d frames composited", overlaid, len(images)
+    )
+    return composited
+
+
 def encode_music_video(
     images: np.ndarray, wav_bytes: bytes, fps: float
 ) -> bytes:

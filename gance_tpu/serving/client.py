@@ -117,6 +117,7 @@ class ServingClient:
         format: str = "npy",  # noqa: A002 - mirrors the HTTP field name
         projection: Optional[str] = None,
         blend_depth: Optional[int] = None,
+        overlay: Optional[Dict[str, Any]] = None,
     ) -> Union[np.ndarray, Dict[str, Any], bytes]:
         """Music -> frames, online (POST /synthesize_audio): the server runs
         the reference's noise-blend transform on the WAV and routes each
@@ -147,6 +148,11 @@ class ServingClient:
             body["projection"] = str(projection)
         if blend_depth is not None:
             body["blend_depth"] = int(blend_depth)
+        if overlay is not None:
+            # {"phash_distance", "bbox_distance", "track_length"} (+ optional
+            # "detection_side", "smoothing"): composites the registered
+            # projection's target frames into the avi via the eye tracker
+            body["overlay"] = dict(overlay)
         if plan:
             body["plan"] = True
             return self._post_json("/synthesize_audio", body)

@@ -478,7 +478,9 @@ class SynthesisDaemon:
 
                 from gance_tpu.serving.audio import (
                     AudioRequestError,
+                    composite_overlay,
                     encode_music_video,
+                    parse_overlay_params,
                     plan_audio_request,
                     synthesize_plan,
                 )
@@ -491,6 +493,20 @@ class SynthesisDaemon:
                             f"unknown audio format {fmt!r} (expected 'npy' "
                             "frames or 'avi' — a playable video with the "
                             "posted audio muxed in)"
+                        )
+                    overlay_params = parse_overlay_params(payload)
+                    if overlay_params is not None and fmt != "avi":
+                        raise ServingError(
+                            '"overlay" composites the projection targets '
+                            "into the music video — it requires "
+                            '{"format": "avi"}'
+                        )
+                    if overlay_params is not None and not payload.get(
+                        "projection"
+                    ):
+                        raise ServingError(
+                            '"overlay" needs a registered projection (its '
+                            "target frames are the overlay foreground)"
                         )
                     selected = daemon.resolve_audio_palette(payload)
                     frame_cap = min(daemon.frame_caps[i] for i in selected)
@@ -528,6 +544,16 @@ class SynthesisDaemon:
                         )
                         return
                     if fmt == "avi":
+                        if overlay_params is not None:
+                            # the reference's eye-tracked overlay, online:
+                            # target frames from the registered projection
+                            # file composited over the synthesis where the
+                            # gates agree (the complete Won Pound transform
+                            # from one request)
+                            images = composite_overlay(
+                                images, projection, plan.frame_multiplier,
+                                overlay_params,
+                            )
                         # the complete reference deliverable, one request:
                         # frames at fps + the posted audio, muxed server-side
                         body = encode_music_video(images, plan.wav_bytes, plan.fps)

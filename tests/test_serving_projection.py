@@ -371,3 +371,163 @@ def test_daemon_register_projection_from_file(wav_bytes, tmp_path):
                 {"final_latents_base64": "!!!", "name": "x"},
             )
         assert info.value.status == 400
+
+
+# -------------------------------------------------- overlay-composited avi
+
+
+FACE_IMAGE = "/root/reference/test/assets/face_image.jpeg"
+
+
+class _FaceFake(FakeSynthesisNetwork):
+    """Fake whose output IS a face image, so the eye tracker finds eyes in
+    both the overlay foreground (projection targets) and background
+    (synthesis) and the composite gate can fire."""
+
+    def __init__(self, face: np.ndarray, **kwargs):
+        super().__init__(**kwargs)
+        self._face = face
+
+    def _render(self, batch: np.ndarray) -> np.ndarray:
+        return np.broadcast_to(
+            self._face[None], (batch.shape[0],) + self._face.shape
+        ).copy()
+
+
+def _face_square(side: int) -> np.ndarray:
+    import cv2
+
+    image = cv2.imread(FACE_IMAGE)
+    assert image is not None
+    h, w = image.shape[:2]
+    short = min(h, w)
+    crop = image[:short, (w - short) // 2 : (w - short) // 2 + short]
+    return cv2.cvtColor(
+        cv2.resize(crop, (side, side), interpolation=cv2.INTER_AREA),
+        cv2.COLOR_BGR2RGB,
+    )
+
+
+def _write_projection_file(path, latents, targets, projection_fps=15.0):
+    from gance_tpu.projection.file_writer import ProjectionFileWriter
+    from gance_tpu.projection.projection_types import (
+        LATEST_VERSION,
+        ProjectionAttributes,
+    )
+
+    frames = latents.shape[0]
+    side = targets.shape[1]
+    attrs = ProjectionAttributes(
+        version_number=LATEST_VERSION, complete=False,
+        original_target_path="t", original_width_height=(side, side),
+        projection_width_height=(side, side), target_md5_hash="0" * 32,
+        original_network_path="n", network_md5_hash="0" * 32,
+        steps_in_projection=1, noises_shapes=np.nan,
+        latents_histories_enabled=False, noises_histories_enabled=False,
+        images_histories_enabled=False, original_fps=projection_fps,
+        projection_fps=projection_fps, original_frame_count=frames,
+        projection_frame_count=frames,
+    )
+    writer = ProjectionFileWriter(path, attrs)
+    for index in range(frames):
+        with writer.frame_writer() as frame_writer:
+            frame_writer.finish(targets[index], latents[index][None], targets[index])
+    writer.close(complete=True)
+
+
+def test_daemon_overlay_composited_music_video(wav_bytes, tmp_path):
+    """format=avi + overlay: the projection file's target frames composite
+    into the video where the eye gates agree — the complete Won Pound
+    transform from one HTTP request. Validation: overlay requires avi, a
+    registered projection, and a file-backed registration."""
+    import cv2
+
+    from gance_tpu.serving import ServingClient, ServingClientError
+
+    side = 256
+    face = _face_square(side)
+    # the synthesized background is a DIMMED face: eyes still detectable in
+    # both streams, and a fired composite visibly restores the bright target
+    network = _FaceFake(
+        (face * 0.6).astype(np.uint8), resolution=side,
+        expected_vector_length=VECTOR_LENGTH,
+    )
+    network.path = Path("/nets/face_net.pkl")
+    rows = int(network.config.num_style_rows)
+    frames = 8
+    rng = np.random.RandomState(7)
+    latents = np.tile(
+        rng.randn(frames, 1, VECTOR_LENGTH).astype(np.float32), (1, rows, 1)
+    )
+    targets = np.broadcast_to(face[None], (frames,) + face.shape).copy()
+    projection_path = tmp_path / "faces.hdf5"
+    _write_projection_file(projection_path, latents, targets)
+
+    overlay = {"phash_distance": 30, "bbox_distance": 50.0, "track_length": 1}
+    with SynthesisDaemon(network, port=0, max_batch=8, max_delay_ms=0) as daemon:
+        client = ServingClient(f"http://127.0.0.1:{daemon.port}", timeout_s=120.0)
+        client.register_projection(path=str(projection_path))
+
+        # validation: overlay without avi / without projection / posted-latents
+        with pytest.raises(ServingClientError) as info:
+            client.synthesize_audio(
+                wav_bytes, fps=15.0, projection="faces", overlay=overlay
+            )
+        assert info.value.status == 400 and "avi" in info.value.message
+        with pytest.raises(ServingClientError) as info:
+            client.synthesize_audio(
+                wav_bytes, fps=15.0, format="avi", overlay=overlay
+            )
+        assert info.value.status == 400 and "projection" in info.value.message
+        client.register_projection(
+            final_latents=latents, projection_fps=15.0, name="posted"
+        )
+        with pytest.raises(ServingClientError) as info:
+            client.synthesize_audio(
+                wav_bytes, fps=15.0, format="avi", projection="posted",
+                overlay=overlay,
+            )
+        assert info.value.status == 400 and "target frames" in info.value.message
+        with pytest.raises(ServingClientError) as info:
+            client.synthesize_audio(
+                wav_bytes, fps=15.0, format="avi", projection="faces",
+                overlay={"phash_distance": 30},
+            )
+        assert info.value.status == 400 and "all-or-none" in info.value.message
+
+        # the real thing: a playable video with the overlay composited
+        avi = client.synthesize_audio(
+            wav_bytes, fps=15.0, format="avi", projection="faces",
+            overlay=overlay,
+        )
+        video_path = tmp_path / "flagship.avi"
+        video_path.write_bytes(avi)
+        capture = cv2.VideoCapture(str(video_path))
+        count = int(capture.get(cv2.CAP_PROP_FRAME_COUNT))
+        ok, first = capture.read()
+        capture.release()
+        assert ok and count == frames and first.shape == (side, side, 3)
+
+        # certify against the library path: same plan + composite direct
+        from gance_tpu.serving.audio import (
+            composite_overlay,
+            load_projection_registration,
+            parse_overlay_params,
+            plan_audio_request,
+        )
+
+        reg = load_projection_registration(str(projection_path))
+        plan = plan_audio_request(
+            _payload(wav_bytes, fps=15.0, projection="faces"),
+            [network], [0], daemon.frame_cap, projection=reg,
+        )
+        rendered = network.images_from_matrices(plan.combined)
+        composited = composite_overlay(
+            rendered, reg, plan.frame_multiplier,
+            parse_overlay_params({"overlay": overlay}),
+        )
+        # fg==bg (both the face): eyes match at distance 0, every frame
+        # composites — the composite differs from the raw render exactly
+        # where the eye boxes were drawn
+        assert not np.array_equal(composited, rendered)
+        assert np.array_equal(composited.shape, rendered.shape)
