@@ -21,6 +21,9 @@ from gance_tpu.cli.common import (
 @click.group()
 def cli() -> None:
     """Map music into the latent space of StyleGAN2 networks."""
+    from gance_tpu.utils.profiling import start_memwatch
+
+    start_memwatch()  # no-op unless GANCE_TPU_MEMWATCH is set
 
 
 @cli.command(name="noise-blend")

@@ -127,6 +127,9 @@ def _pop_distributed_options(kwargs: dict) -> None:
 @click.group()
 def cli() -> None:
     """Project videos into the latent space of networks, creating projection files."""
+    from gance_tpu.utils.profiling import start_memwatch
+
+    start_memwatch()  # no-op unless GANCE_TPU_MEMWATCH is set
 
 
 def _run_projection(

@@ -139,7 +139,9 @@ def cli(  # pylint: disable=too-many-arguments
     from gance_tpu.serving import SynthesisDaemon, default_max_batch
     from gance_tpu.serving.batcher import warmup_batch_sizes
     from gance_tpu.synthesis.runtime import SynthesisNetwork
+    from gance_tpu.utils.profiling import start_memwatch
 
+    start_memwatch()  # no-op unless GANCE_TPU_MEMWATCH is set
     if log_path:
         add_log_file(Path(log_path))
 

@@ -124,3 +124,78 @@ def timed_iterator(name: str, iterator: Iterable[_T]) -> Iterator[_T]:
         # the generator is closed/finalized (end of pipeline), not only on
         # clean exhaustion.
         timer.summary()
+
+
+def start_memwatch(path: Optional[Path] = None, interval_s: float = 5.0) -> bool:
+    """
+    Endurance observability: a daemon thread appending one JSON line per
+    `interval_s` to `path` (default: $GANCE_TPU_MEMWATCH) with wall time, host
+    RSS (from /proc/self/status), and device HBM in use
+    (`Device.memory_stats()` where the backend exposes it — the axon TPU
+    plugin does; XLA:CPU returns None and the field is null). Idempotent;
+    returns True when the watcher is running.
+
+    The hour-scale stability question ("does the streaming design hold memory
+    flat over >=10k frames?") needs in-process sampling — HBM is invisible
+    from outside — so every CLI calls this once at entry; without the env var
+    it is a no-op.
+    """
+    target = path or (
+        Path(os.environ["GANCE_TPU_MEMWATCH"])
+        if os.environ.get("GANCE_TPU_MEMWATCH")
+        else None
+    )
+    if target is None:
+        return False
+    if getattr(start_memwatch, "_started", None) == str(target):
+        return True
+
+    import threading
+
+    def rss_bytes() -> Optional[int]:
+        try:
+            with open("/proc/self/status", "r", encoding="ascii") as handle:
+                for line in handle:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1]) * 1024
+        except OSError:
+            return None
+        return None
+
+    def hbm_bytes() -> Optional[int]:
+        try:
+            import jax
+
+            devices = [
+                d for d in jax.local_devices() if d.platform != "cpu"
+            ]
+            if not devices:
+                return None
+            stats = devices[0].memory_stats()
+            if not stats:
+                return None
+            return int(stats.get("bytes_in_use", 0)) or None
+        except Exception:  # pragma: no cover - backend-dependent surface
+            return None
+
+    start = time.time()
+
+    def loop() -> None:
+        while True:
+            record = {
+                "t": round(time.time() - start, 1),
+                "rss": rss_bytes(),
+                "hbm": hbm_bytes(),
+            }
+            try:
+                with open(target, "a", encoding="ascii") as handle:
+                    handle.write(json.dumps(record) + "\n")
+            except OSError:
+                pass
+            time.sleep(interval_s)
+
+    thread = threading.Thread(target=loop, name="memwatch", daemon=True)
+    thread.start()
+    start_memwatch._started = str(target)  # type: ignore[attr-defined]
+    LOGGER.info("memwatch sampling RSS+HBM every %gs -> %s", interval_s, target)
+    return True
