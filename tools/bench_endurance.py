@@ -302,6 +302,9 @@ def main() -> None:
         "deliverable_md5": digest["md5"],
         "memory": summarize_memwatch(memwatch),
     }
+    # durable artifact BEFORE the optional (equally long) uninterrupted arm
+    (workdir / "ENDURANCE.json").write_text(json.dumps(record, indent=1))
+    print(json.dumps(record), flush=True)
     if args.verify_uninterrupted:
         clean_output = workdir / "endurance_clean.avi"
         clean_memwatch = workdir / "memwatch_clean.jsonl"
@@ -315,11 +318,12 @@ def main() -> None:
             raise RuntimeError(f"uninterrupted run failed rc={rc}")
         clean_digest = video_digest(clean_output)
         record["uninterrupted_md5"] = clean_digest["md5"]
+        record["uninterrupted_memory"] = summarize_memwatch(clean_memwatch)
         record["resumed_equals_uninterrupted"] = (
             clean_digest == digest
         )
-    (workdir / "ENDURANCE.json").write_text(json.dumps(record, indent=1))
-    print(json.dumps(record), flush=True)
+        (workdir / "ENDURANCE.json").write_text(json.dumps(record, indent=1))
+        print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
