@@ -49,6 +49,7 @@ def main() -> None:
             sys.executable, "/root/repo/serve_network.py",
             "--network-path", NETWORK, "--port", "0",
             "--max-batch", "48", "--max-delay-ms", "0",
+            "--compute-dtype", "bfloat16",
         ],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
