@@ -246,6 +246,7 @@ def compute_eye_tracking_overlay(
     detection_side: Optional[int] = None,
     detection_workers: Optional[int] = None,
     temporal_smoothing: int = 0,
+    want_contexts: bool = True,
 ) -> OverlayResult:
     """
     Lazily compute per-frame overlay decisions; returns the two decision streams
@@ -348,6 +349,14 @@ def compute_eye_tracking_overlay(
             for record in records
         )
 
+    if not want_contexts:
+        # No tee: a consumer that never drains `contexts` would otherwise
+        # leave the tee buffering one _FrameOverlayResult per frame for the
+        # whole run (O(frames) host memory on album-length renders).
+        return OverlayResult(
+            bbox_lists=(r.foreground_bounding_boxes for r in results),
+            contexts=iter(()),
+        )
     # Split the per-frame tuples into two lockstep streams without materializing.
     primary, secondary = itertools.tee(results, 2)
     return OverlayResult(

@@ -276,6 +276,9 @@ def _resumable_blend(  # pylint: disable=too-many-locals
                 skip_mask=skip_mask[detect_from:],
                 detection_side=overlay_detection_side,
                 temporal_smoothing=overlay_smoothing,
+                # the resumable path never reads contexts; without this the
+                # tee buffers one result per frame for the whole render
+                want_contexts=False,
             )
             boxes_stream = overlay_results.bbox_lists
             for _ in range(warm):

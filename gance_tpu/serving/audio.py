@@ -671,6 +671,7 @@ def composite_overlay(
         min_bbox_distance=overlay_params["bbox_distance"],
         detection_side=overlay_params.get("detection_side"),
         temporal_smoothing=overlay_params.get("smoothing", 0),
+        want_contexts=False,  # online composite never reads contexts
     )
     all_boxes = list(overlay_results.bbox_lists)
     long_tracks = vector_reduction.track_length_filter(
