@@ -221,6 +221,20 @@ def registration_from_latents(
     frames, num_rows, vector_length = latents.shape
     if frames < 1:
         raise AudioRequestError("final latents carry zero frames")
+    # The blend rides the projector-output property that every style row is
+    # identical (reference verify_projection_file_assumptions;
+    # visualization_inputs.py:220-231 takes row 0 and re-tiles). Accepting
+    # row-distinct (e.g. style-mixed) latents here would SILENTLY replace
+    # rows 1..N with copies of row 0 downstream — reject loudly instead.
+    if not np.array_equal(
+        latents, np.broadcast_to(latents[:, :1, :], latents.shape)
+    ):
+        raise AudioRequestError(
+            "final latents must carry identical style rows per frame (the "
+            "projector's output property, which the blend's row-0 shortcut "
+            "relies on); row-distinct latents would lose rows 1.."
+            f"{num_rows - 1} silently"
+        )
     # (frames, R, V) -> the reader's concatenated layout (R, frames * V)
     matrices = np.ascontiguousarray(
         latents.transpose(1, 0, 2).reshape(num_rows, frames * vector_length)

@@ -168,6 +168,25 @@ def _validate_format(fmt: str, num_frames: int) -> None:
         raise ServingError("'format': 'png' requires exactly one image")
 
 
+_ENCODER_POOL = None
+_ENCODER_POOL_LOCK = threading.Lock()
+
+
+def _encoder_pool():
+    """Shared PNG-encode thread pool (lazy): per-request pools would pay
+    thread churn and let K concurrent requests run K x N_cpu threads."""
+    global _ENCODER_POOL  # noqa: PLW0603 - process-lifetime singleton
+    with _ENCODER_POOL_LOCK:
+        if _ENCODER_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _ENCODER_POOL = ThreadPoolExecutor(
+                max_workers=min(8, os.cpu_count() or 1),
+                thread_name_prefix="png-encode",
+            )
+        return _ENCODER_POOL
+
+
 def _encode_png(image: np.ndarray) -> bytes:
     import cv2
 
@@ -201,12 +220,9 @@ def _encode_images(
         return _encode_png(images[0]), "image/png"
     if fmt == "png-zip":
         import zipfile
-        from concurrent.futures import ThreadPoolExecutor
 
-        workers = min(len(images), os.cpu_count() or 1)
-        if workers > 1:
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                blobs = list(pool.map(_encode_png, list(images)))
+        if len(images) > 1 and (os.cpu_count() or 1) > 1:
+            blobs = list(_encoder_pool().map(_encode_png, list(images)))
         else:
             blobs = [_encode_png(image) for image in images]
         buffer = io.BytesIO()
@@ -511,6 +527,19 @@ class SynthesisDaemon:
                     selected = daemon.resolve_audio_palette(payload)
                     frame_cap = min(daemon.frame_caps[i] for i in selected)
                     projection = daemon.resolve_projection(payload)
+                    if (
+                        overlay_params is not None
+                        and projection is not None
+                        and projection.path is None
+                    ):
+                        # pre-flight: composite_overlay would reject this
+                        # anyway, but only AFTER the full device render
+                        raise ServingError(
+                            f'projection "{projection.name}" was registered '
+                            "from posted latents; the overlay needs the "
+                            "projection FILE's target frames — register "
+                            'with {"path": ...}'
+                        )
                     plan = plan_audio_request(
                         payload, daemon.networks, selected, frame_cap,
                         projection=projection, plan_cache=daemon.plan_cache,
@@ -619,6 +648,18 @@ class SynthesisDaemon:
                     )
                     fmt = payload.get("format", "npy")
                     _validate_format(fmt, rows.shape[0])
+                    # parse + range-check avi's fps BEFORE device work, like
+                    # every other request-shape gate
+                    try:
+                        fps = float(payload.get("fps", 30.0))
+                    except (TypeError, ValueError) as error:
+                        raise ServingError(
+                            f'"fps" must be a number: {error}'
+                        ) from error
+                    if fmt == "avi" and not 0 < fps <= 240:
+                        raise ServingError(
+                            f'"fps" must be in (0, 240], got {fps:g}'
+                        )
                     future = daemon.batcher.submit(rows, network_index=index)
                     try:
                         images = future.result(timeout=REQUEST_TIMEOUT_S)
@@ -630,9 +671,7 @@ class SynthesisDaemon:
                              f"{REQUEST_TIMEOUT_S:g}s"},
                         )
                         return
-                    body, content_type = _encode_images(
-                        images, fmt, fps=float(payload.get("fps", 30.0))
-                    )
+                    body, content_type = _encode_images(images, fmt, fps=fps)
                 except (ServingError, ValueError, json.JSONDecodeError) as error:
                     self._reply_json(400, {"error": str(error)})
                     return
@@ -770,6 +809,10 @@ class SynthesisDaemon:
         else:
             if name is None:
                 raise ServingError('posted latents need an explicit "name"')
+            if not isinstance(encoded, str):
+                raise ServingError(
+                    '"final_latents_base64" must be a base64 string'
+                )
             try:
                 raw = base64.b64decode(encoded, validate=True)
                 latents = np.load(_io.BytesIO(raw), allow_pickle=False)

@@ -147,8 +147,16 @@ def start_memwatch(path: Optional[Path] = None, interval_s: float = 5.0) -> bool
     )
     if target is None:
         return False
-    if getattr(start_memwatch, "_started", None) == str(target):
-        return True
+    started = getattr(start_memwatch, "_started", None)
+    if started is not None:
+        # One sampler per process: a second call with a different target
+        # must not spawn an unkillable duplicate thread silently.
+        if started != str(target):
+            LOGGER.warning(
+                "memwatch already sampling to %s; ignoring new target %s",
+                started, target,
+            )
+        return started == str(target)
 
     import threading
 

@@ -1112,6 +1112,15 @@ def test_daemon_compressed_egress_png_zip_and_avi(real_daemon):
             {"latents": latents.tolist(), "format": "jpeg"},
         )
     assert info.value.code == 400
+    # avi's fps is parsed + range-checked BEFORE synthesis: null and 0 are
+    # client errors (400), not post-render 500s
+    for bad_fps in (None, 0, -5, "fast"):
+        with pytest.raises(urllib.error.HTTPError) as info:
+            _post(
+                f"http://127.0.0.1:{daemon.port}/synthesize",
+                {"latents": latents.tolist(), "format": "avi", "fps": bad_fps},
+            )
+        assert info.value.code == 400, bad_fps
 
 
 def test_client_synthesize_compressed(real_daemon):

@@ -83,6 +83,11 @@ def test_registration_from_latents_validation():
         registration_from_latents(np.zeros((4, 512)), 15.0, "bad")
     with pytest.raises(AudioRequestError, match="projection_fps"):
         registration_from_latents(_final_latents(3), 0.0, "bad")
+    # row-DISTINCT latents (e.g. style-mixed) must be rejected loudly: the
+    # blend's row-0 shortcut would silently discard rows 1..N otherwise
+    mixed = np.random.RandomState(0).randn(4, ROWS_16PX, VECTOR_LENGTH)
+    with pytest.raises(AudioRequestError, match="identical style rows"):
+        registration_from_latents(mixed.astype(np.float32), 15.0, "mixed")
 
 
 def test_load_projection_registration_from_file(tmp_path):
